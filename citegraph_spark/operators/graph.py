@@ -1,0 +1,284 @@
+"""Graph analytics operators (SURVEY.md §2.9 G1-G10), Spark-idiomatic.
+
+The reference implements these with RDD path enumeration and a
+driver-collected adjacency map captured in task closures (reference
+Analytics.scala:152-414). Here everything is DataFrame ops:
+
+- density (G1): groupBy + window running totals + broadcast-able joins.
+- snapshot (G2): double vertex join + year filter + bidirectional union.
+- hop-plot (G4-G9): frontier BFS over *pairs* — the frontier carries
+  12-byte (src, dst) rows instead of the reference's O(d)-length path
+  arrays, the `seen` set is canonical (unordered) pairs, and lineage is
+  truncated with localCheckpoint so per-round counts don't recompute
+  history (the reference recomputes the full lineage every round —
+  SURVEY.md §4.3).
+
+Scale notes (100 TB thinking): the BFS `seen` set is the true output
+size — O(connected pairs) — and is unavoidable for exact hop-plots; every
+round shuffles only the frontier joined against the (bidirectional) edge
+table partitioned on `src`. Edges are repartitioned once on the join key
+and persisted so every round's join reuses the same partitioning; with
+AQE the frontier side coalesces as it shrinks. For approximate hop-plots
+at extreme scale, see `functions.sketches.hyperball` (HyperLogLog-based).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+# ---------------------------------------------------------------- density
+
+
+def density(citations: DataFrame, published: DataFrame) -> DataFrame:
+    """G1: per-year cumulative node count n(t) and edge count e(t).
+
+    Reference semantics (Analytics.scala:77-142, docs/PA1.pdf p.2):
+    - e(t) attributes each edge to the *citing* paper's year (out-degree);
+      edges whose `from` id has no published date are dropped (inner join).
+    - n(t) counts papers with pub-year <= t.
+    - final result is the INNER join of the two running totals on year, so
+      a year present in only one side drops out (reference quirk, kept).
+
+    Plan shape: two shuffles (groupBy year on each side), one tiny
+    broadcast join, and two single-partition windows over <=#years rows.
+    The per-year aggregates are at most a few thousand rows at any scale,
+    so the unpartitioned running-total window is safe.
+    """
+    out_degree = citations.groupBy("from").count()
+    edge_years = (
+        published.join(out_degree, published["id"] == out_degree["from"], "inner")
+        .groupBy("year")
+        .agg(F.sum("count").alias("e(t)"))
+    )
+    node_years = published.groupBy("year").agg(F.count("*").alias("n(t)"))
+
+    w = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nodes_running = node_years.select(
+        F.col("year").alias("nodeYear"), F.sum("n(t)").over(w).alias("n(t)")
+    )
+    edges_running = edge_years.select(
+        "year", F.sum("e(t)").over(w).alias("e(t)")
+    )
+    return (
+        nodes_running.join(
+            F.broadcast(edges_running),
+            nodes_running["nodeYear"] == edges_running["year"],
+            "inner",
+        )
+        .select(F.col("year"), F.col("n(t)"), F.col("e(t)"))
+        .orderBy("year")
+    )
+
+
+# ------------------------------------------------------------- snapshots
+
+
+def snapshot_edges(citations: DataFrame, published: DataFrame, year: int) -> DataFrame:
+    """G2: undirected edge set of the graph "as of `year`" — directed edges
+    whose BOTH endpoints have pub-year <= year (inner joins drop phantom
+    endpoints), expanded to both orientations.
+
+    The vertex table is broadcast: node-attribute tables are tiny relative
+    to edges (37 k nodes vs 350 k+ edges in the reference's dataset; the
+    same ratio holds at 100 TB edge scale), so both attribute joins are
+    map-side with zero shuffle of the edge table.
+    """
+    pf = published.select(
+        F.col("id").alias("_fid"), F.col("year").alias("fromYear")
+    )
+    pt = published.select(F.col("id").alias("_tid"), F.col("year").alias("toYear"))
+    directed = (
+        citations.join(F.broadcast(pf), citations["from"] == pf["_fid"], "inner")
+        .join(F.broadcast(pt), citations["to"] == pt["_tid"], "inner")
+        .filter((F.col("fromYear") <= year) & (F.col("toYear") <= year))
+        .select("from", "to")
+    )
+    return bidirectional(directed)
+
+
+def bidirectional(edges: DataFrame) -> DataFrame:
+    """P8: each directed edge expanded to both orientations → (src, dst)."""
+    fwd = edges.select(F.col("from").alias("src"), F.col("to").alias("dst"))
+    rev = edges.select(F.col("to").alias("src"), F.col("from").alias("dst"))
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def canonical_pairs(df: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """G4: unordered pair canonicalization — (least, greatest), deduped."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """G3: node → sorted neighbor array. The reference collects this map to
+    the driver and ships it in every task closure (Analytics.scala:171);
+    we keep it distributed — it is only ever needed as a join side."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_set("dst")).alias("neighbors")
+    )
+
+
+# ------------------------------------------------------------ BFS hop-plot
+
+
+@dataclass
+class HopPlotRow:
+    d: int
+    pairs: int
+    percent: float
+
+
+def connected_pairs_by_distance(
+    edges: DataFrame,
+    max_d: int = 20,
+    checkpoint_every: int = 3,
+) -> list[tuple[int, int]]:
+    """Frontier BFS over pairs: returns [(d, cumulative #unordered connected
+    pairs with shortest distance <= d)] until convergence or max_d.
+
+    Invariant per round: `frontier` holds DIRECTED pairs at shortest
+    distance exactly d (both orientations — needed so the next hop can
+    extend from either end); `seen` holds CANONICAL pairs at distance <= d.
+    A distance-(d+1) pair is always a distance-d pair extended by one edge,
+    so candidates = frontier ⋈ edges, anti-joined against seen.
+    """
+    spark = edges.sparkSession
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    d1 = canonical_pairs(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    seen = d1
+    frontier = d1.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        d1.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts: list[tuple[int, int]] = []
+    total = d1.count()
+    if total == 0:
+        edges.unpersist()
+        return counts
+    counts.append((1, total))
+
+    to_release: list[DataFrame] = []
+    for d in range(2, max_d + 1):
+        fr = frontier.select(
+            F.col("src").alias("f_src"), F.col("dst").alias("f_dst")
+        )
+        cand = (
+            fr.join(edges, fr["f_dst"] == edges["src"], "inner")
+            .select(F.col("f_src").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        new_pairs = (
+            canonical_pairs(cand, "a", "b")
+            .join(seen, ["a", "b"], "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_new = new_pairs.count()
+        if n_new == 0:
+            new_pairs.unpersist()
+            break
+
+        next_seen = seen.unionByName(new_pairs)
+        next_frontier = new_pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(new_pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+        if d % checkpoint_every == 0:
+            # truncate lineage: each round unions onto the last, and without
+            # this the d-th count recomputes all prior rounds (the
+            # reference's unbounded-lineage flaw, SURVEY.md §4.3)
+            next_seen = next_seen.localCheckpoint(eager=True)
+            next_frontier = next_frontier.localCheckpoint(eager=True)
+        else:
+            next_seen = next_seen.persist(StorageLevel.MEMORY_AND_DISK)
+            next_frontier = next_frontier.persist(StorageLevel.MEMORY_AND_DISK)
+
+        to_release.extend([seen, frontier, new_pairs])
+        seen, frontier = next_seen, next_frontier
+        counts.append((d, counts[-1][1] + n_new))
+
+        for df in to_release:
+            df.unpersist()
+        to_release = []
+
+    for df in [edges, seen, frontier, d1]:
+        df.unpersist()
+    return counts
+
+
+def hop_plot(
+    edges: DataFrame,
+    total_pairs: int | None = None,
+    max_d: int = 20,
+    strict_stop: bool = True,
+) -> list[HopPlotRow]:
+    """G8/G9: per-distance hop-plot rows (d, g(d), percent_of_total).
+
+    `total_pairs`: the denominator. The reference reads it precomputed from
+    nodepairs.csv (Application.scala:26-32); when absent we use the spec's
+    own definition — connected pairs at d=20 (docs/PA1.pdf p.3) — by
+    running the BFS to convergence first.
+
+    `strict_stop=True` reproduces the reference's emission rule
+    (Analytics.scala:176-214): d=1 and d=2 always recorded; d>=3 recorded
+    only while the previous row's percent <= 0.90, new pairs keep
+    appearing, and d <= 20.
+    """
+    counts = connected_pairs_by_distance(edges, max_d=max_d)
+    if not counts:
+        return []
+    if total_pairs is None:
+        total_pairs = counts[-1][1]
+
+    rows = [HopPlotRow(d, g, g * 1.0 / total_pairs) for d, g in counts]
+    if not strict_stop:
+        return rows
+    out: list[HopPlotRow] = []
+    for row in rows:
+        if row.d <= 2:
+            out.append(row)
+        elif out and out[-1].percent <= 0.90:
+            out.append(row)
+        else:
+            break
+        if row.d >= 2 and row.percent > 0.90:
+            break
+    return out
+
+
+def effective_diameter(rows: list[HopPlotRow]) -> float | None:
+    """G10: d* = d + (0.9 - g(d))/(g(d+1) - g(d)) at the 0.9 crossing
+    (docs/PA1.pdf p.3 §3; the reference leaves this to post-processing)."""
+    for lo, hi in zip(rows, rows[1:]):
+        if lo.percent <= 0.9 < hi.percent:
+            return lo.d + (0.9 - lo.percent) / (hi.percent - lo.percent)
+    if rows and rows[0].percent > 0.9:
+        return float(rows[0].d)
+    return None
+
+
+def hop_plot_df(
+    spark,
+    edges: DataFrame,
+    total_pairs: int | None = None,
+    max_d: int = 20,
+    strict_stop: bool = True,
+) -> DataFrame:
+    """Hop-plot as a DataFrame with the reference's output schema
+    (d, `g(d)`, percent_of_total) — S7 local-collection source."""
+    from .. import schemas
+
+    rows = hop_plot(edges, total_pairs=total_pairs, max_d=max_d, strict_stop=strict_stop)
+    data = [(r.d, r.pairs, r.percent) for r in rows]
+    return spark.createDataFrame(data, schema=schemas.HOP_PLOT)

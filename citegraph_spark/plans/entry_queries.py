@@ -1,0 +1,264 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) -> DataFrame
+callable plus (where SQL-expressible) a DuckDB oracle string.
+
+Mapping of the citation-graph spec onto the driver's synthetic tables
+(FIXTURES.md §6): edge-like table = `lineitem` (l_orderkey -> l_partkey as
+from -> to), vertex-attribute table = `orders` (o_orderkey,
+year(o_orderdate)). Graph-BFS queries additionally run on the in-repo
+fixture graph, which the oracle embeds as a VALUES list.
+
+Conventions (driver hash-compare requires them):
+- every computed column aliased identically in Spark and SQL;
+- aggregate counts/sums cast to BIGINT on the DuckDB side (DuckDB window
+  sums are HUGEINT otherwise);
+- years cast to INT both sides;
+- floating-point outputs rounded to a fixed precision both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Graph pipeline (SURVEY.md §2.9) on the TPC-H mapping
+# --------------------------------------------------------------------------
+
+
+def _citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge view: lineitem as (from=l_orderkey, to=l_partkey)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("from"),
+        F.col("l_partkey").cast("int").alias("to"),
+    )
+
+
+def _published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-attribute view: orders as (id=o_orderkey, year)."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("id"),
+        F.year("o_orderdate").alias("year"),
+    )
+
+
+_PUB_SQL = "SELECT CAST(o_orderkey AS INT) AS id, CAST(year(o_orderdate) AS INT) AS year FROM orders"
+_CIT_SQL = "SELECT CAST(l_orderkey AS INT) AS \"from\", CAST(l_partkey AS INT) AS \"to\" FROM lineitem"
+
+
+@register(
+    "graph_density",
+    f"""
+WITH pub AS ({_PUB_SQL}),
+     cit AS ({_CIT_SQL}),
+     outdeg AS (SELECT "from" AS f, count(*) AS c FROM cit GROUP BY 1),
+     ey AS (SELECT pub.year, CAST(sum(c) AS BIGINT) AS e FROM pub
+            JOIN outdeg ON pub.id = outdeg.f GROUP BY 1),
+     ny AS (SELECT year, count(*) AS n FROM pub GROUP BY 1),
+     nr AS (SELECT year, CAST(sum(n) OVER (ORDER BY year) AS BIGINT) AS "n(t)" FROM ny),
+     er AS (SELECT year, CAST(sum(e) OVER (ORDER BY year) AS BIGINT) AS "e(t)" FROM ey)
+SELECT nr.year AS year, "n(t)", "e(t)" FROM nr JOIN er USING (year) ORDER BY year
+""",
+)
+def graph_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: cumulative node/edge density per year (SURVEY.md §2.9 G1;
+    reference Analytics.scala:77-142)."""
+    from ..operators.graph import density
+
+    return density(_citations(spark, sf_dir), _published(spark, sf_dir))
+
+
+@register(
+    "graph_out_degree",
+    f"""
+WITH cit AS ({_CIT_SQL})
+SELECT "from" AS node, count(*) AS out_degree FROM cit GROUP BY 1 ORDER BY 1
+""",
+)
+def graph_out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: out-degree per node (reference Analytics.scala:97)."""
+    return (
+        _citations(spark, sf_dir)
+        .groupBy(F.col("from").alias("node"))
+        .agg(F.count("*").alias("out_degree"))
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_canonical_pairs",
+    f"""
+WITH cit AS ({_CIT_SQL})
+SELECT DISTINCT least("from", "to") AS a, greatest("from", "to") AS b
+FROM cit WHERE "from" <> "to" ORDER BY a, b
+""",
+)
+def graph_canonical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: canonical unordered pairs with an edge (reference
+    Analytics.scala:370-377)."""
+    from ..operators.graph import canonical_pairs
+
+    return canonical_pairs(_citations(spark, sf_dir), "from", "to").orderBy("a", "b")
+
+
+@register(
+    "graph_snapshot_edge_count",
+    f"""
+WITH pub AS ({_PUB_SQL}), cit AS ({_CIT_SQL}),
+     snap AS (
+       SELECT cit."from", cit."to" FROM cit
+       JOIN pub pf ON cit."from" = pf.id
+       JOIN pub pt ON cit."to" = pt.id
+       WHERE pf.year <= 2024 AND pt.year <= 2024
+     ),
+     bidir AS (
+       SELECT "from" AS src, "to" AS dst FROM snap WHERE "from" <> "to"
+       UNION
+       SELECT "to" AS src, "from" AS dst FROM snap WHERE "from" <> "to"
+     )
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges FROM bidir
+""",
+)
+def graph_snapshot_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: snapshot + bidirectional expansion (J3+P4+P8), counted.
+
+    Both endpoints need attributes; the part side has no year, so the
+    TPC-H mapping uses orders for the `from` endpoint and filters `to`
+    through existence in orders too — matching the reference's inner-join
+    phantom-drop semantics exactly (Analytics.scala:348-359).
+    """
+    from ..operators.graph import snapshot_edges
+
+    edges = snapshot_edges(_citations(spark, sf_dir), _published(spark, sf_dir), 2024)
+    return edges.agg(F.count("*").alias("n_directed_edges"))
+
+
+# --------------------------------------------------------------------------
+# Relational inventory (SURVEY.md §2.2-2.7) on native TPC-H columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "running_total_orders",
+    """
+WITH oy AS (SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
+                   CAST(sum(o_totalprice) AS DOUBLE) AS total
+            FROM orders GROUP BY 1)
+SELECT year,
+       CAST(sum(n) OVER (ORDER BY year) AS BIGINT) AS cum_orders,
+       round(sum(total) OVER (ORDER BY year), 2) AS cum_price
+FROM oy ORDER BY year
+""",
+)
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: running totals over year (reference Analytics.scala:22-25)."""
+    from pyspark.sql import Window
+
+    oy = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+    w = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return oy.select(
+        "year",
+        F.sum("n").over(w).alias("cum_orders"),
+        F.round(F.sum("total").over(w), 2).alias("cum_price"),
+    ).orderBy("year")
+
+
+@register(
+    "attr_join_customer_orders",
+    """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2 ORDER BY 1
+""",
+)
+def attr_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi inner join attribute lookup + aggregate (reference
+    Analytics.scala:39-40). Customer side is broadcast (small dim)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), c["c_custkey"] == o["o_custkey"], "inner")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "double_vertex_join",
+    """
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year, p.p_brand AS brand,
+       count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS price_sum
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def double_vertex_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: edge ⋈ vertex ⋈ vertex — attributes attached to both endpoints
+    of each edge row (reference Analytics.scala:348-359)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .orderBy("order_year", "brand")
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+""",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U2: left anti join — keys never seen (reference subtractByKey,
+    Analytics.scala:287)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .orderBy("custkey")
+    )
