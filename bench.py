@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect/write cost); timings are per-query wall clock after a shared
+session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every major engine path — scan/agg, star join, window,
+# graph density, pair canonicalization, event windows/sessions, text
+# stats, minhash/simhash dedup, embedding similarity (exact + ANN).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_unshipped_revenue",
+    "multi_join_region_revenue",
+    "running_total_orders",
+    "graph_density",
+    "graph_canonical_pairs",
+    "events_windowed_agg",
+    "events_sessionize",
+    "events_top_users_per_type",
+    "text_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "similarity_ann_lsh",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+    from citegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="citegraph_bench")
+    # warm up the JVM + parquet footers so query timings measure the plans
+    force(QUERIES["distinct_flag_status"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

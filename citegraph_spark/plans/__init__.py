@@ -1,3 +1,10 @@
 from . import entry_queries
 
+# Importing these modules registers their queries into
+# entry_queries.QUERIES / ORACLES.
+from . import events_queries  # noqa: E402,F401
+from . import graph_fixture_queries  # noqa: E402,F401
+from . import relational_queries  # noqa: E402,F401
+from . import text_queries  # noqa: E402,F401
+
 __all__ = ["entry_queries"]

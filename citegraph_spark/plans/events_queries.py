@@ -1,0 +1,137 @@
+"""Event-table queries: tumbling windows, sessionization, JSON props.
+
+These are the batch event-time analytics the reference lacks entirely
+(SURVEY.md §2.10 — its "temporal" aspect is per-year snapshots); the
+streaming (readStream) versions of the same plans live in
+streaming/events.py and are asserted equal in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import sessionize
+from ..sources.tables import load_table
+from .entry_queries import register
+
+
+@register(
+    "events_windowed_agg",
+    """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute event-time windows per event type (F.window —
+    the same windowing primitive Structured Streaming uses)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), one shuffle on user:
+    sessions and events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON-path extraction inside an aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_top_users_per_type",
+    """
+WITH u AS (
+  SELECT event_type, user_id, count(*) AS n, round(sum(value), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS rn
+  FROM u
+)
+SELECT event_type, user_id, n, value_sum, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 5 ORDER BY event_type, rn
+""",
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most active users per event type (distributed top-k: window
+    row_number, map-side pre-aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("event_type", "rn")
+    )

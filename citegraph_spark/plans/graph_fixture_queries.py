@@ -1,0 +1,93 @@
+"""Fixture-graph queries: the reference's exact citation-graph semantics
+on the in-repo fixture (FIXTURES.md §3), with DuckDB oracles that embed
+the same 17-edge graph as VALUES — the hop-plot oracle is a recursive CTE
+computing shortest-path pair counts, independently of our BFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import (
+    edges_values_sql,
+    fixture_citations,
+    fixture_published,
+    years_values_sql,
+)
+from .entry_queries import register
+
+_FIXTURE_CTES = f"""
+ed AS (SELECT * FROM (VALUES {edges_values_sql()}) e("from", "to")),
+yr AS (SELECT * FROM (VALUES {years_values_sql()}) y(id, year))
+"""
+
+
+@register(
+    "fixture_density",
+    f"""
+WITH {_FIXTURE_CTES},
+     outdeg AS (SELECT "from" AS f, count(*) AS c FROM ed GROUP BY 1),
+     ey AS (SELECT yr.year, CAST(sum(c) AS BIGINT) AS e FROM yr
+            JOIN outdeg ON yr.id = outdeg.f GROUP BY 1),
+     ny AS (SELECT year, count(*) AS n FROM yr GROUP BY 1),
+     nr AS (SELECT year, CAST(sum(n) OVER (ORDER BY year) AS BIGINT) AS "n(t)" FROM ny),
+     er AS (SELECT year, CAST(sum(e) OVER (ORDER BY year) AS BIGINT) AS "e(t)" FROM ey)
+SELECT CAST(nr.year AS INT) AS year, "n(t)", "e(t)"
+FROM nr JOIN er USING (year) ORDER BY year
+""",
+)
+def fixture_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 density on the fixture graph — the reference's flagship output
+    (FIXTURES.md Table D; reference data/output/densities.csv semantics)."""
+    from ..operators.graph import density
+
+    return density(fixture_citations(spark), fixture_published(spark))
+
+
+@register(
+    "fixture_hopplot",
+    f"""
+WITH RECURSIVE {_FIXTURE_CTES},
+     snap AS (
+       SELECT ed."from" AS f, ed."to" AS t FROM ed
+       JOIN yr a ON ed."from" = a.id JOIN yr b ON ed."to" = b.id
+       WHERE a.year <= 1998 AND b.year <= 1998
+     ),
+     bidir AS (
+       SELECT f AS s, t AS d FROM snap WHERE f <> t
+       UNION SELECT t, f FROM snap WHERE f <> t
+     ),
+     reach AS (
+       SELECT s, d, 1 AS dist FROM bidir
+       UNION
+       SELECT r.s, e.d, r.dist + 1 FROM reach r JOIN bidir e ON r.d = e.s
+       WHERE r.dist < 20 AND r.s <> e.d
+     ),
+     sp AS (SELECT least(s, d) AS a, greatest(s, d) AS b, min(dist) AS dist
+            FROM reach GROUP BY 1, 2),
+     hist AS (SELECT dist, count(*) AS c FROM sp GROUP BY 1),
+     cum AS (SELECT dist AS d, CAST(sum(c) OVER (ORDER BY dist) AS BIGINT) AS gd
+             FROM hist)
+SELECT CAST(d AS INT) AS d, gd AS "g(d)",
+       round(gd * 1.0 / (SELECT max(gd) FROM cum), 6) AS percent_of_total
+FROM cum ORDER BY d
+""",
+)
+def fixture_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4-G9 full-depth hop-plot of the 1998 fixture snapshot. The oracle
+    recomputes shortest-path pair counts with a recursive CTE — a fully
+    independent algorithm from our frontier BFS."""
+    from ..operators.graph import hop_plot, snapshot_edges
+
+    edges = snapshot_edges(fixture_citations(spark), fixture_published(spark), 1998)
+    rows = hop_plot(edges, strict_stop=False)
+    total = rows[-1].pairs if rows else 1
+    df = spark.createDataFrame(
+        [(r.d, r.pairs) for r in rows], schema="d int, `g(d)` long"
+    )
+    return df.select(
+        "d",
+        F.col("g(d)"),
+        F.round(F.col("g(d)") / F.lit(float(total)), 6).alias("percent_of_total"),
+    ).orderBy("d")

@@ -1,0 +1,365 @@
+"""Text-analysis / dedup / similarity / multimodal query registrations.
+
+Every oracle states the IDENTICAL computation in DuckDB SQL: same
+tokenizer regex, same md5-based hashes, same rounding — so the driver's
+value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+from .entry_queries import register
+
+# Shared SQL fragments (kept in lockstep with functions/text.py)
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+_STOPWORDS = "('the','a','of','and','to','in','is','it')"
+
+
+@register(
+    "text_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_types,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+       CAST(len(list_filter(toks, t -> t IN {_STOPWORDS})) AS INT) AS n_stop
+FROM t ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/punctuation/stopword statistics (quality-scoring
+    inputs), all narrow JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        text.punct_count(F.col("text")).alias("n_punct"),
+        text.stopword_count(toks).alias("n_stop"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+     s AS (SELECT doc_id,
+                  len(toks) AS n_tokens,
+                  CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+                  END AS punct_ratio,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE len(list_filter(toks, t -> t IN {_STOPWORDS})) * 1.0 / len(toks)
+                  END AS stop_ratio
+           FROM t)
+SELECT doc_id,
+       round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6)
+         AS quality
+FROM s ORDER BY doc_id
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per doc (length × punctuation × stopword
+    plausibility)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    punct_ratio = F.when(F.length("text") == 0, 0.0).otherwise(
+        text.punct_count(F.col("text")) / F.length("text")
+    )
+    stop_ratio = F.when(n_tokens == 0, 0.0).otherwise(
+        text.stopword_count(toks) / n_tokens
+    )
+    return docs.select(
+        "doc_id",
+        text.quality_score(n_tokens, punct_ratio, stop_ratio).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_LANG_CASES = {
+    lang: "(" + ",".join(f"'{w}'" for w in ws) + ")"
+    for lang, ws in text.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+     v AS (SELECT doc_id, lang,
+                  len(list_filter(toks, t -> t IN {_LANG_CASES['en']})) AS en_v,
+                  len(list_filter(toks, t -> t IN {_LANG_CASES['de']})) AS de_v,
+                  len(list_filter(toks, t -> t IN {_LANG_CASES['es']})) AS es_v,
+                  len(list_filter(toks, t -> t IN {_LANG_CASES['fr']})) AS fr_v
+           FROM t)
+SELECT doc_id, lang,
+       CASE WHEN en_v = greatest(en_v, de_v, es_v, fr_v) THEN 'en'
+            WHEN de_v = greatest(en_v, de_v, es_v, fr_v) THEN 'de'
+            WHEN es_v = greatest(en_v, de_v, es_v, fr_v) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM v ORDER BY doc_id
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language-ID heuristic: marker-stopword votes, deterministic
+    argmax (tie goes to en > de > es > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    votes = text.lang_votes(toks)
+    return docs.select(
+        "doc_id", "lang", text.predict_lang(votes).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+|[^a-z0-9_\s]')) AS INT)
+         AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count: word runs + isolated punctuation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+     c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
+SELECT h.doc_id AS doc_id, c.canonical_id AS canonical_id
+FROM h JOIN c USING (h) ORDER BY doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: doc_id → canonical (min-id) doc with identical text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_canonical(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _minhash_sig_sql() -> str:
+    hashes = ", ".join(
+        f"list_min(list_transform(hm, h -> substring(h, {8 * i + 1}, 8))) AS mh{i}"
+        for i in range(dedup.N_MINHASH)
+    )
+    return hashes
+
+
+def _minhash_band_sql() -> str:
+    r = dedup.N_MINHASH // dedup.N_BANDS
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * r + j}" for j in range(r)) + f") AS band{b}"
+        for b in range(dedup.N_BANDS)
+    )
+    return bands
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+     hmt AS (SELECT doc_id, sh,
+             list_transform(sh, s -> md5(s) || md5('x' || s)) AS hm FROM sh),
+     sig AS (SELECT doc_id, sh, {_minhash_sig_sql()} FROM hmt),
+     bnd AS (SELECT doc_id, sh, {_minhash_band_sql()} FROM sig),
+     stacked AS (
+       SELECT doc_id, i.band_idx,
+              CASE i.band_idx {' '.join(f"WHEN {b} THEN band{b}" for b in range(dedup.N_BANDS))} END AS band_hash
+       FROM bnd, (SELECT unnest(range({dedup.N_BANDS})) AS band_idx) i
+     ),
+     cand AS (
+       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       FROM stacked a JOIN stacked b
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+     )
+SELECT cand.a AS a, cand.b AS b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+ORDER BY a, b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle → minhash → band → bucket join),
+    verified with exact shingle Jaccard >= 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+     posting AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+     shared AS (
+       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+     ),
+     sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT a, b,
+       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM shared JOIN sizes na ON shared.a = na.doc_id
+            JOIN sizes nb ON shared.b = nb.doc_id
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
+ORDER BY a, b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via inverted index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs)
+
+
+def _simhash_votes_sql() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+
+
+def _simhash_value_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+     h AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT AS BIGINT) AS v
+           FROM t),
+     votes AS (SELECT doc_id, {_simhash_votes_sql()} FROM h GROUP BY doc_id)
+SELECT doc_id, {_simhash_value_sql()} AS simhash
+FROM votes ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+@register("dedup_simhash_pairs")  # rows-only: banded candidate generation
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 of 32 bits) via 8-bit banded
+    candidates. Rows-only check: the banding join is the non-SQL part."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs)
+
+
+# -------------------------------------------------------------- similarity
+
+
+@register(
+    "similarity_topk_cosine",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+     pairs AS (
+       SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+              round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine
+       FROM n a JOIN n b ON a.vec_id <> b.vec_id
+     ),
+     ranked AS (
+       SELECT vec_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+       FROM pairs
+     )
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
+""",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 neighbors per embedding (the ANN
+    correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(emb, k=3)
+
+
+@register("similarity_ann_lsh")  # rows-only: deterministic but engine-specific
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 cosine neighbors via random-hyperplane LSH
+    (8 tables × 6 planes). Rows-only check; recall vs the brute-force
+    baseline is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, k=3)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       'text' AS modality
+FROM documents ORDER BY doc_id
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — queryable without
+    decoding the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return binary.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.modality").alias("modality"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_features")  # rows-only: mapInPandas fake-decode
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed with a deterministic byte-histogram fake)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.extract_features(binary).orderBy("doc_id")

