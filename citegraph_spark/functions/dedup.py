@@ -51,15 +51,20 @@ def shingle_hash_col(sh_col):
     )
 
 
+def _slice_fn(i: int):
+    # single-parameter closure: a 2-arg lambda (e.g. `lambda h, i=i`) would
+    # be bound by F.transform as the (element, index) binary form, silently
+    # turning `i` into the array index
+    return lambda h: F.substring(h, 8 * i + 1, 8)
+
+
 def minhash_signature_cols(hashes_col) -> list:
     """N_MINHASH min-hashes over the per-shingle hash-material column.
 
     Per-row transform + array_min: narrow, no shuffle — at cluster scale
     each executor computes signatures for its split independently."""
     return [
-        F.array_min(
-            F.transform(hashes_col, lambda h, i=i: F.substring(h, 8 * i + 1, 8))
-        ).alias(f"mh{i}")
+        F.array_min(F.transform(hashes_col, _slice_fn(i))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
 
