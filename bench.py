@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ann_lsh",
+    "similarity_ivf",
+    "dedup_embedding_cosine",
+    "window_rank_lag",
+    "graph_adjacency",
 ]
 
 

@@ -87,6 +87,134 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b and
+    round(cosine, 6) >= threshold. Exact — every qualifying pair is found.
+
+    Physical strategy mirrors `cosine_topk_bruteforce`: the corpus matrix
+    is broadcast once, each partition scores its rows against it with one
+    BLAS matmul (Arrow batch in, pairs out). Output size is data-bound
+    (matching pairs only), so the shuffle after is tiny. Beyond
+    broadcastable corpus size, swap the candidate step for `lsh_buckets`
+    and verify with `_cosine_udf` — same output contract, approximate
+    recall."""
+    spark = emb.sparkSession
+    ids, mat = _corpus_matrix(emb, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b_ids.value, b_mat.value
+        for pdf in it:
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = np.round((q / qn) @ c_mat.T, 6)
+            out_rows = []
+            for r, vid in enumerate(pdf[id_col].to_numpy()):
+                # a < b keeps each unordered pair exactly once
+                mask = (c_ids > vid) & (sims[r] >= threshold)
+                for j in np.nonzero(mask)[0]:
+                    out_rows.append((int(vid), int(c_ids[j]), float(sims[r][j])))
+            yield pd.DataFrame(out_rows, columns=["a", "b", "cosine"])
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(batches, schema="a bigint, b bigint, cosine double")
+        .orderBy("a", "b")
+    )
+
+
+def _ivf_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: the L2-normalized vectors of the
+    n_cells smallest ids. (At scale, replace with a sampled k-means — the
+    assignment/probe machinery below is unchanged.)"""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, is_primary): nearest cell per vector plus n_probe-1
+    runner-up probe cells. One numpy pass per Arrow batch, no shuffle."""
+    spark = emb.sparkSession
+    cents = _ivf_centroids(emb, n_cells, id_col, vec_col)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value
+        for pdf in it:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            sims = (v / vn) @ c.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            out = []
+            for r, vid in enumerate(pdf[id_col].to_numpy()):
+                for p in range(order.shape[1]):
+                    out.append((int(vid), int(order[r, p]), p == 0))
+            yield pd.DataFrame(out, columns=["vec_id", "cell", "is_primary"])
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, schema="vec_id bigint, cell int, is_primary boolean"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k cosine: each query probes its n_probe nearest
+    cells and scores only vectors whose PRIMARY cell is probed — the
+    classic inverted-file trade: cost ~ |corpus| * n_probe / n_cells per
+    query instead of |corpus|. Output schema matches
+    `cosine_topk_bruteforce`; recall is asserted vs brute force in tests.
+    """
+    assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col)
+    probes = assign.select(F.col("vec_id").alias("a"), "cell")
+    index = assign.filter("is_primary").select(F.col("vec_id").alias("b"), "cell")
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor_id"),
+            _cosine_udf(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("vec_id", "rank")
+    )
+
+
 def _table_planes(table: int, n_planes: int, dim: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from md5 bytes, distinct
     per hash table (no RNG state — reproducible everywhere)."""

@@ -150,6 +150,36 @@ def graph_snapshot_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.agg(F.count("*").alias("n_directed_edges"))
 
 
+@register(
+    "graph_adjacency",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+     bidir AS (
+       SELECT "from" AS src, "to" AS dst FROM cit WHERE "from" <> "to"
+       UNION
+       SELECT "to", "from" FROM cit WHERE "from" <> "to"
+     )
+SELECT src AS id,
+       array_to_string(list_sort(list(DISTINCT dst)), ',') AS neighbors,
+       CAST(count(DISTINCT dst) AS INT) AS degree
+FROM bidir GROUP BY src ORDER BY id
+""",
+)
+def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/A5: distributed adjacency list — node → sorted neighbor set
+    (reference collects this to the driver and ships it per task closure,
+    Analytics.scala:171,323-331; ours stays a DataFrame). Neighbors are
+    emitted comma-joined so the oracle hash is representation-stable."""
+    from ..operators.graph import adjacency, bidirectional
+
+    adj = adjacency(bidirectional(_citations(spark, sf_dir)))
+    return adj.select(
+        "id",
+        F.array_join("neighbors", ",").alias("neighbors"),
+        F.size("neighbors").alias("degree"),
+    ).orderBy("id")
+
+
 # --------------------------------------------------------------------------
 # Relational inventory (SURVEY.md §2.2-2.7) on native TPC-H columns
 # --------------------------------------------------------------------------

@@ -135,3 +135,25 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("event_type", "rn")
     )
+
+
+@register("streaming_windowed")  # rows-only: driven through writeStream
+def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as an actual Structured
+    Streaming query (readStream parquet replay → watermark → window →
+    memory sink). Equality with the batch `events_windowed_agg` plan is
+    asserted in tests; here the driver gets a rows-only check because the
+    streaming lifecycle is not SQL-expressible."""
+    from ..streaming.events import run_windowed_stream_demo
+
+    return run_windowed_stream_demo(spark, sf_dir)
+
+
+@register("streaming_stateful_counts")  # rows-only: custom stateful operator
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event counters carried in GroupState across
+    micro-batches. Rows-only check; batch equivalence in tests."""
+    from ..streaming.events import run_stateful_counts_demo
+
+    return run_stateful_counts_demo(spark, sf_dir)

@@ -91,3 +91,49 @@ def fixture_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g(d)"),
         F.round(F.col("g(d)") / F.lit(float(total)), 6).alias("percent_of_total"),
     ).orderBy("d")
+
+
+@register(
+    "fixture_effective_diameter",
+    f"""
+WITH RECURSIVE {_FIXTURE_CTES},
+     snap AS (
+       SELECT ed."from" AS f, ed."to" AS t FROM ed
+       JOIN yr a ON ed."from" = a.id JOIN yr b ON ed."to" = b.id
+       WHERE a.year <= 1998 AND b.year <= 1998
+     ),
+     bidir AS (
+       SELECT f AS s, t AS d FROM snap WHERE f <> t
+       UNION SELECT t, f FROM snap WHERE f <> t
+     ),
+     reach AS (
+       SELECT s, d, 1 AS dist FROM bidir
+       UNION
+       SELECT r.s, e.d, r.dist + 1 FROM reach r JOIN bidir e ON r.d = e.s
+       WHERE r.dist < 20 AND r.s <> e.d
+     ),
+     sp AS (SELECT least(s, d) AS a, greatest(s, d) AS b, min(dist) AS dist
+            FROM reach GROUP BY 1, 2),
+     hist AS (SELECT dist, count(*) AS c FROM sp GROUP BY 1),
+     cum AS (SELECT dist AS d, sum(c) OVER (ORDER BY dist) AS gd FROM hist),
+     pct AS (SELECT d, gd * 1.0 / (SELECT max(gd) FROM cum) AS p FROM cum),
+     xing AS (
+       SELECT lo.d AS d, lo.p AS plo, hi.p AS phi
+       FROM pct lo JOIN pct hi ON hi.d = lo.d + 1
+       WHERE lo.p <= 0.9 AND hi.p > 0.9
+     )
+SELECT round(d + (0.9 - plo) / (phi - plo), 6) AS effective_diameter
+FROM xing
+""",
+)
+def fixture_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: interpolated effective diameter d* = d + (0.9 - g(d)) /
+    (g(d+1) - g(d)) of the 1998 fixture snapshot (docs/PA1.pdf p.3 §3 —
+    the reference leaves this step to manual post-processing)."""
+    from ..operators.graph import effective_diameter, hop_plot, snapshot_edges
+
+    edges = snapshot_edges(fixture_citations(spark), fixture_published(spark), 1998)
+    rows = hop_plot(edges, strict_stop=False)
+    d_star = effective_diameter(rows)
+    data = [(round(d_star, 6),)] if d_star is not None else []
+    return spark.createDataFrame(data, schema="effective_diameter double")

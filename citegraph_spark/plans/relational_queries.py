@@ -5,7 +5,7 @@ semi/anti joins, set ops, distinct, sorts/limits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -280,3 +280,49 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+
+
+@register(
+    "window_rank_lag",
+    """
+WITH sy AS (
+  SELECT c.c_mktsegment AS segment, CAST(year(o.o_orderdate) AS INT) AS year,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, year, revenue,
+       CAST(rank() OVER (PARTITION BY year ORDER BY revenue DESC) AS INT)
+         AS rank_in_year,
+       round(revenue - lag(revenue) OVER (PARTITION BY segment ORDER BY year), 2)
+         AS yoy_delta
+FROM sy ORDER BY segment, year
+""",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions beyond the reference's single running
+    total (SURVEY.md §2.5): rank within year + lag-based year-over-year
+    delta per market segment. Both windows partition on real keys, so at
+    cluster scale every partition is independent (no single-partition
+    window hazard)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sy = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("year"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_rank = Window.partitionBy("year").orderBy(F.col("revenue").desc())
+    w_lag = Window.partitionBy("segment").orderBy("year")
+    return sy.select(
+        "segment",
+        "year",
+        "revenue",
+        F.rank().over(w_rank).alias("rank_in_year"),
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w_lag), 2
+        ).alias("yoy_delta"),
+    ).orderBy("segment", "year")

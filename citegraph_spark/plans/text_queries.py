@@ -333,6 +333,34 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, k=3)
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) >= 0.35
+ORDER BY a, b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35), exact via
+    broadcast-corpus matmul per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_pairs(emb, threshold=0.35)
+
+
+@register("similarity_ivf")  # rows-only: probe-cell choice is engine-specific
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 cosine neighbors (16 cells, 2 probes) — the
+    scale path where the corpus exceeds broadcast size. Rows-only check;
+    recall vs brute force is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=3)
+
+
 # -------------------------------------------------------------- multimodal
 
 

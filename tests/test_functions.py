@@ -139,3 +139,57 @@ def test_approx_distinct_error_bound(spark):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_minhash_slices_are_independent(spark):
+    """Regression: building the slice transforms in a loop with a 2-arg
+    lambda made F.transform bind the loop variable as the array index,
+    collapsing every signature to slice 0 (LSH then degenerates to an
+    all-pairs join)."""
+    df = spark.createDataFrame([(["0123456789abcdef" * 4, "fedcba9876543210" * 4],)],
+                               "hm array<string>")
+    row = df.select(*dedup.minhash_signature_cols(F.col("hm"))).first()
+    sigs = [row[f"mh{i}"] for i in range(dedup.N_MINHASH)]
+    assert len(set(sigs)) > 1, f"all slices identical: {sigs[0]}"
+    # slice i must come from character window 8i..8i+8 of some element
+    for i, s in enumerate(sigs):
+        assert s in ("0123456789abcdef" * 4)[8 * i : 8 * i + 8] or \
+               s in ("fedcba9876543210" * 4)[8 * i : 8 * i + 8]
+
+
+def test_embedding_near_pairs_matches_bruteforce(spark, emb):
+    sub = emb.limit(150)
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in similarity.embedding_near_pairs(sub, threshold=0.3).collect()
+    }
+    rows = sub.select("vec_id", "embedding").collect()
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    want = {
+        (ids[i], ids[j]): sims[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.3
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    sub = emb.limit(300)
+    bf = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(sub, k=1).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(sub, k=1, n_cells=8, n_probe=3).collect()
+    }
+    hits = sum(1 for v, n in bf.items() if ivf.get(v) == n)
+    assert hits / len(bf) >= 0.3, f"IVF top-1 recall too low: {hits}/{len(bf)}"
