@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "running_total_orders",
     "graph_density",
     "graph_canonical_pairs",
+    "graph_hopplot_d2",
     "events_windowed_agg",
     "events_sessionize",
     "events_top_users_per_type",

@@ -169,7 +169,11 @@ def connected_pairs_by_distance(
         return counts
     counts.append((1, total))
 
-    to_release: list[DataFrame] = []
+    # unpersist of a round's structures must wait until the NEXT round's
+    # count has materialized `next_seen`/`next_frontier` (they read the
+    # previous round's persisted blocks; releasing earlier forces a full
+    # recompute of the round)
+    pending_release: list[DataFrame] = []
     for d in range(2, max_d + 1):
         fr = frontier.select(
             F.col("src").alias("f_src"), F.col("dst").alias("f_dst")
@@ -179,12 +183,16 @@ def connected_pairs_by_distance(
             .select(F.col("f_src").alias("a"), F.col("dst").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        new_pairs = (
-            canonical_pairs(cand, "a", "b")
-            .join(seen, ["a", "b"], "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        new_pairs = canonical_pairs(cand, "a", "b").join(seen, ["a", "b"], "left_anti")
+        if d < max_d:
+            # persisted because the next round unions it into `seen`; at the
+            # final round the count below is the only consumer — skipping the
+            # persist avoids serializing the full pair set once more
+            new_pairs = new_pairs.persist(StorageLevel.MEMORY_AND_DISK)
         n_new = new_pairs.count()
+        for df in pending_release:
+            df.unpersist()
+        pending_release = []
         if n_new == 0:
             new_pairs.unpersist()
             break
@@ -204,15 +212,11 @@ def connected_pairs_by_distance(
             next_seen = next_seen.persist(StorageLevel.MEMORY_AND_DISK)
             next_frontier = next_frontier.persist(StorageLevel.MEMORY_AND_DISK)
 
-        to_release.extend([seen, frontier, new_pairs])
+        pending_release = [seen, frontier, new_pairs]
         seen, frontier = next_seen, next_frontier
         counts.append((d, counts[-1][1] + n_new))
 
-        for df in to_release:
-            df.unpersist()
-        to_release = []
-
-    for df in [edges, seen, frontier, d1]:
+    for df in [edges, seen, frontier, d1, *pending_release]:
         df.unpersist()
     return counts
 

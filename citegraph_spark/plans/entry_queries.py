@@ -180,6 +180,52 @@ def graph_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register(
+    "graph_hopplot_d2",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+     bidir AS (
+       SELECT DISTINCT "from" AS src, "to" AS dst FROM cit WHERE "from" <> "to"
+       UNION
+       SELECT DISTINCT "to", "from" FROM cit WHERE "from" <> "to"
+     ),
+     d1 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM bidir),
+     d2cand AS (
+       SELECT DISTINCT least(e1.src, e2.dst) AS a, greatest(e1.src, e2.dst) AS b
+       FROM bidir e1 JOIN bidir e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+     ),
+     d2new AS (SELECT a, b FROM d2cand EXCEPT SELECT a, b FROM d1),
+     c1 AS (SELECT count(*) AS g1 FROM d1),
+     c2 AS (SELECT count(*) AS g2 FROM d2new)
+SELECT d, "g(d)", round(pct, 6) AS percent_of_total FROM (
+  SELECT 1 AS d, CAST(g1 AS BIGINT) AS "g(d)",
+         g1 * 1.0 / (g1 + g2) AS pct FROM c1, c2
+  UNION ALL
+  SELECT 2, CAST(g1 + g2 AS BIGINT), 1.0 FROM c1, c2
+) ORDER BY d
+""",
+)
+def graph_hopplot_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6-G8 frontier BFS on the full-size edge table (not the fixture),
+    depth-capped at 2 so the oracle can state it without recursion: the
+    one-hop extension join, canonical dedupe, anti-join against seen, and
+    cumulative counts — exercised at data scale (~1.2M directed edges at
+    sf0.1)."""
+    from ..operators.graph import bidirectional, hop_plot
+
+    edges = bidirectional(_citations(spark, sf_dir))
+    rows = hop_plot(edges, max_d=2, strict_stop=False)
+    total = rows[-1].pairs if rows else 1
+    df = spark.createDataFrame(
+        [(r.d, r.pairs) for r in rows], schema="d int, `g(d)` long"
+    )
+    return df.select(
+        "d",
+        F.col("g(d)"),
+        F.round(F.col("g(d)") / F.lit(float(total)), 6).alias("percent_of_total"),
+    ).orderBy("d")
+
+
 # --------------------------------------------------------------------------
 # Relational inventory (SURVEY.md §2.2-2.7) on native TPC-H columns
 # --------------------------------------------------------------------------
