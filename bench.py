@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "events_windowed_agg",
     "events_sessionize",
     "events_top_users_per_type",
+    "asof_join_events_orders",
+    "range_join_events_orders",
     "text_stats",
     "text_quality",
     "dedup_exact",

@@ -75,3 +75,104 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("_new_session")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_key: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the columns of the LATEST
+    right row with the same key and right_ts <= left_ts.
+
+    Spark has no native as-of join; the scalable expression is the
+    union-and-carry idiom: tag both inputs, union them, and carry the most
+    recent right-side values forward with a last-non-null window. ONE
+    shuffle on (key), no range-candidate explosion — cost is a sort within
+    key partitions, independent of how many left rows match each right
+    row. (The per-key sort is what an interval/BNL join can't give you at
+    100 TB.) Ties on equal timestamps resolve to the right row (sorted
+    first), matching ASOF JOIN semantics in DuckDB/QuestDB/kdb.
+    """
+    right_key = right_key or key
+    carried = [f"_asof_{c}" for c in right_cols]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a)
+          for c, a in zip(right_cols, carried)],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(a, ignorenulls=True).over(w).alias(f"{a}_f")
+            for a in carried
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[f.name for f in left.schema.fields],
+        *[F.col(f"{a}_f").alias(c) for c, a in zip(right_cols, carried)],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | None,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval/range join: left rows whose `left_point` falls inside the
+    right row's [right_lo, right_hi], optionally also matching `key`.
+
+    Catalyst plans a bare inequality join as broadcast-nested-loop —
+    O(|L|·|R|) and a non-starter at scale. Binning makes it an EQUI join:
+    each right interval is exploded to the bins it overlaps, each left
+    point maps to exactly one bin, and the join key becomes (key, bin)
+    with the exact range predicate re-applied as a filter. Cost scales
+    with genuine overlap density (interval_span/bin_width duplicates per
+    right row), and every join strategy (broadcast/SMJ/AQE skew split)
+    applies. Pick bin_width ~ typical interval span.
+    """
+    def as_long(df: DataFrame, name: str):
+        # TIMESTAMP_NTZ has no direct long cast; route via TIMESTAMP
+        # (session TZ is pinned to UTC in session.py, so this is stable)
+        c = F.col(name)
+        if dict(df.dtypes)[name].startswith("timestamp"):
+            c = c.cast("timestamp")
+        return c.cast("long")
+
+    lo, hi = as_long(right, right_lo), as_long(right, right_hi)
+    r_binned = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(lo / bin_width), F.floor(hi / bin_width))),
+    )
+    pt = as_long(left, left_point)
+    l_binned = left.withColumn("_bin", F.floor(pt / bin_width))
+    on = ["_bin", key] if key else ["_bin"]
+    return (
+        l_binned.join(r_binned, on=on, how="inner")
+        .filter((pt >= lo) & (pt <= hi))
+        .drop("_bin")
+    )

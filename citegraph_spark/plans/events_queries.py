@@ -157,3 +157,88 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_stateful_counts_demo
 
     return run_stateful_counts_demo(spark, sf_dir)
+
+
+@register(
+    "asof_join_events_orders",
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       o.o_orderkey AS last_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the customer's most recent
+    order at event time. Union-and-carry idiom (operators/relational.py
+    `asof_join`): one shuffle on the key, per-key sorted carry — no
+    range-candidate explosion. Right side deduped per (key, ts) so ties
+    are deterministic."""
+    from ..operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev, o,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_key="o_custkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_events_orders",
+    """
+SELECT o.o_orderkey AS orderkey,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <= o.o_orderdate + INTERVAL 3 DAY
+GROUP BY 1 ORDER BY 1
+""",
+)
+def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events inside the 3-day window after each
+    order by the same customer. Binned to an equi join on (key, bin)
+    (operators/relational.py `range_join_binned`) — Catalyst would
+    otherwise plan the inequality as a broadcast-nested-loop, O(|L|*|R|).
+    """
+    from ..operators.relational import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("hi"),
+    )
+    joined = range_join_binned(
+        ev, o, key="user_id", left_point="ts", right_lo="lo", right_hi="hi",
+        bin_width=3 * 86400,
+    )
+    return (
+        joined.groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("orderkey")
+    )
