@@ -96,12 +96,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact shingle
     Jaccard >= threshold. Output: (a, b, jaccard) with a < b."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(tokens(F.col(text_col))).alias("sh"),
-    ).persist()
-    # two-step select: materialize the hash material once, then slice —
-    # CollapseProject keeps the expensive transform un-duplicated
+    # tokens materialized in their own projection: higher-order-function
+    # lambdas are excluded from whole-stage codegen/CSE, so an inlined
+    # tokens() expression would re-run the split per shingle reference
+    # (measured 10x slower at sf0.1); CollapseProject keeps multi-referenced
+    # non-cheap columns in separate projects
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", shingles(F.col("_toks")).alias("sh"))
+        .persist()
+    )
+    # same two-step shape: materialize the hash material once, then slice
     hm = sh.select("doc_id", "sh", shingle_hash_col(F.col("sh")).alias("hm"))
     sig = hm.select("doc_id", "sh", *minhash_signature_cols(F.col("hm")))
     bands = minhash_bands(sig)
@@ -149,9 +154,8 @@ def ngram_jaccard_pairs(
     Output: (a, b, jaccard) with a < b, jaccard >= threshold.
     """
     sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(tokens(F.col(text_col))).alias("sh"),
-    )
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select("doc_id", shingles(F.col("_toks")).alias("sh"))
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     posting = sh.select("doc_id", F.explode("sh").alias("s"))
     pa = posting.select(F.col("doc_id").alias("a"), "s")

@@ -42,14 +42,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc length/punctuation/stopword statistics (quality-scoring
     inputs), all narrow JVM expressions."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.tokens(F.col("text"))
-    return docs.select(
+    # tokens in their own projection: HOF lambdas skip codegen/CSE, so an
+    # inline tokens() would re-run the split per reference (see dedup.py)
+    t = docs.select("doc_id", "text", text.tokens(F.col("text")).alias("toks"))
+    return t.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
         text.punct_count(F.col("text")).alias("n_punct"),
-        text.stopword_count(toks).alias("n_stop"),
+        text.stopword_count(F.col("toks")).alias("n_stop"),
     ).orderBy("doc_id")
 
 
@@ -77,14 +79,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     plausibility)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    n_tokens = F.size(toks)
+    t = docs.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size("toks")
     punct_ratio = F.when(F.length("text") == 0, 0.0).otherwise(
         text.punct_count(F.col("text")) / F.length("text")
     )
     stop_ratio = F.when(n_tokens == 0, 0.0).otherwise(
-        text.stopword_count(toks) / n_tokens
+        text.stopword_count(F.col("toks")) / n_tokens
     )
-    return docs.select(
+    return t.select(
         "doc_id",
         text.quality_score(n_tokens, punct_ratio, stop_ratio).alias("quality"),
     ).orderBy("doc_id")
@@ -118,10 +121,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon language-ID heuristic: marker-stopword votes, deterministic
     argmax (tie goes to en > de > es > fr)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.tokens(F.col("text"))
-    votes = text.lang_votes(toks)
-    return docs.select(
-        "doc_id", "lang", text.predict_lang(votes).alias("pred_lang")
+    t = docs.select("doc_id", "lang", text.tokens(F.col("text")).alias("toks"))
+    # votes are HOF filters and predict_lang references each one several
+    # times (greatest + per-language when) — materialize them as columns
+    v = t.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"_v_{lang}") for lang, c in text.lang_votes(F.col("toks")).items()],
+    )
+    col_votes = {lang: F.col(f"_v_{lang}") for lang in text.LANG_MARKERS}
+    return v.select(
+        "doc_id", "lang", text.predict_lang(col_votes).alias("pred_lang")
     ).orderBy("doc_id")
 
 
