@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "graph_density",
     "graph_canonical_pairs",
     "graph_hopplot_d2",
+    "graph_hyperball",
     "events_windowed_agg",
     "events_sessionize",
     "events_top_users_per_type",

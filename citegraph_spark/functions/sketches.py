@@ -1,0 +1,151 @@
+"""HyperBall: approximate neighborhood function / hop-plot via per-node
+HyperLogLog counters (Boldi & Vigna, "In-Core Computation of Geometric
+Centralities with HyperBall", 2013; HyperANF, WWW'11 — public papers).
+
+Why it exists: the exact hop-plot (operators/graph.py) materializes the
+set of connected pairs — O(pairs) state, ~77 M rows for the reference's
+1997 snapshot and quadratic-ish in node count at 100 TB graph scale.
+HyperBall replaces the pair set with one HLL counter per node
+(m = 2^p registers): per round, each node's counter absorbs its
+neighbors' counters (register-wise max), and sum-of-estimates gives
+N(d) = #(u,v) pairs with dist(u,v) <= d. State is O(|V| * m), messages
+are O(|E| * m) per round — linear in the graph, independent of pair
+count.
+
+Spark-first design — NO Python UDFs, no RDDs:
+
+- Counters live SPARSELY as rows (node, reg_idx, reg_val) holding only
+  non-zero registers (a counter has at most m rows, usually far fewer).
+- Register-wise max-union is `groupBy(node, reg_idx).max(reg_val)` —
+  a hash aggregate with map-side partial combine, the cheapest shuffle
+  Spark has.
+- The one-hop absorb is an equi join of the edge list with the sparse
+  counters — broadcast/SMJ/AQE-skew all apply.
+- The HLL estimate (alpha_m * m^2 / sum(2^-M_j), with the small-range
+  linear-counting correction) is a pure column expression over
+  (non-zero registers, implicit-zero count).
+- Hashing is `xxhash64` (JVM built-in); rho (leading-zero rank) is
+  computed exactly with integer ops via base-2 string length —
+  no floating-point log2 edge cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def init_counters(nodes: DataFrame, p: int = 6, node_col: str = "node") -> DataFrame:
+    """Singleton HLL counter per node: one sparse register from
+    xxhash64(node). Output: (node, reg_idx, reg_val)."""
+    m = 1 << p
+    h = F.xxhash64(F.col(node_col))
+    idx = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.shiftrightunsigned(h, p)
+    # rho = leading zeros of w within 64-p bits, + 1.
+    # bit_length(w) for w>0 == length of its base-2 string (exact integer
+    # path, unlike log2 which mis-rounds near powers of two).
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(F.lit(64 - p) - bitlen + 1)
+    return nodes.select(
+        F.col(node_col).alias("node"),
+        idx.alias("reg_idx"),
+        rho.cast("int").alias("reg_val"),
+    )
+
+
+def absorb_neighbors(counters: DataFrame, edges: DataFrame) -> DataFrame:
+    """One HyperBall round: counter'(v) = counter(v) union-max the
+    counters of v's out-neighbors. `edges` must be (src, dst) with both
+    orientations present for undirected semantics."""
+    msgs = (
+        edges.join(counters, edges["dst"] == counters["node"], "inner")
+        .select(edges["src"].alias("node"), "reg_idx", "reg_val")
+    )
+    return (
+        counters.unionByName(msgs)
+        .groupBy("node", "reg_idx")
+        .agg(F.max("reg_val").alias("reg_val"))
+    )
+
+
+def estimate_total(counters: DataFrame, p: int = 6) -> float:
+    """Sum over nodes of the HLL estimates of |ball(v)| — the neighborhood
+    function N(d). One aggregation pass, all column expressions."""
+    m = 1 << p
+    alpha = _alpha(m)
+    per_node = counters.groupBy("node").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg_val"))).alias("sum_nz"),
+        F.count("*").alias("n_nz"),
+    )
+    zeros = F.lit(m) - F.col("n_nz")
+    raw = F.lit(alpha * m * m) / (F.col("sum_nz") + zeros)
+    # small-range (linear counting) correction: E <= 2.5m and zero
+    # registers present
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    row = per_node.agg(F.sum(est).alias("total")).first()
+    return float(row["total"] or 0.0)
+
+
+def hyperball_hopplot(
+    edges: DataFrame,
+    p: int = 6,
+    max_d: int = 20,
+    rel_tol: float = 1e-3,
+    checkpoint_every: int = 3,
+) -> list[tuple[int, float]]:
+    """Approximate hop-plot: [(d, estimated #unordered connected pairs at
+    dist <= d)] until the neighborhood function stabilizes (relative
+    change < rel_tol) or max_d.
+
+    `edges`: (src, dst), both orientations. Standard error of each HLL
+    estimate is ~1.04/sqrt(2^p) (p=6 -> ~13 %); sums over nodes
+    concentrate tighter, and for balls far smaller than m the
+    linear-counting regime is near-exact.
+    """
+    spark = edges.sparkSession
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    counters = init_counters(n_nodes, p=p).persist(StorageLevel.MEMORY_AND_DISK)
+    n = counters.select("node").distinct().count()
+
+    out: list[tuple[int, float]] = []
+    prev_total = float(n)  # N(0): every node reaches itself
+    for d in range(1, max_d + 1):
+        nxt = absorb_neighbors(counters, edges)
+        if d % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        total = estimate_total(nxt, p=p)
+        counters.unpersist()
+        counters = nxt
+        pairs = max(0.0, (total - n) / 2.0)
+        out.append((d, pairs))
+        if prev_total > 0 and abs(total - prev_total) / prev_total < rel_tol:
+            break
+        prev_total = total
+
+    counters.unpersist()
+    edges.unpersist()
+    return out

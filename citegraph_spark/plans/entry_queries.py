@@ -338,3 +338,20 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .orderBy("custkey")
     )
+
+
+@register("graph_hyperball")  # rows-only: HLL sketch, engine-specific by design
+def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate hop-plot via HyperBall (per-node HyperLogLog counters,
+    functions/sketches.py) — the 100 TB replacement for the exact pair
+    BFS: state O(|V|*2^p) instead of O(connected pairs). Rows-only check;
+    relative error vs the exact hop-plot is asserted in tests."""
+    from ..functions.sketches import hyperball_hopplot
+    from ..operators.graph import bidirectional
+
+    edges = bidirectional(_citations(spark, sf_dir))
+    rows = hyperball_hopplot(edges, p=6, max_d=2)
+    return spark.createDataFrame(
+        [(d, float(round(g, 2))) for d, g in rows],
+        schema="d int, est_pairs double",
+    )

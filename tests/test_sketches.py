@@ -1,0 +1,49 @@
+"""HyperBall approximate hop-plot: accuracy vs the exact BFS."""
+
+from __future__ import annotations
+
+from citegraph_spark.fixtures import fixture_citations, fixture_published
+from citegraph_spark.functions.sketches import hyperball_hopplot, init_counters
+from citegraph_spark.operators.graph import hop_plot, snapshot_edges
+
+
+def test_hyperball_within_tolerance_on_fixture(spark):
+    edges = snapshot_edges(fixture_citations(spark), fixture_published(spark), 1998)
+    exact = {r.d: r.pairs for r in hop_plot(edges, strict_stop=False)}
+    approx = dict(hyperball_hopplot(edges, p=6, max_d=10))
+    assert len(approx) >= len(exact)
+    max_exact_d = max(exact)
+    for d, est in approx.items():
+        truth = exact.get(d, exact[max_exact_d])
+        assert abs(est - truth) / truth < 0.2, (d, est, truth)
+
+
+def test_hyperball_monotone_and_converges(spark):
+    edges = snapshot_edges(fixture_citations(spark), fixture_published(spark), 1998)
+    rows = hyperball_hopplot(edges, p=6, max_d=15)
+    ests = [g for _, g in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(ests, ests[1:])), "not monotone"
+    # converged before the cap (fixture diameter is 4)
+    assert len(rows) < 15
+
+
+def test_init_counters_rho_exact(spark):
+    """rho must be the exact leading-zero rank of the hash suffix —
+    verified against a pure-Python xxhash-free recomputation from the
+    JVM's own hash values."""
+    import pyspark.sql.functions as F
+
+    nodes = spark.range(0, 200).select(F.col("id").alias("node"))
+    got = {
+        (r["node"], r["reg_idx"]): r["reg_val"]
+        for r in init_counters(nodes, p=6).collect()
+    }
+    hashes = {
+        r["node"]: r["h"]
+        for r in nodes.select("node", F.xxhash64("node").alias("h")).collect()
+    }
+    for node, h in hashes.items():
+        idx = h & 63
+        w = (h % (1 << 64)) >> 6  # unsigned shift
+        rho = (64 - 6 - w.bit_length() + 1) if w else (64 - 6 + 1)
+        assert got[(node, idx)] == rho, (node, h, got[(node, idx)], rho)
