@@ -87,3 +87,46 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: decode/encode libraries are not
+    available in this container; the Spark-side pipeline shape is
+    demonstrated by `sample_frames`/`extract_features`."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv which are not installed"
+    )
+
+
+N_FRAMES = 4
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset int, feature array<float>"
+)
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling over opaque video-like payloads: each payload yields
+    `n_frames` evenly-spaced frames, each with its own feature vector —
+    the 1:N row explosion shape a video pipeline needs (one input row ->
+    n_frames output rows, still one Arrow batch boundary per partition).
+
+    The frame decode is the deterministic fake (byte-histogram over the
+    frame's byte slice); a real pipeline swaps `_fake_feature` for the
+    codec call, nothing else changes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "feature": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(1, len(payload))
+                for k in range(n_frames):
+                    off = k * n // n_frames
+                    end = (k + 1) * n // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["frame_offset"].append(off)
+                    out["feature"].append(_fake_feature(payload[off:end]))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -176,3 +176,29 @@ def range_join_binned(
         .filter((pt >= lo) & (pt <= hi))
         .drop("_bin")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the left (large, skewed) side gets a
+    random salt in [0, n_salts); the right side is replicated n_salts
+    times with every salt value; the join key becomes (key, salt). A hot
+    key's rows now spread over n_salts reducer partitions instead of one.
+
+    This is the manual fallback for engines/paths where AQE's runtime
+    skew-join split (enabled in session.py) can't act — e.g. when the
+    skewed side feeds a window, or on static plans. Replication cost:
+    |right| * n_salts rows, so use it when right is the smaller side but
+    too big to broadcast.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, on=[key, "_salt"], how=how).drop("_salt")

@@ -326,3 +326,53 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue") - F.lag("revenue").over(w_lag), 2
         ).alias("yoy_delta"),
     ).orderBy("segment", "year")
+
+
+@register(
+    "cube_flag_status",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY flag, status
+""",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 aggregation levels in one pass (Catalyst
+    expands to grouping sets with a single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@register(
+    "intersect_customer_nations",
+    """
+SELECT n_nationkey AS nationkey FROM nation
+INTERSECT
+SELECT c_nationkey FROM customer
+ORDER BY nationkey
+""",
+)
+def intersect_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (absent from the reference — SURVEY.md §2.7):
+    nation keys that actually have customers. Catalyst plans it as a
+    left-semi aggregate join."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return n.intersect(c).orderBy("nationkey")

@@ -401,3 +401,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = multimodal.to_binary_payload(docs, "doc_id", "text")
     return multimodal.extract_features(binary).orderBy("doc_id")
+
+
+@register("multimodal_frames")  # rows-only: mapInPandas 1:N frame explosion
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: 4 evenly-spaced
+    frames per payload, each with its own (fake-decoded) feature vector —
+    the 1:N explosion shape of a video pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = multimodal.to_binary_payload(docs, "doc_id", "text", modality="video")
+    return multimodal.sample_frames(binary).orderBy("doc_id", "frame_idx")

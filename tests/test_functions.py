@@ -193,3 +193,35 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     }
     hits = sum(1 for v, n in bf.items() if ivf.get(v) == n)
     assert hits / len(bf) >= 0.3, f"IVF top-1 recall too low: {hits}/{len(bf)}"
+
+
+def test_sample_frames_shape(spark, docs):
+    binary = multimodal.to_binary_payload(docs.limit(10), "doc_id", "text")
+    frames = multimodal.sample_frames(binary, n_frames=4).collect()
+    assert len(frames) == 40
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        offs = [r["frame_offset"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs) and offs[0] == 0
+        for r in rows:
+            assert len(r["feature"]) == multimodal.FEATURE_DIM
+
+
+def test_multimodal_resize_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"png", 32, 32)
+
+
+def test_salted_join_matches_plain(spark):
+    from citegraph_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(20)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "k int, tag string")
+    got = sorted((r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k").collect())
+    want = sorted((r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect())
+    assert got == want
