@@ -376,3 +376,42 @@ def intersect_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey")
     )
     return n.intersect(c).orderBy("nationkey")
+
+
+@register(
+    "percentile_prices",
+    """
+SELECT l_returnflag AS flag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL-standard continuous quantile — matches DuckDB quantile_cont
+    bit-for-bit after rounding)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda q: F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4)  # noqa: E731
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(pct(0.5).alias("p50"), pct(0.9).alias("p90"), pct(0.99).alias("p99"))
+        .orderBy("flag")
+    )
+
+
+@register("approx_percentile_prices")  # rows-only: sketch is engine-specific
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    path: mergeable constant-memory summaries instead of a global sort.
+    Rows-only; error vs exact asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+        )
+        .orderBy("flag")
+    )

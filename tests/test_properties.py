@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): operator semantics vs brute-force
+references on arbitrary small inputs. One shared SparkSession (conftest);
+examples kept small so each property runs in seconds."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from citegraph_spark.operators.graph import canonical_pairs
+from citegraph_spark.operators.relational import asof_join, range_join_binned
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=40
+)
+
+
+@given(edges=edges_st)
+@SET
+def test_canonical_pairs_property(spark, edges):
+    df = spark.createDataFrame(edges or [(0, 0)], "src int, dst int")
+    if not edges:
+        df = df.limit(0)
+    got = {(r["a"], r["b"]) for r in canonical_pairs(df).collect()}
+    want = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    assert got == want
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25),
+)
+@SET
+def test_asof_join_property(spark, lefts, rights):
+    # dedupe right on (k, t): operator contract requires unique right ts
+    # per key for deterministic tie-break
+    rmap = {}
+    for i, (k, t) in enumerate(rights):
+        rmap[(k, t)] = i
+    rrows = [(k, t, v) for (k, t), v in rmap.items()]
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    left = spark.createDataFrame(lrows or [(0, 0, 0)], "lid int, k int, t int")
+    right = spark.createDataFrame(rrows or [(0, 0, 0)], "k int, t int, v int")
+    if not lrows:
+        left = left.limit(0)
+    if not rrows:
+        right = right.limit(0)
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                           right_cols=["v"]).collect()
+    }
+    for lid, k, t in lrows:
+        cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got.get(lid) == want, (lid, k, t, got.get(lid), want)
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300)), max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 280), st.integers(0, 60)),
+        max_size=15,
+    ),
+    bin_width=st.sampled_from([7, 50, 128]),
+)
+@SET
+def test_range_join_property(spark, pts, ivs, bin_width):
+    lrows = [(i, k, p) for i, (k, p) in enumerate(pts)]
+    rrows = [(j, k, lo, lo + span) for j, (k, lo, span) in enumerate(ivs)]
+    left = spark.createDataFrame(lrows or [(0, 0, 0)], "pid int, k int, p long")
+    right = spark.createDataFrame(rrows or [(0, 0, 0, 0)], "iid int, k int, lo long, hi long")
+    if not lrows:
+        left = left.limit(0)
+    if not rrows:
+        right = right.limit(0)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(left, right, key="k", left_point="p",
+                                   right_lo="lo", right_hi="hi",
+                                   bin_width=bin_width).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pk, p in lrows
+        for iid, ik, lo, hi in rrows
+        if pk == ik and lo <= p <= hi
+    }
+    assert got == want
