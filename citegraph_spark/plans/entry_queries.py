@@ -355,3 +355,21 @@ def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, float(round(g, 2))) for d, g in rows],
         schema="d int, est_pairs double",
     )
+
+
+@register("graph_effective_diameter_approx")  # rows-only: HLL-sketch based
+def graph_effective_diameter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate effective diameter at data scale: HyperBall hop-plot
+    (functions/sketches.py) + the reference's interpolation rule
+    (docs/PA1.pdf p.3 §3) — the end-to-end diameter path that works when
+    the exact pair BFS can't (O(|V|*2^p) state vs O(pairs))."""
+    from ..functions.sketches import hyperball_hopplot
+    from ..operators.graph import HopPlotRow, bidirectional, effective_diameter
+
+    edges = bidirectional(_citations(spark, sf_dir))
+    counts = hyperball_hopplot(edges, p=6, max_d=20)
+    total = counts[-1][1] if counts else 1.0
+    rows = [HopPlotRow(d, int(g), g / total) for d, g in counts]
+    d_star = effective_diameter(rows)
+    data = [(float(round(d_star, 4)),)] if d_star is not None else []
+    return spark.createDataFrame(data, schema="effective_diameter double")

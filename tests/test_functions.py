@@ -225,3 +225,12 @@ def test_salted_join_matches_plain(spark):
     got = sorted((r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k").collect())
     want = sorted((r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect())
     assert got == want
+
+
+def test_approx_percentile_error_bound(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").first()["p"]
+    approx = li.selectExpr(
+        "percentile_approx(l_extendedprice, 0.5, 10000) AS p"
+    ).first()["p"]
+    assert abs(approx - exact) / exact <= 0.01
