@@ -135,3 +135,55 @@ def run_stateful_counts_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "value_sum")
     )
+
+
+def run_windowed_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode + watermark demo: the events are replayed as TWO
+    chronological files with maxFilesPerTrigger=1, so the watermark set by
+    the first micro-batch finalizes (and emits exactly once) the windows
+    older than max(ts) - 30 min as later batches arrive. This is the
+    late-data eviction contract a production stream relies on; the memory
+    sink then holds only FINALIZED windows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    tmp = tempfile.mkdtemp()
+    batch = (
+        spark.read.schema(EVENTS_LONG_TS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts")
+    )
+    n = batch.count()
+    half = batch.limit(n // 2)
+    rest = batch.subtract(half)
+    half.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f0")
+    rest.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f1")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    for i, sub in enumerate(("f0", "f1")):
+        for f in os.listdir(f"{tmp}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{tmp}/{sub}/{f}", f"{tmp}/in/{i:02d}.parquet")
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_LONG_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/in")
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = streaming_windowed_agg(events)
+    name = "stream_windowed_append_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

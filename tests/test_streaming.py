@@ -42,3 +42,19 @@ def test_stateful_counts_equal_batch_groupby(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_append_mode_emits_finalized_windows_once(spark):
+    from citegraph_spark.streaming.events import run_windowed_append_demo
+
+    emitted = run_windowed_append_demo(spark, SF_DIR).collect()
+    assert emitted, "watermark never finalized any window"
+    keys = [(r["window_start"], r["event_type"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "append mode re-emitted a window"
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in QUERIES["events_windowed_agg"](spark, SF_DIR).collect()
+    }
+    for r in emitted:
+        k = (r["window_start"], r["event_type"])
+        assert batch[k] == (r["n"], r["value_sum"]), f"finalized window wrong: {k}"
