@@ -137,3 +137,60 @@ def fixture_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_star = effective_diameter(rows)
     data = [(round(d_star, 6),)] if d_star is not None else []
     return spark.createDataFrame(data, schema="effective_diameter double")
+
+
+_RAW_DATE_LINES = [
+    "# header comment",
+    "9203201\t1992-03-20",
+    "119203201\t1993-01-01",  # cross-listed dup of 9203201 (11-prefix, 9 digits)
+    "  9204000   1992-04-01  ",  # leading/trailing/multi whitespace
+    "1201       2020-05-05",  # 4-digit id: prefix rule must NOT fire
+    "110000001\t1995-06-06",  # 9 digits starting 11 -> 0000001 -> 1
+    "",
+    "9310001\t1993-10-01",
+]
+
+
+@register(
+    "loader_normalize_ids",
+    """
+WITH raw AS (SELECT * FROM (VALUES
+  ('# header comment'), ('9203201' || chr(9) || '1992-03-20'),
+  ('119203201' || chr(9) || '1993-01-01'),
+  ('  9204000   1992-04-01  '), ('1201       2020-05-05'),
+  ('110000001' || chr(9) || '1995-06-06'), (''),
+  ('9310001' || chr(9) || '1993-10-01')) v(line)),
+     keep AS (SELECT line FROM raw
+              WHERE NOT contains(line, '#') AND trim(line) <> ''),
+     toks AS (SELECT string_split_regex(trim(line), '\\s+') AS t FROM keep),
+     parsed AS (
+       SELECT trim(t[1]) AS rawid,
+              CAST(substring(trim(t[2]), 1, 4) AS INT) AS year
+       FROM toks),
+     normed AS (
+       SELECT CAST(CASE WHEN length(rawid) = 9 AND starts_with(rawid, '11')
+                        THEN substring(rawid, 3, 7) ELSE rawid END AS INT) AS id,
+              year
+       FROM parsed)
+SELECT id, CAST(min(year) AS INT) AS year FROM normed GROUP BY id ORDER BY id
+""",
+)
+def loader_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/F1-F6 + the cross-listed-id rule (reference
+    DataFrameLoader.scala:58-73), oracle-checked on embedded raw lines:
+    comment/blank filtering, whitespace tokenization, year slicing, the
+    9-digit `11`-prefix normalization, and deterministic min-year dedupe
+    — the exact expressions `sources/citations.py` applies to real files.
+    """
+    from ..sources.citations import normalize_paper_id
+
+    lines = spark.createDataFrame([(l,) for l in _RAW_DATE_LINES], "value string")
+    keep = lines.filter(
+        (~F.col("value").contains("#")) & (F.trim(F.col("value")) != "")
+    )
+    toks = keep.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+    df = toks.select(
+        normalize_paper_id(F.trim(F.element_at("t", 1))).alias("id"),
+        F.substring(F.trim(F.element_at("t", 2)), 1, 4).cast("int").alias("year"),
+    ).na.drop()
+    return df.groupBy("id").agg(F.min("year").alias("year")).orderBy("id")

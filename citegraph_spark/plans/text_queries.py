@@ -411,3 +411,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = multimodal.to_binary_payload(docs, "doc_id", "text", modality="video")
     return multimodal.sample_frames(binary).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "text_rolling_hash",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     h AS (SELECT doc_id,
+                  list_transform(toks,
+                    tok -> ('0x' || substring(md5(tok), 1, 8))::BIGINT) AS hs
+           FROM t)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (acc, v) -> (acc * 31 + v) % 1000000007) AS rhash
+FROM h ORDER BY doc_id
+""",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp shape):
+    fold over per-token 32-bit hashes, acc = (acc*31 + h) mod 1e9+7 —
+    one F.aggregate pass, order-sensitive (unlike the bag-of-tokens
+    SimHash), all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    h = t.select(
+        "doc_id",
+        F.transform(
+            "toks", lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+    rhash = F.aggregate(
+        "hs",
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % F.lit(1000000007).cast("long"),
+    )
+    return h.select("doc_id", rhash.alias("rhash")).orderBy("doc_id")
