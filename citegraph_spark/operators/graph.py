@@ -286,3 +286,56 @@ def hop_plot_df(
     rows = hop_plot(edges, total_pairs=total_pairs, max_d=max_d, strict_stop=strict_stop)
     data = [(r.d, r.pairs, r.percent) for r in rows]
     return spark.createDataFrame(data, schema=schemas.HOP_PLOT)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components by hash-min label propagation: every node
+    starts labeled with its own id; each round a node takes the min of
+    its label and its neighbors' labels; converged when no label changes.
+    Output: (node, component) where component = min node id reachable.
+
+    Rounds needed ~ component diameter (use alternating large/small-star
+    for pathological chains at extreme scale); per round: one equi join
+    (messages) + one min-aggregate with map-side combine, lineage
+    truncated via localCheckpoint. All DataFrame ops — no RDDs.
+    """
+    fwd = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    rev = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    adj = fwd.unionByName(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        adj.select("node").distinct().select("node", F.col("node").alias("component"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for it in range(1, max_iter + 1):
+        msgs = (
+            adj.alias("a")
+            .join(labels.alias("l"), F.col("a.nbr") == F.col("l.node"), "inner")
+            .select(F.col("a.node").alias("node"), F.col("l.component").alias("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if it % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    adj.unpersist()
+    return labels

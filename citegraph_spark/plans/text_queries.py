@@ -446,3 +446,74 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 31 + v) % F.lit(1000000007).cast("long"),
     )
     return h.select("doc_id", rhash.alias("rhash")).orderBy("doc_id")
+
+
+# dedup pipeline closure: near-dup pairs -> connected components ->
+# canonical survivor per cluster. The oracle recomputes the SAME pair set
+# (the dedup_minhash_lsh SQL) and resolves components with a recursive
+# transitive closure — an independent algorithm from our label propagation.
+_MINHASH_PAIRS_SQL = None  # filled below from the registered oracle
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+     hmt AS (SELECT doc_id, sh,
+             list_transform(sh, s -> md5(s) || md5('x' || s)) AS hm FROM sh),
+     sig AS (SELECT doc_id, sh, {{SIG}} FROM hmt),
+     bnd AS (SELECT doc_id, sh, {{BAND}} FROM sig),
+     stacked AS (
+       SELECT doc_id, i.band_idx,
+              CASE i.band_idx {{BANDCASE}} END AS band_hash
+       FROM bnd, (SELECT unnest(range({{NB}})) AS band_idx) i
+     ),
+     cand AS (
+       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       FROM stacked a JOIN stacked b
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        AND a.doc_id < b.doc_id
+     ),
+     pairs AS (
+       SELECT cand.a, cand.b FROM cand
+       JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+       WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+     ),
+     und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+     reach AS (
+       SELECT s, d FROM und
+       UNION
+       SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s WHERE r.s <> u.d
+     ),
+     comp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+              FROM reach GROUP BY s)
+SELECT t.doc_id AS doc_id,
+       CAST(coalesce(comp.component, t.doc_id) AS BIGINT) AS canonical_id
+FROM t LEFT JOIN comp ON t.doc_id = comp.doc_id
+ORDER BY doc_id
+""".replace("{SIG}", _minhash_sig_sql())
+   .replace("{BAND}", _minhash_band_sql())
+   .replace("{BANDCASE}", " ".join(f"WHEN {b} THEN band{b}" for b in range(dedup.N_BANDS)))
+   .replace("{NB}", str(dedup.N_BANDS)),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH pairs → connected components
+    (hash-min label propagation, operators/graph.py) → min-id canonical
+    doc per cluster; docs in no cluster survive as their own canonical."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -121,3 +121,16 @@ def test_max_d_cap_on_path_graph(spark):
     assert rows[-1].d == 20
     # pairs at distance <= d on a 25-path: sum_{k=1..d} (25-k)
     assert rows[-1].pairs == sum(25 - k for k in range(1, 21))
+
+
+def test_connected_components_hand_graph(spark):
+    from citegraph_spark.operators.graph import connected_components
+
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated via self-ref
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
