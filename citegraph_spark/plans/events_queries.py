@@ -242,3 +242,14 @@ def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
         .orderBy("orderkey")
     )
+
+
+@register("streaming_sessionize")  # rows-only: stateful streaming lifecycle
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState):
+    per-user open-session state across micro-batches, closed sessions
+    emitted in append mode. Rows-only; closed-session equivalence with
+    the batch sessionize is asserted in tests."""
+    from ..streaming.events import run_stateful_sessionize_demo
+
+    return run_stateful_sessionize_demo(spark, sf_dir)

@@ -187,3 +187,75 @@ def run_windowed_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+def _session_state_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful sessionization: per-user open-session state (start, last
+    seen, count) carried across micro-batches; a session older than the
+    gap closes and is emitted when the user's next event arrives. (In
+    production add GroupStateTimeout + state.setTimeoutDuration to also
+    evict idle users' open sessions; with the bounded replay used in the
+    demo/tests, timeout wake-up batches would spin processAllAvailable
+    forever, so the final open session per user simply stays in state.)"""
+    (user_id,) = key
+    GAP_S = 30 * 60
+
+    sessions = []
+    start, last, n = state.get if state.exists else (None, None, 0)
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.extend(int(t) for t in pdf["ts_epoch"])
+    for t in sorted(ts_all):
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > GAP_S:
+            sessions.append((start, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n))
+    if sessions:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [s for s, _ in sessions],
+                "n_events": [c for _, c in sessions],
+            }
+        )
+
+
+def run_stateful_sessionize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization driven to completion over the
+    parquet replay; closed sessions are emitted mid-stream, the final
+    open session per user stays in state (emitted here by a last
+    processAllAvailable after the timeout would fire in production).
+    Returns closed sessions observed during the replay."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("ts_epoch")
+    )
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _session_state_fn,
+        outputStructType="user_id bigint, session_start long, n_events bigint",
+        stateStructType="start long, last long, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_sessionize_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

@@ -58,3 +58,36 @@ def test_append_mode_emits_finalized_windows_once(spark):
     for r in emitted:
         k = (r["window_start"], r["event_type"])
         assert batch[k] == (r["n"], r["value_sum"]), f"finalized window wrong: {k}"
+
+
+def test_stateful_sessionize_closed_sessions_match_batch(spark):
+    from citegraph_spark.operators.relational import sessionize
+    from citegraph_spark.streaming.events import run_stateful_sessionize_demo
+
+    closed = run_stateful_sessionize_demo(spark, SF_DIR).collect()
+    # batch truth: all sessions per user; the stream emits every session
+    # except each user's LAST (still open in state at replay end)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
+    )
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    batch = {
+        (r["user_id"], r["session_start"], r["n"])
+        for r in s.groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    got = {(r["user_id"], r["session_start"], r["n_events"]) for r in closed}
+    assert got <= batch, f"stream emitted a session batch doesn't have: {got - batch}"
+    # every non-final batch session must have been closed and emitted
+    last_per_user = {}
+    for u, start, n in batch:
+        if u not in last_per_user or start > last_per_user[u][0]:
+            last_per_user[u] = (start, n)
+    expected_closed = {
+        (u, s0, n) for u, s0, n in batch if (s0, n) != last_per_user[u]
+    }
+    assert got == expected_closed
