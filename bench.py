@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "window_rank_lag",
     "graph_adjacency",
+    "split_train_test",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
 ]
 
 

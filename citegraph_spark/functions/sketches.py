@@ -67,6 +67,63 @@ def init_counters(nodes: DataFrame, p: int = 6, node_col: str = "node") -> DataF
     )
 
 
+def densify(counters: DataFrame, p: int = 6) -> DataFrame:
+    """Sparse (node, reg_idx, reg_val) → dense (node, r0..r{m-1}).
+
+    The dense layout is what the iteration runs on: a message is then ONE
+    row per edge (m tinyint-sized columns) instead of one row per
+    (edge × nonzero register) — ~nnz× less shuffle volume per round, and
+    every max-aggregate stays in whole-stage codegen. Register values are
+    <= 64-p+1, so the row is ~m bytes + overhead.
+    """
+    m = 1 << p
+    aggs = [
+        F.max(F.when(F.col("reg_idx") == i, F.col("reg_val")).otherwise(0)).alias(
+            f"r{i}"
+        )
+        for i in range(m)
+    ]
+    return counters.groupBy("node").agg(*aggs)
+
+
+def absorb_neighbors_dense(counters: DataFrame, edges: DataFrame, p: int = 6) -> DataFrame:
+    """One HyperBall round on the dense layout: counter'(v) =
+    register-wise max of counter(v) and counters of v's out-neighbors.
+    One equi join + one m-column max-aggregate (map-side combine)."""
+    m = 1 << p
+    cols = [f"r{i}" for i in range(m)]
+    msgs = edges.join(counters, edges["dst"] == counters["node"], "inner").select(
+        edges["src"].alias("node"), *cols
+    )
+    return (
+        counters.unionByName(msgs)
+        .groupBy("node")
+        .agg(*[F.max(c).alias(c) for c in cols])
+    )
+
+
+def estimate_total_dense(counters: DataFrame, p: int = 6) -> float:
+    """Sum over nodes of HLL estimates on the dense layout — identical
+    math to `estimate_total` (a zero register contributes 2^0 = 1 to the
+    denominator, exactly the `zeros` term of the sparse path)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    denom = None
+    zeros = None
+    for i in range(m):
+        term = F.pow(F.lit(2.0), -F.col(f"r{i}"))
+        z = F.when(F.col(f"r{i}") == 0, 1).otherwise(0)
+        denom = term if denom is None else denom + term
+        zeros = z if zeros is None else zeros + z
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    row = counters.agg(F.sum(est).alias("total")).first()
+    return float(row["total"] or 0.0)
+
+
 def absorb_neighbors(counters: DataFrame, edges: DataFrame) -> DataFrame:
     """One HyperBall round: counter'(v) = counter(v) union-max the
     counters of v's out-neighbors. `edges` must be (src, dst) with both
@@ -120,24 +177,28 @@ def hyperball_hopplot(
     linear-counting regime is near-exact.
     """
     spark = edges.sparkSession
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    n_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # partitioned once on the join key: every round's absorb join reuses
+    # this partitioning instead of re-shuffling the edge table
+    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # no .distinct() on the node list — densify's groupBy(node) dedups as
+    # part of the aggregation it must do anyway (one shuffle, not two)
+    n_nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
     )
-    counters = init_counters(n_nodes, p=p).persist(StorageLevel.MEMORY_AND_DISK)
-    n = counters.select("node").distinct().count()
+    counters = densify(init_counters(n_nodes, p=p), p=p).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = counters.count()
 
     out: list[tuple[int, float]] = []
     prev_total = float(n)  # N(0): every node reaches itself
     for d in range(1, max_d + 1):
-        nxt = absorb_neighbors(counters, edges)
+        nxt = absorb_neighbors_dense(counters, edges, p=p)
         if d % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-        total = estimate_total(nxt, p=p)
+        total = estimate_total_dense(nxt, p=p)
         counters.unpersist()
         counters = nxt
         pairs = max(0.0, (total - n) / 2.0)

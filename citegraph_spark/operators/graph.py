@@ -101,11 +101,17 @@ def snapshot_edges(citations: DataFrame, published: DataFrame, year: int) -> Dat
     return bidirectional(directed)
 
 
-def bidirectional(edges: DataFrame) -> DataFrame:
-    """P8: each directed edge expanded to both orientations → (src, dst)."""
+def bidirectional(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """P8: each directed edge expanded to both orientations → (src, dst).
+
+    `dedup=False` skips the distinct (a full shuffle of 2×|E| rows) for
+    consumers whose semantics are duplicate-insensitive — HyperBall's
+    register max-union is idempotent, so duplicate edges only re-send an
+    identical message. Counting/enumeration consumers need the default."""
     fwd = edges.select(F.col("from").alias("src"), F.col("to").alias("dst"))
     rev = edges.select(F.col("to").alias("src"), F.col("from").alias("dst"))
-    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    out = fwd.unionByName(rev).filter(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
 
 
 def canonical_pairs(df: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:

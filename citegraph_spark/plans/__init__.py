@@ -4,6 +4,7 @@ from . import entry_queries
 # entry_queries.QUERIES / ORACLES.
 from . import events_queries  # noqa: E402,F401
 from . import graph_fixture_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 

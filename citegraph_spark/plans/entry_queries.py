@@ -349,7 +349,7 @@ def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sketches import hyperball_hopplot
     from ..operators.graph import bidirectional
 
-    edges = bidirectional(_citations(spark, sf_dir))
+    edges = bidirectional(_citations(spark, sf_dir), dedup=False)
     rows = hyperball_hopplot(edges, p=6, max_d=2)
     return spark.createDataFrame(
         [(d, float(round(g, 2))) for d, g in rows],
@@ -366,7 +366,7 @@ def graph_effective_diameter_approx(spark: SparkSession, sf_dir: str) -> DataFra
     from ..functions.sketches import hyperball_hopplot
     from ..operators.graph import HopPlotRow, bidirectional, effective_diameter
 
-    edges = bidirectional(_citations(spark, sf_dir))
+    edges = bidirectional(_citations(spark, sf_dir), dedup=False)
     counts = hyperball_hopplot(edges, p=6, max_d=20)
     total = counts[-1][1] if counts else 1.0
     rows = [HopPlotRow(d, int(g), g / total) for d, g in counts]

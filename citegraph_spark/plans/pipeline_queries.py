@@ -1,0 +1,379 @@
+"""Training-data-pipeline query registrations.
+
+Operators a large-scale pretraining pipeline needs beyond the reference's
+surface (mandated by SURVEY.md §7.5 "beyond-reference" scope): dataset
+splitting, stratified sampling, corpus n-gram statistics, TF-IDF, and
+composite quality filtering (Gopher-style rules, Rae et al. 2021 —
+public paper). Plus two SQL-surface gaps: GROUPING SETS and correlated
+scalar-subquery semantics.
+
+Determinism rules (everything here must hash-match a DuckDB oracle):
+- sampling/splitting uses md5-derived buckets, NOT rand() — the split is
+  a pure function of the key, reproducible across engines and runs, and
+  at 100 TB it is also the only splitter that stays stable under
+  re-partitioning and retries.
+- md5 is the one hash both engines share; `conv(substring(md5(x),1,8),
+  16,10)` == DuckDB `('0x' || substring(md5(x),1,8))::BIGINT`.
+
+Scale notes: split/sample/filter are narrow (pipeline into the scan,
+zero shuffle before the final tiny aggregate). N-gram/TF-IDF explode to
+one row per token — the heavy-but-unavoidable shape — then aggregate
+with map-side partial combine; top-k is a single reduce of per-partition
+heaps (TakeOrderedAndProject), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..sources.tables import load_table
+from .entry_queries import register
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_STOPWORDS = "('the','a','of','and','to','in','is','it')"
+
+
+def _bucket(col) -> F.Column:
+    """Deterministic 0-99 bucket from md5 of the key (engine-portable)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+_BUCKET_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+
+@register(
+    "split_train_test",
+    f"""
+WITH b AS (SELECT doc_id, n_chars, {_BUCKET_SQL} AS bucket FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split ORDER BY split
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split of `documents`
+    keyed on md5(doc_id) buckets. A pure function of the key: stable
+    under retries, re-partitioning, and incremental appends — the only
+    splitter that works at 100 TB (rand()-based splits are none of
+    those). Narrow until the 3-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select("doc_id", "n_chars", _bucket(F.col("doc_id")).alias("bucket"))
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "validation")
+        .otherwise("test")
+    )
+    return (
+        b.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+WITH b AS (SELECT doc_id, lang, n_chars, {_BUCKET_SQL} AS bucket FROM documents),
+     kept AS (
+       SELECT * FROM b
+       WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 25 END
+     )
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language: keep all English, a
+    deterministic 25 % hash-sample of everything else (the standard
+    data-mixing move when rebalancing a pretraining corpus). Same
+    md5-bucket mechanism as split_train_test, so the sample is
+    reproducible and append-stable; fully narrow before the per-lang
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "lang", "n_chars", _bucket(F.col("doc_id")).alias("bucket")
+    )
+    rate = F.when(F.col("lang") == "en", 100).otherwise(25)
+    return (
+        b.filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, returnflag, linestatus
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag,status),(flag),()) with grouping_id — the
+    general form behind rollup/cube (§2.4 A1-A3 generalized). One
+    shuffle; Spark expands the sets map-side (Expand operator) so the
+    aggregate still gets partial combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(revenue, 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_above,
+       round(sum(o_totalprice), 2) AS sum_above
+FROM orders o
+WHERE o_totalprice > (SELECT avg(i.o_totalprice)
+                      FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("rows above their group's
+    average"), decorrelated the way Catalyst itself would: a window
+    average over the correlation key instead of a per-row subquery —
+    one shuffle on o_custkey, no self-join. The oracle states it as the
+    correlated subquery, so the two formulations check each other."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_above"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "ngram_top_bigrams",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     bi AS (
+       SELECT doc_id,
+              unnest(CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE []::VARCHAR[] END) AS bigram
+       FROM t
+     )
+SELECT bigram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bi GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram LIMIT 20
+""",
+)
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams with document frequency — the n-gram
+    statistics pass of a corpus-analysis pipeline. Explode to one row
+    per bigram (unavoidable), hash-aggregate with map-side combine,
+    then TakeOrderedAndProject for the top-k (per-partition heaps, no
+    global sort). Ties broken on the bigram for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    # bigrams in their own projection: HOF lambdas skip codegen/CSE
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     n AS (SELECT count(*) AS n_total FROM t),
+     tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+     stats AS (
+       SELECT term,
+              CAST(count(*) AS BIGINT) AS tf_total,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY term
+     )
+SELECT term, tf_total, df,
+       round(tf_total * ln(n_total * 1.0 / df), 6) AS tfidf
+FROM stats CROSS JOIN n
+WHERE df < n_total
+ORDER BY tfidf DESC, term LIMIT 25
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: term frequency × ln(N/df), top 25 discriminative
+    terms (stop-everywhere terms with df = N excluded). The corpus size
+    N is a 1-row cross join — broadcast for free. One explode + one
+    hash aggregate + top-k heap; no full sort, no second pass over the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens(F.col("text")).alias("toks"))
+    n_total = t.select(F.count("*").alias("n_total"))
+    tf = t.select("doc_id", F.explode("toks").alias("term"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_total))
+        .filter(F.col("df") < F.col("n_total"))
+        .select(
+            "term",
+            "tf_total",
+            "df",
+            F.round(
+                F.col("tf_total") * F.log(F.col("n_total") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(25)
+    )
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+     m AS (
+       SELECT doc_id, source,
+              len(toks) AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0
+                        / len(toks) END AS mean_word_len,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                        / length(text) END AS punct_ratio,
+              len(list_filter(toks, x -> x IN {_STOPWORDS})) AS n_stop
+       FROM t
+     ),
+     flagged AS (
+       SELECT source,
+              (n_tokens BETWEEN 5 AND 1000
+               AND mean_word_len BETWEEN 2.0 AND 12.0
+               AND punct_ratio < 0.2
+               AND n_stop >= 1) AS keep
+       FROM m
+     )
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM flagged GROUP BY source ORDER BY source
+""",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining quality filter in the style of Gopher's
+    rules (Rae et al. 2021, §A1.1 — public paper): token-count bounds,
+    mean-word-length bounds, punctuation-ratio cap, >=1 stopword.
+    Reports per-source keep rates. All rules are narrow column
+    expressions fused into the scan; only the per-source rollup
+    shuffles (a handful of groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "text", text.tokens(F.col("text")).alias("toks")
+    )
+    m = t.select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.when(F.size("toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("toks")
+        )
+        .alias("mean_word_len"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(text.punct_count(F.col("text")) / F.length("text"))
+        .alias("punct_ratio"),
+        text.stopword_count(F.col("toks")).alias("n_stop"),
+    )
+    keep = (
+        F.col("n_tokens").between(5, 1000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("punct_ratio") < 0.2)
+        & (F.col("n_stop") >= 1)
+    )
+    return (
+        m.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 6).alias(
+                "keep_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -52,3 +52,48 @@ def test_asof_join_single_key_shuffle(spark):
     assert "CartesianProduct" not in p
     # union-and-carry: the window runs over the union, partitioned by key
     assert "Window" in p
+
+
+def test_split_is_narrow_until_aggregate(spark):
+    # split/sample are pure key functions: the only Exchange allowed is the
+    # final tiny group-by; the bucket math must fuse into the scan stage.
+    import re
+
+    p = plan_text(QUERIES["split_train_test"](spark, SF_DIR))
+    # agg shuffle + order-by range exchange only ("(N) Exchange" headers
+    # count each operator once; bare substring counting double-counts)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_topk_uses_heap_not_global_sort(spark):
+    p = plan_text(QUERIES["ngram_top_bigrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, "top-k fell back to a global sort"
+
+
+def test_grouping_sets_single_shuffle(spark):
+    p = plan_text(QUERIES["grouping_sets_revenue"](spark, SF_DIR))
+    assert "Expand" in p, "grouping sets not expanded map-side"
+
+
+def test_split_deterministic_under_repartition(spark):
+    # The md5-bucket split must be a pure function of doc_id: identical
+    # results regardless of partitioning (rand()-based splits fail this).
+    a = {tuple(r) for r in QUERIES["split_train_test"](spark, SF_DIR).collect()}
+    from citegraph_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    from citegraph_spark.plans.pipeline_queries import _bucket
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(13, "lang")
+    b = docs.select("doc_id", "n_chars", _bucket(F.col("doc_id")).alias("bucket"))
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "validation")
+        .otherwise("test")
+    )
+    bb = (
+        b.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+    assert {tuple(r) for r in bb.collect()} == a
