@@ -186,10 +186,24 @@ def connected_pairs_by_distance(
         )
         cand = (
             fr.join(edges, fr["f_dst"] == edges["src"], "inner")
-            .select(F.col("f_src").alias("a"), F.col("dst").alias("b"))
+            .select(
+                F.least("f_src", "dst").alias("a"),
+                F.greatest("f_src", "dst").alias("b"),
+            )
             .filter(F.col("a") != F.col("b"))
         )
-        new_pairs = canonical_pairs(cand, "a", "b").join(seen, ["a", "b"], "left_anti")
+        # dedup + seen-subtraction fused into ONE shuffle: tag candidates 0
+        # and seen pairs 1, group once, keep groups with no seen member —
+        # equivalent to distinct() followed by a left_anti join but a full
+        # shuffle pass cheaper on the (large) candidate set
+        new_pairs = (
+            cand.select("a", "b", F.lit(0).alias("_seen"))
+            .unionByName(seen.select("a", "b", F.lit(1).alias("_seen")))
+            .groupBy("a", "b")
+            .agg(F.max("_seen").alias("_seen"))
+            .filter(F.col("_seen") == 0)
+            .select("a", "b")
+        )
         if d < max_d:
             # persisted because the next round unions it into `seen`; at the
             # final round the count below is the only consumer — skipping the
