@@ -1,0 +1,178 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The clustering pass a curation pipeline needs (semantic dedup à la
+SemDeDup — Abbas et al. 2023, topic bucketing, and the trained coarse
+quantizer for IVF similarity search, cf. functions/similarity.py).
+
+Spark-first shape, no RDDs:
+- Centroids are tiny (k × dim floats) — they live on the driver and are
+  broadcast each round; the data stays distributed and is never
+  collected.
+- Assignment is one Arrow-batched numpy pass per partition
+  (`mapInPandas`): argmax of query·centroidᵀ — a BLAS matmul, not a
+  per-row UDF.
+- The update step is DataFrame aggregation: posexplode the vector to
+  (cell, dim_idx, val) and average per (cell, dim_idx) — map-side
+  partial aggregation reduces each partition to at most k × dim rows
+  before the shuffle, so shuffle volume is O(partitions × k × dim),
+  independent of row count.
+- Seeding is deterministic (the k vectors with smallest md5-bucketed
+  ids): reproducible across runs/engines, no RNG state.
+
+At 100 TB: every round is one narrow pass + one bounded shuffle; the
+driver holds only k × dim floats. Convergence in a handful of rounds is
+typical for coarse quantizers (IVF needs rough cells, not optimality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_summary"]
+
+
+def _seed_centroids(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic seeds: vectors of the k ids with smallest
+    (md5-bucket, id) — an engine-portable pseudo-random draw that avoids
+    the pathological 'first k rows of one file' seeding."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    rows = (
+        emb.select(id_col, vec_col, h.cast("bigint").alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, sq_dist): nearest centroid per vector by Euclidean
+    distance. One broadcast + one vectorized pass; narrow, no shuffle."""
+    spark = emb.sparkSession
+    b_cents = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value  # (k, dim)
+        c_sq = (c * c).sum(axis=1)  # (k,)
+        for pdf in it:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            # ||v - c||^2 = ||v||^2 - 2 v·c + ||c||^2 ; argmin over c
+            d2 = (v * v).sum(axis=1, keepdims=True) - 2.0 * (v @ c.T) + c_sq
+            cell = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "sq_dist": np.maximum(d2[np.arange(len(cell)), cell], 0.0),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, schema="id bigint, cell int, sq_dist double"
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Lloyd's iterations until centroid shift < tol or max_iter.
+
+    Returns (centroids ndarray (k, dim), final assignment DataFrame
+    (id, cell, sq_dist)). Empty cells keep their previous centroid."""
+    cents = _seed_centroids(emb, k, id_col, vec_col)
+    emb = emb.select(id_col, vec_col)
+    spark = emb.sparkSession
+
+    for _ in range(max_iter):
+        # assign + partial-sum in ONE Arrow pass: each batch emits at most
+        # k rows of per-cell (count, sum-vector) — the shuffle to the
+        # final aggregate is O(partitions × k), never O(rows), and the
+        # vectors are neither joined back nor re-shuffled
+        b_cents = spark.sparkContext.broadcast(cents)
+
+        def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = b_cents.value
+            c_sq = (c * c).sum(axis=1)
+            acc = np.zeros_like(c)
+            cnt = np.zeros(c.shape[0], dtype=np.int64)
+            for pdf in it:
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                d2 = (v * v).sum(axis=1, keepdims=True) - 2.0 * (v @ c.T) + c_sq
+                cell = d2.argmin(axis=1)
+                np.add.at(acc, cell, v)
+                np.add.at(cnt, cell, 1)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype(np.int32),
+                    "n": cnt[nz],
+                    "s": [acc[i].tolist() for i in nz],
+                }
+            )
+
+        rows = (
+            emb.mapInPandas(
+                partials, schema="cell int, n bigint, s array<double>"
+            )
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                    for i in range(cents.shape[1])
+                ],
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        for r in rows:
+            if r["n"] > 0:
+                new_cents[r["cell"]] = (
+                    np.array([r[f"s{i}"] for i in range(cents.shape[1])])
+                    / r["n"]
+                )
+        shift = float(np.abs(new_cents - cents).max())
+        cents = new_cents
+        if shift < tol:
+            break
+
+    return cents, kmeans_assign(emb, cents, id_col, vec_col)
+
+
+def kmeans_summary(
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster size and inertia (sum of squared distances) — the
+    one-DataFrame view of a fitted clustering."""
+    _, assign = kmeans_fit(emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    return (
+        assign.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("sq_dist"), 4).alias("inertia"),
+        )
+        .orderBy("cell")
+    )

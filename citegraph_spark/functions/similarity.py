@@ -147,11 +147,21 @@ def ivf_assignments(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, cell, is_primary): nearest cell per vector plus n_probe-1
-    runner-up probe cells. One numpy pass per Arrow batch, no shuffle."""
+    runner-up probe cells. One numpy pass per Arrow batch, no shuffle.
+
+    `centroids`: a trained coarse quantizer (e.g. `clustering.kmeans_fit`
+    — L2-normalized here); default is the deterministic min-id quantizer."""
     spark = emb.sparkSession
-    cents = _ivf_centroids(emb, n_cells, id_col, vec_col)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+    else:
+        cents = _ivf_centroids(emb, n_cells, id_col, vec_col)
     b_cents = spark.sparkContext.broadcast(cents)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,6 +190,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine: each query probes its n_probe nearest
     cells and scores only vectors whose PRIMARY cell is probed — the
@@ -187,7 +198,7 @@ def ivf_topk(
     query instead of |corpus|. Output schema matches
     `cosine_topk_bruteforce`; recall is asserted vs brute force in tests.
     """
-    assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col)
+    assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col, centroids)
     probes = assign.select(F.col("vec_id").alias("a"), "cell")
     index = assign.filter("is_primary").select(F.col("vec_id").alias("b"), "cell")
     cand = (

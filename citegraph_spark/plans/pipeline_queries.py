@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import text
+from ..functions import clustering, text
 from ..sources.tables import load_table
 from .entry_queries import register
 
@@ -377,3 +377,24 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("kmeans_embeddings")  # rows-only: iterative algorithm (Lloyd's)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embeddings table — per-cluster sizes
+    and inertia. Rows-only check (iterative, not SQL-expressible);
+    cluster quality vs the synthetic labels is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_summary(emb, k=10, max_iter=8)
+
+
+@register("similarity_ivf_trained")  # rows-only: ANN with trained quantizer
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means-trained coarse quantizer (the scale path
+    similarity.py's docstring promises) — recall vs brute force is
+    asserted in tests alongside the min-id-quantizer variant."""
+    from ..functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = clustering.kmeans_fit(emb, k=16, max_iter=4)
+    return similarity.ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents)
