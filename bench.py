@@ -75,6 +75,10 @@ def main() -> int:
         t0 = time.time()
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # drop persisted plan state leaked by iterative queries (BFS
+        # rounds, LSH shingle cache) so each query is measured in
+        # isolation instead of under its predecessors' memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
