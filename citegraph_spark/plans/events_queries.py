@@ -253,3 +253,15 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_stateful_sessionize_demo
 
     return run_stateful_sessionize_demo(spark, sf_dir)
+
+
+@register("streaming_dedup")  # rows-only: streaming lifecycle
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from an at-least-once replay:
+    dropDuplicatesWithinWatermark over a doubled event delivery, with
+    dedup state bounded by the watermark horizon. Rows-only check;
+    equality with the single-delivery batch counts is asserted in
+    tests."""
+    from ..streaming.events import run_dedup_stream_demo
+
+    return run_dedup_stream_demo(spark, sf_dir)

@@ -415,3 +415,140 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "window_ntile_cume",
+    """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS delta_min
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderstatus, o_totalprice, o_orderkey
+""",
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.5 beyond rank/lag): ntile
+    quartiles, percent_rank, cume_dist, first_value delta — one window
+    spec shared by all four, partitioned on a real key. The order-by
+    includes o_orderkey so ntile's tie assignment is deterministic
+    cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+            ).alias("delta_min"),
+        )
+        .orderBy("o_orderstatus", "pct_rank", "o_orderkey")
+    )
+
+
+@register(
+    "except_all_supplier_flags",
+    """
+WITH n AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'),
+     r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+     d AS (SELECT l_suppkey FROM n EXCEPT ALL SELECT l_suppkey FROM r)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS surplus
+FROM d GROUP BY l_suppkey ORDER BY l_suppkey
+""",
+)
+def except_all_supplier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, §2.7 beyond except-by-key): per
+    supplier, how many more non-returned than returned line items —
+    multiplicity preserved, then aggregated. Spark plans exceptAll as a
+    count-tagged aggregate + generate, one shuffle on the row value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return (
+        n.exceptAll(r)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("surplus"))
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "scalar_functions_showcase",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(isodow(o_orderdate) AS INT) AS weekday_iso,
+       upper(o_orderpriority) AS prio_upper,
+       replace(lower(o_orderpriority), '-', '_') AS prio_snake,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+       substring(o_orderpriority, 3, 4) AS prio_word,
+       concat_ws('|', o_orderstatus, CAST(year(o_orderdate) AS VARCHAR)) AS status_year,
+       CAST(length(o_orderpriority) AS INT) AS prio_len,
+       reverse(o_orderstatus) AS status_rev,
+       round(sqrt(o_totalprice), 6) AS sqrt_price,
+       round(ln(o_totalprice), 6) AS ln_price,
+       round(log10(o_totalprice), 6) AS log10_price,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+       CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+       round(abs(o_totalprice - 50000.0), 2) AS price_center_dist,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+""",
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-function surface in one oracle-checked pass: date
+    extraction/truncation/arithmetic (year/quarter/month/last_day/
+    date_trunc/datediff/date_add/ISO weekday), string ops (upper/lower/
+    replace/lpad/substring/concat_ws/length/reverse), and math
+    (sqrt/ln/log10/ceil/floor/abs/mod). All narrow JVM expressions fused
+    into the scan; the filter prunes at the parquet row-group level."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.datediff("o_orderdate", F.lit("1995-01-01")).alias("days_since_95"),
+            F.date_add("o_orderdate", 30).alias("due_date"),
+            (F.weekday("o_orderdate") + 1).alias("weekday_iso"),
+            F.upper("o_orderpriority").alias("prio_upper"),
+            F.replace(F.lower("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+                "prio_snake"
+            ),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+            F.substring("o_orderpriority", 3, 4).alias("prio_word"),
+            F.concat_ws(
+                "|", "o_orderstatus", F.year("o_orderdate").cast("string")
+            ).alias("status_year"),
+            F.length("o_orderpriority").alias("prio_len"),
+            F.reverse("o_orderstatus").alias("status_rev"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+            F.round(F.log("o_totalprice"), 6).alias("ln_price"),
+            F.round(F.log10("o_totalprice"), 6).alias("log10_price"),
+            F.ceil("o_totalprice").alias("ceil_price"),
+            F.floor("o_totalprice").alias("floor_price"),
+            F.round(F.abs(F.col("o_totalprice") - 50000.0), 2).alias("price_center_dist"),
+            (F.col("o_orderkey") % 7).alias("key_mod7"),
+        )
+        .orderBy("o_orderkey")
+    )

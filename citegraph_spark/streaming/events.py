@@ -259,3 +259,61 @@ def run_stateful_sessionize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+def run_dedup_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: the events file is delivered TWICE
+    (two files, one per micro-batch — an at-least-once source replay);
+    `dropDuplicatesWithinWatermark` on event_id suppresses the second
+    delivery while keeping dedup state only within the watermark horizon
+    — the bounded-state form a 100 TB stream needs (plain
+    dropDuplicates() retains every key forever). Returns per-type counts
+    of the deduplicated stream."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    try:
+        os.makedirs(f"{tmp}/in", exist_ok=True)
+        src_file = None
+        for f in os.listdir(sf_dir):
+            if f == "events.parquet":
+                src_file = os.path.join(sf_dir, f)
+        assert src_file is not None
+        shutil.copy(src_file, f"{tmp}/in/00.parquet")
+        shutil.copy(src_file, f"{tmp}/in/01.parquet")
+
+        raw = (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_LONG_TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .load(f"{tmp}/in")
+        )
+        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # horizon covers the whole replayed span so every duplicate is
+        # still inside the dedup state when its copy arrives; production
+        # tunes this to the real out-of-orderness bound
+        deduped = events.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = "stream_dedup_out"
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_after_dedup"))
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

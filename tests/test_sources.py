@@ -85,3 +85,40 @@ def test_bucketed_join_has_no_shuffle(spark):
         for name in ("t_li", "t_o"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    from citegraph_spark.sources.orc import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orders")
+        back = read_orc(spark, f"{d}/orders", orders.schema)
+        assert back.count() == orders.count()
+        a = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
+        b = {r["o_orderkey"]: r["o_totalprice"] for r in back.collect()}
+        assert a == b
+        # filter + projection must reach the ORC scan
+        q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        p = buf.getvalue()
+        assert "EqualTo(o_orderstatus,F)" in p, "filter not pushed to ORC"
+        scan = p[p.index("Scan orc") :]
+        rs = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+        assert "o_totalprice" not in rs, "projection not pruned at ORC scan"
+
+
+def test_orc_partitioned_write(spark):
+    from citegraph_spark.sources.orc import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orders", partition_by=["year"])
+        years = {e.split("=")[1] for e in os.listdir(f"{d}/orders") if e.startswith("year=")}
+        assert len(years) >= 2
+        back = read_orc(spark, f"{d}/orders")
+        assert back.count() == orders.count()

@@ -91,3 +91,19 @@ def test_stateful_sessionize_closed_sessions_match_batch(spark):
         (u, s0, n) for u, s0, n in batch if (s0, n) != last_per_user[u]
     }
     assert got == expected_closed
+
+
+def test_streaming_dedup_drops_duplicate_delivery(spark):
+    from citegraph_spark.streaming.events import run_dedup_stream_demo
+
+    got = {
+        r["event_type"]: r["n_after_dedup"]
+        for r in run_dedup_stream_demo(spark, SF_DIR).collect()
+    }
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # doubled delivery, single-delivery counts: every duplicate suppressed
+    assert got == want
