@@ -26,9 +26,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output_dir")
     p.add_argument("--testing", action="store_true", help="verbose debug output")
     p.add_argument("--max-d", type=int, default=20)
+    p.add_argument(
+        "--approx",
+        action="store_true",
+        help="diameter only: HyperBall sketch hop-plot (O(|V|*2^p) state "
+        "instead of O(connected pairs) — the 100 TB path)",
+    )
+    p.add_argument("--hll-p", type=int, default=6, help="HyperBall precision (2^p registers)")
     args = p.parse_args(argv)
 
-    from .operators.graph import density, hop_plot_df, snapshot_edges
+    from .operators.graph import (
+        approx_hop_plot_df,
+        density,
+        hop_plot_df,
+        snapshot_edges,
+    )
     from .session import get_spark
     from .sources import (
         load_citations,
@@ -62,9 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     for year in years:
         edges = snapshot_edges(citations, published, year)
-        df = hop_plot_df(
-            spark, edges, total_pairs=totals.get(year), max_d=args.max_d
-        )
+        if args.approx:
+            df = approx_hop_plot_df(
+                spark, edges, total_pairs=totals.get(year), max_d=args.max_d,
+                p=args.hll_p,
+            )
+        else:
+            df = hop_plot_df(
+                spark, edges, total_pairs=totals.get(year), max_d=args.max_d
+            )
         if df.isEmpty():
             if args.testing:
                 print(f"{year}: empty graph, skipped")
