@@ -14,13 +14,17 @@ count.
 
 Spark-first design — NO Python UDFs, no RDDs:
 
-- Counters live SPARSELY as rows (node, reg_idx, reg_val) holding only
-  non-zero registers (a counter has at most m rows, usually far fewer).
-- Register-wise max-union is `groupBy(node, reg_idx).max(reg_val)` —
-  a hash aggregate with map-side partial combine, the cheapest shuffle
-  Spark has.
-- The one-hop absorb is an equi join of the edge list with the sparse
-  counters — broadcast/SMJ/AQE-skew all apply.
+- Counters are initialized SPARSELY as rows (node, reg_idx, reg_val),
+  then densified to one row per node with m tinyint register columns
+  (`densify`). The iteration runs on the dense layout: a message is ONE
+  ~m-byte row per edge instead of one row per (edge × nonzero
+  register), and the register-wise max-union is an m-column
+  `groupBy(node).max` — a hash aggregate with map-side partial combine
+  that stays in whole-stage codegen.
+- The one-hop absorb is an equi join of the edge list (pre-partitioned
+  once on the join key) with the dense counters — broadcast/SMJ/
+  AQE-skew all apply. Duplicate edges are harmless (max is idempotent),
+  so the edge feed skips its dedup shuffle.
 - The HLL estimate (alpha_m * m^2 / sum(2^-M_j), with the small-range
   linear-counting correction) is a pure column expression over
   (non-zero registers, implicit-zero count).
@@ -77,10 +81,12 @@ def densify(counters: DataFrame, p: int = 6) -> DataFrame:
     <= 64-p+1, so the row is ~m bytes + overhead.
     """
     m = 1 << p
+    # tinyint registers: reg_val <= 64-p+1 < 128, and the narrow type
+    # quarters the shuffled bytes of every subsequent absorb round
     aggs = [
-        F.max(F.when(F.col("reg_idx") == i, F.col("reg_val")).otherwise(0)).alias(
-            f"r{i}"
-        )
+        F.max(F.when(F.col("reg_idx") == i, F.col("reg_val")).otherwise(0))
+        .cast("tinyint")
+        .alias(f"r{i}")
         for i in range(m)
     ]
     return counters.groupBy("node").agg(*aggs)
