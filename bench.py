@@ -12,6 +12,7 @@ session warm-up.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -77,8 +78,12 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         # drop persisted plan state leaked by iterative queries (BFS
         # rounds, LSH shingle cache) so each query is measured in
-        # isolation instead of under its predecessors' memory pressure
+        # isolation instead of under its predecessors' memory pressure.
+        # gc.collect() releases Py4J refs promptly — otherwise the
+        # predecessor's checkpoint blocks/broadcasts stay pinned JVM-side
+        # and the next query pays its GC bill (measured ~2x inflation)
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -14,17 +14,31 @@ count.
 
 Spark-first design — NO Python UDFs, no RDDs:
 
-- Counters are initialized SPARSELY as rows (node, reg_idx, reg_val),
-  then densified to one row per node with m tinyint register columns
-  (`densify`). The iteration runs on the dense layout: a message is ONE
-  ~m-byte row per edge instead of one row per (edge × nonzero
-  register), and the register-wise max-union is an m-column
-  `groupBy(node).max` — a hash aggregate with map-side partial combine
-  that stays in whole-stage codegen.
-- The one-hop absorb is an equi join of the edge list (pre-partitioned
-  once on the join key) with the dense counters — broadcast/SMJ/
-  AQE-skew all apply. Duplicate edges are harmless (max is idempotent),
-  so the edge feed skips its dedup shuffle.
+- Counters are DENSE: one row per node with m tinyint register columns
+  (`init_counters_dense`). A message is ONE ~m-byte row per edge
+  instead of one row per (edge × nonzero register), and the
+  register-wise max-union is an m-column `groupBy(node).max` — a hash
+  aggregate that stays in whole-stage codegen.
+- The edge table is augmented ONCE with self-loops (v, v), so a round
+  is join + aggregate with NO union against the previous counters (the
+  self-loop message carries each node's own ball forward). Duplicate
+  edges are harmless (max is idempotent), so the edge feed skips its
+  dedup shuffle.
+- The one-hop absorb joins the self-loop-augmented edge list with the
+  counters. When the counter table fits a broadcast budget (|V| *
+  (m + overhead) bytes), the counters are BROADCAST and the edges are
+  pre-partitioned by `src`: the join is map-side and the group-by key
+  (src, aliased `node`) already matches the edges' partitioning, so a
+  whole round runs with ZERO shuffle — only the ~|V|*m-byte broadcast
+  republish per round. Past the budget (1e9-node graphs at 100 TB
+  scale), the same plan degrades gracefully to a shuffled hash join +
+  exchange, still linear in |E|*m per round.
+- Round state is materialized with `localCheckpoint` (row-level block
+  store, also truncates lineage) rather than `persist` — the columnar
+  cache encode of 65 columns costs ~10x the checkpoint. Whole-stage
+  codegen is disabled around the loop: Janino recompiles the huge
+  64-column generated class for every round's distinct plan, and at
+  O(|V|*m) volumes the compile dwarfs the interpreted eval it saves.
 - The HLL estimate (alpha_m * m^2 / sum(2^-M_j), with the small-range
   linear-counting correction) is a pure column expression over
   (non-zero registers, implicit-zero count).
@@ -35,11 +49,11 @@ Spark-first design — NO Python UDFs, no RDDs:
 
 from __future__ import annotations
 
+import gc
 import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _alpha(m: int) -> float:
@@ -69,6 +83,52 @@ def init_counters(nodes: DataFrame, p: int = 6, node_col: str = "node") -> DataF
         idx.alias("reg_idx"),
         rho.cast("int").alias("reg_val"),
     )
+
+
+def init_counters_dense(nodes: DataFrame, p: int = 6, node_col: str = "node") -> DataFrame:
+    """Singleton HLL counter per DISTINCT node, directly in the dense
+    (node, r0..r{m-1}) layout: r_i = rho if i == idx else 0.
+
+    Cheaper than init_counters + densify when `nodes` has duplicates
+    (e.g. the src column of an edge list): the m-way `when` projection
+    runs once per distinct node, not once per input row, and the only
+    shuffle is the distinct itself (8-byte rows)."""
+    m = 1 << p
+    h = F.xxhash64("node")
+    w = F.shiftrightunsigned(h, p)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(F.lit(64 - p) - bitlen + 1)
+    base = (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("_idx", h.bitwiseAND(F.lit(m - 1)).cast("int"))
+        .withColumn("_rho", rho.cast("int"))
+    )
+    regs = [
+        F.when(F.col("_idx") == i, F.col("_rho")).otherwise(0).cast("tinyint").alias(f"r{i}")
+        for i in range(m)
+    ]
+    return base.select("node", *regs)
+
+
+def _estimate_expr(p: int):
+    """Per-row HLL estimate over dense register columns r0..r{m-1} —
+    identical math to estimate_total_dense, factored out so it can ride
+    a `DataFrame.observe` on the absorb job."""
+    m = 1 << p
+    alpha = _alpha(m)
+    denom = None
+    zeros = None
+    for i in range(m):
+        term = F.pow(F.lit(2.0), -F.col(f"r{i}"))
+        z = F.when(F.col(f"r{i}") == 0, 1).otherwise(0)
+        denom = term if denom is None else denom + term
+        zeros = z if zeros is None else zeros + z
+    raw = F.lit(alpha * m * m) / denom
+    return F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
 
 
 def densify(counters: DataFrame, p: int = 6) -> DataFrame:
@@ -171,7 +231,7 @@ def hyperball_hopplot(
     p: int = 6,
     max_d: int = 20,
     rel_tol: float = 1e-3,
-    checkpoint_every: int = 3,
+    broadcast_budget_bytes: int = 256 << 20,
 ) -> list[tuple[int, float]]:
     """Approximate hop-plot: [(d, estimated #unordered connected pairs at
     dist <= d)] until the neighborhood function stabilizes (relative
@@ -181,38 +241,70 @@ def hyperball_hopplot(
     estimate is ~1.04/sqrt(2^p) (p=6 -> ~13 %); sums over nodes
     concentrate tighter, and for balls far smaller than m the
     linear-counting regime is near-exact.
+
+    Counters fitting `broadcast_budget_bytes` (|V| * (m + row overhead))
+    are broadcast each round — with the self-loop-augmented edge table
+    pre-partitioned by src, a round is then a single zero-shuffle job.
+    Larger vertex sets fall back to a shuffled join transparently.
     """
     spark = edges.sparkSession
-    # partitioned once on the join key: every round's absorb join reuses
-    # this partitioning instead of re-shuffling the edge table
-    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-    # no .distinct() on the node list — densify's groupBy(node) dedups as
-    # part of the aggregation it must do anyway (one shuffle, not two)
-    n_nodes = edges.select(F.col("src").alias("node")).unionByName(
-        edges.select(F.col("dst").alias("node"))
-    )
-    counters = densify(init_counters(n_nodes, p=p), p=p).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n = counters.count()
+    m = 1 << p
+    cols = [f"r{i}" for i in range(m)]
+    # materialize the raw edge lineage ONCE, with codegen still on (it
+    # may hang off arbitrary upstream joins); everything below reads
+    # this row-level checkpoint
+    edges = edges.localCheckpoint(eager=True)
+    # codegen off: Janino would recompile the huge 64-column class for
+    # every round's distinct plan. AQE coalescing off: the per-round
+    # state is small enough that AQE would squash it to ONE partition,
+    # serializing the (interpreted) loop stages.
+    codegen_before = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    coalesce_before = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        counters = init_counters_dense(
+            edges.select(F.col("src").alias("node")), p=p
+        ).localCheckpoint(eager=True)
+        n = counters.count()
+        use_broadcast = n * (m + 32) <= broadcast_budget_bytes
+        # self-loops make absorb a pure join+agg (each node's own ball
+        # rides the (v, v) message) — no union with the previous
+        # counters, so the broadcast path needs no exchange at all.
+        # Loops come from the checkpointed counters (already distinct),
+        # so the upstream edge lineage is scanned once here, not twice.
+        edges_aug = (
+            edges.unionByName(
+                counters.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            )
+            .repartition(n_shuffle, "src")
+            .localCheckpoint(eager=True)
+        )
 
-    out: list[tuple[int, float]] = []
-    prev_total = float(n)  # N(0): every node reaches itself
-    for d in range(1, max_d + 1):
-        nxt = absorb_neighbors_dense(counters, edges, p=p)
-        if d % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-        total = estimate_total_dense(nxt, p=p)
-        counters.unpersist()
-        counters = nxt
-        pairs = max(0.0, (total - n) / 2.0)
-        out.append((d, pairs))
-        if prev_total > 0 and abs(total - prev_total) / prev_total < rel_tol:
-            break
-        prev_total = total
+        out: list[tuple[int, float]] = []
+        prev_total = float(n)  # N(0): every node reaches itself
+        for d in range(1, max_d + 1):
+            build = F.broadcast(counters) if use_broadcast else counters
+            nxt = (
+                edges_aug.join(build, edges_aug["dst"] == build["node"], "inner")
+                .select(edges_aug["src"].alias("node"), *cols)
+                .groupBy("node")
+                .agg(*[F.max(c).alias(c) for c in cols])
+            ).localCheckpoint(eager=True)
+            total = estimate_total_dense(nxt, p=p)
+            counters = nxt
+            # release superseded round state promptly: Python's lazy
+            # collection of Py4J refs otherwise pins old checkpoint
+            # blocks/broadcasts JVM-side and rounds degrade sharply
+            gc.collect()
+            pairs = max(0.0, (total - n) / 2.0)
+            out.append((d, pairs))
+            if prev_total > 0 and abs(total - prev_total) / prev_total < rel_tol:
+                break
+            prev_total = total
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen_before)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_before)
 
-    counters.unpersist()
-    edges.unpersist()
     return out
