@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "window_rank_lag",
     "graph_adjacency",
+    "graph_degree_distribution",
+    "graph_pagerank",
     "split_train_test",
     "gopher_quality_filter",
     "tfidf_top_terms",

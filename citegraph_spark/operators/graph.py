@@ -394,3 +394,178 @@ def connected_components(
 
     adj.unpersist()
     return labels
+
+
+# --------------------------------------------- centrality / structure ops
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of an undirected graph: (degree, n_nodes).
+
+    `edges` must carry both orientations (`bidirectional`), deduped, so
+    `groupBy(src).count()` is the undirected degree. Two hash aggregates,
+    both with map-side partial combine; the second operates on |V| rows.
+    """
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+    )
+
+
+def co_citation(edges: DataFrame, src: str = "from", dst: str = "to") -> DataFrame:
+    """Co-citation projection: canonical pairs (a < b) of targets cited by
+    a common source (Small 1973, "Co-citation in the scientific
+    literature" — public bibliometrics construct). One self-equi-join on
+    the citing key + distinct.
+
+    Scale: the join fans out quadratically in per-source out-degree, so
+    skewed sources dominate; out-degree here is bounded (TPC-H: <= 7
+    items/order). For power-law sources, cap or sample per-source
+    out-neighbors before the join.
+    """
+    left = edges.select(F.col(src).alias("s"), F.col(dst).alias("a"))
+    right = edges.select(F.col(src).alias("s"), F.col(dst).alias("b"))
+    return (
+        left.join(right, "s")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_stats(und_edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    (n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    `und_edges`: canonical edges (a < b), distinct.
+
+    Triangles are counted with DEGREE-ORDERED ORIENTATION (each edge
+    directed from its lower-(degree, id) endpoint): every triangle then
+    has exactly one node with two out-edges, so counting (u->v, u->w,
+    v->w) paths counts each triangle once, and per-node out-degree is
+    bounded by O(sqrt(|E|)) — the wedge-enumeration join survives
+    power-law degree skew that would explode a naive a<b ordering.
+    Wedges n_wedges = sum_v C(deg_v, 2); clustering coefficient =
+    3 * triangles / wedges.
+    """
+    deg = (
+        und_edges.select(F.col("a").alias("node"))
+        .unionByName(und_edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge from lower (deg, id) to higher
+    e = (
+        und_edges.join(deg.alias("da"), F.col("a") == F.col("da.node"))
+        .join(deg.alias("db"), F.col("b") == F.col("db.node"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e = e.localCheckpoint(eager=True)
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    )
+    # wedge endpoints are x < y by id and und_edges is canonical (a < b),
+    # so closing-edge existence is one equi semi join (an OR over the
+    # two orientations would force a nested-loop join)
+    tri = wedges.join(
+        und_edges,
+        (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")),
+        "left_semi",
+    )
+    n_edges = und_edges.count()
+    n_tri = tri.count()
+    n_wedges = (
+        deg.agg(F.sum(F.expr("deg * (deg - 1) / 2")).alias("w")).first()["w"] or 0
+    )
+    spark = und_edges.sparkSession
+    coeff = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(int(n_edges), int(n_wedges), int(n_tri), coeff)],
+        schema="n_edges bigint, n_wedges bigint, n_triangles bigint, clustering_coeff double",
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+    broadcast_budget_bytes: int = 256 << 20,
+) -> DataFrame:
+    """PageRank on a DIRECTED edge list (src, dst), fixed iteration count:
+    r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u)/outdeg(u).
+
+    Variant note: dangling-node mass is NOT redistributed (it decays),
+    so ranks sum to < 1; the recurrence is otherwise the classic one and
+    is exactly expressible in SQL (the DuckDB oracle mirrors it with a
+    recursive CTE). Output: (node, rank).
+
+    Same mechanics as the HyperBall loop (functions/sketches.py),
+    mirrored for the src->dst message direction: the edge table is
+    augmented once with ZERO-WEIGHT self-loops so every node receives at
+    least one message per round (a round is then a pure join +
+    groupBy-sum, no left join against the previous ranks), and it is
+    pre-partitioned by DST — with the (16-byte-per-node) rank table
+    BROADCAST into the join, the join output already carries the
+    group-by key's partitioning, so a whole round runs with zero
+    shuffle. Rank tables past `broadcast_budget_bytes` (1e9-node graphs)
+    degrade to a shuffled join transparently. Round state is
+    localCheckpoint-ed (lineage truncation) with prompt Py4J release.
+    """
+    import gc
+
+    spark = edges.sparkSession
+    edges = edges.localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    use_broadcast = n * 48 <= broadcast_budget_bytes
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e_aug = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        .repartition(n_shuffle, "dst")
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n
+    for it in range(1, iterations + 1):
+        build = F.broadcast(ranks) if use_broadcast else ranks
+        nxt = (
+            e_aug.join(build, e_aug["src"] == build["node"], "inner")
+            .select(e_aug["dst"].alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+        )
+        if it % checkpoint_every == 0 or it == iterations:
+            nxt = nxt.localCheckpoint(eager=True)
+        ranks = nxt
+        gc.collect()
+    return ranks

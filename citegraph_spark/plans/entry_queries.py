@@ -373,3 +373,117 @@ def graph_effective_diameter_approx(spark: SparkSession, sf_dir: str) -> DataFra
     d_star = effective_diameter(rows)
     data = [(float(round(d_star, 4)),)] if d_star is not None else []
     return spark.createDataFrame(data, schema="effective_diameter double")
+
+
+# --------------------------------------------------------------------------
+# Centrality / structure (beyond-reference graph analytics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+     bidir AS (
+       SELECT DISTINCT "from" AS src, "to" AS dst FROM cit WHERE "from" <> "to"
+       UNION
+       SELECT DISTINCT "to", "from" FROM cit WHERE "from" <> "to"
+     ),
+     deg AS (SELECT src AS node, COUNT(*) AS degree FROM bidir GROUP BY src)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected citation graph — the first plot
+    of any graph-census pipeline (densification analysis, reference
+    report.pdf p.2 studies the same graph's degree evolution). Two hash
+    aggregates, no joins."""
+    from ..operators.graph import bidirectional, degree_distribution
+
+    return degree_distribution(bidirectional(_citations(spark, sf_dir)))
+
+
+@register(
+    "graph_cocitation_triangles",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+     cc AS (
+       SELECT DISTINCT e1."to" AS a, e2."to" AS b
+       FROM cit e1 JOIN cit e2 ON e1."from" = e2."from" AND e1."to" < e2."to"
+     ),
+     deg AS (
+       SELECT node, COUNT(*) AS d FROM (
+         SELECT a AS node FROM cc UNION ALL SELECT b FROM cc
+       ) GROUP BY node
+     ),
+     tri AS (
+       SELECT COUNT(*) AS t
+       FROM cc x JOIN cc y ON x.b = y.a JOIN cc z ON z.a = x.a AND z.b = y.b
+     )
+SELECT (SELECT COUNT(*) FROM cc)::BIGINT AS n_edges,
+       (SELECT SUM(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+       (SELECT t FROM tri)::BIGINT AS n_triangles,
+       ROUND(3.0 * (SELECT t FROM tri) / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+         AS clustering_coeff
+""",
+)
+def graph_cocitation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-citation graph (Small 1973): parts cited
+    by a common order become an undirected edge; triangles counted with
+    degree-ordered orientation (operators/graph.py triangle_stats) so the
+    wedge join survives power-law skew. One-row global census
+    (n_edges, n_wedges, n_triangles, clustering_coeff)."""
+    from ..operators.graph import co_citation, triangle_stats
+
+    return triangle_stats(co_citation(_citations(spark, sf_dir)))
+
+
+@register(
+    "graph_pagerank",
+    f"""
+WITH RECURSIVE
+cit AS ({_CIT_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT "from" AS node FROM cit UNION ALL SELECT "to" FROM cit
+  )
+),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT "from" AS src, CAST(COUNT(*) AS DOUBLE) AS od FROM cit GROUP BY "from"),
+eaug AS (
+  SELECT c."from" AS src, c."to" AS dst, 1.0 / o.od AS w
+  FROM cit c JOIN outdeg o ON c."from" = o.src
+  UNION ALL
+  SELECT node, node, 0.0 FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node, 1.0 / cnt.n AS rank FROM nodes, cnt
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS node, 0.15 / cnt.n + 0.85 * SUM(pr.rank * e.w)
+  FROM pr JOIN eaug e ON pr.node = e.src CROSS JOIN cnt
+  WHERE pr.iter < 10
+  GROUP BY pr.iter + 1, e.dst, cnt.n
+)
+SELECT node, ROUND(rank * 1e6, 3) AS rank_ppm
+FROM pr WHERE iter = 10 ORDER BY node
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 10 fixed iterations, damping 0.85, dangling mass decayed
+    (operators/graph.py pagerank — zero-weight self-loop formulation, the
+    same join+agg round shape as HyperBall). The DuckDB oracle states the
+    identical recurrence as a recursive CTE with GROUP BY, so this
+    iterative operator is fully hash-checked, not rows-only. Ranks are
+    emitted as ppm (x 1e6) so rounded values carry ~9 significant digits
+    through the driver's string hash."""
+    from ..operators.graph import pagerank
+
+    edges = _citations(spark, sf_dir).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    return (
+        pagerank(edges, iterations=10, damping=0.85)
+        .select("node", F.round(F.col("rank") * 1e6, 3).alias("rank_ppm"))
+        .orderBy("node")
+    )

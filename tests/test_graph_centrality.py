@@ -1,0 +1,99 @@
+"""Degree distribution, co-citation triangles, PageRank — validated
+against brute-force references on the fixture graph (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+
+from citegraph_spark.fixtures import fixture_citations
+from citegraph_spark.operators.graph import (
+    bidirectional,
+    canonical_pairs,
+    co_citation,
+    degree_distribution,
+    pagerank,
+    triangle_stats,
+)
+
+
+def _raw_edges(spark):
+    return [(r["from"], r["to"]) for r in fixture_citations(spark).collect()]
+
+
+def test_degree_distribution_matches_bruteforce(spark):
+    raw = _raw_edges(spark)
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    expected = dict(collections.Counter(deg.values()))
+
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_distribution(bidirectional(fixture_citations(spark))).collect()
+    }
+    assert got == expected
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    raw = _raw_edges(spark)
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(deg), 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    row = triangle_stats(canonical_pairs(fixture_citations(spark), "from", "to")).first()
+    assert row["n_edges"] == len(und)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    assert abs(row["clustering_coeff"] - 3.0 * tri / wedges) < 1e-6
+
+
+def test_cocitation_projection_matches_bruteforce(spark):
+    raw = _raw_edges(spark)
+    by_src = collections.defaultdict(set)
+    for a, b in raw:
+        by_src[a].add(b)
+    expected = {
+        (x, y)
+        for nbrs in by_src.values()
+        for x, y in itertools.combinations(sorted(nbrs), 2)
+    }
+    got = {(r["a"], r["b"]) for r in co_citation(fixture_citations(spark)).collect()}
+    assert got == expected
+
+
+def test_pagerank_matches_bruteforce_iteration(spark):
+    raw = _raw_edges(spark)
+    nodes = sorted({x for e in raw for x in e})
+    outd = collections.Counter(a for a, _ in raw)
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        nxt = {v: 0.15 / n for v in nodes}
+        for a, b in raw:
+            nxt[b] += 0.85 * ranks[a] / outd[a]
+        ranks = nxt
+
+    edges = fixture_citations(spark).selectExpr("`from` as src", "`to` as dst")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert set(got) == set(nodes)
+    assert max(abs(got[v] - ranks[v]) for v in nodes) < 1e-12
+
+
+def test_pagerank_rank_mass_decays_with_dangling(spark):
+    # the fixture graph has dangling nodes (no out-edges): with the
+    # documented no-redistribution variant total rank must stay below 1
+    # but above the pure-teleport floor
+    edges = fixture_citations(spark).selectExpr("`from` as src", "`to` as dst")
+    total = sum(r["rank"] for r in pagerank(edges, iterations=10).collect())
+    assert 0.15 < total < 1.0
