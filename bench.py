@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_unshipped_revenue",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
     "multi_join_region_revenue",
     "running_total_orders",
     "graph_density",

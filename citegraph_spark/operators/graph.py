@@ -569,3 +569,57 @@ def pagerank(
         ranks = nxt
         gc.collect()
     return ranks
+
+
+def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core of an undirected graph (Seidman 1983, "Network structure and
+    minimum degree"): the maximal subgraph where every node has degree
+    >= k, found by iterative peeling. Returns (node, core_deg) — each
+    surviving node with its degree INSIDE the core.
+
+    `und_edges`: canonical pairs (a < b), distinct.
+
+    Each round is one degree aggregate + two semi joins; the edge set
+    only shrinks, so rounds get cheaper. Convergence is detected by a
+    stable edge COUNT (the edge set is monotonically decreasing, so
+    equal counts imply equal sets). Round state is localCheckpoint-ed:
+    without lineage truncation the plan doubles per round and the
+    optimizer re-derives every prior peel. Real-world graphs converge in
+    a handful of rounds (peel depth, not diameter); a path graph is the
+    k=2 worst case, hence the max_rounds backstop.
+    """
+    edges = und_edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionByName(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            edges.join(
+                keep.withColumnRenamed("node", "ka"),
+                F.col("a") == F.col("ka"),
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "kb"),
+                F.col("b") == F.col("kb"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        if m == n_edges:
+            break
+        edges, n_edges = nxt, m
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_deg"))
+    )

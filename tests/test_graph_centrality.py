@@ -97,3 +97,35 @@ def test_pagerank_rank_mass_decays_with_dangling(spark):
     edges = fixture_citations(spark).selectExpr("`from` as src", "`to` as dst")
     total = sum(r["rank"] for r in pagerank(edges, iterations=10).collect())
     assert 0.15 < total < 1.0
+
+
+def _peel(und, k):
+    edges = set(und)
+    while True:
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        nxt = {(a, b) for a, b in edges if deg[a] >= k and deg[b] >= k}
+        if nxt == edges:
+            return deg
+        edges = nxt
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    from citegraph_spark.operators.graph import k_core
+
+    raw = _raw_edges(spark)
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    pairs = canonical_pairs(fixture_citations(spark), "from", "to")
+    for k in (2, 3):
+        expected = dict(_peel(und, k))
+        got = {r["node"]: r["core_deg"] for r in k_core(pairs, k=k).collect()}
+        assert got == expected, f"k={k}"
+
+
+def test_kcore_empty_when_k_exceeds_max_degree(spark):
+    from citegraph_spark.operators.graph import k_core
+
+    pairs = canonical_pairs(fixture_citations(spark), "from", "to")
+    assert k_core(pairs, k=10_000).count() == 0
