@@ -265,3 +265,57 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_dedup_stream_demo
 
     return run_dedup_stream_demo(spark, sf_dir)
+
+
+@register(
+    "events_click_attribution",
+    """
+SELECT c.user_id AS user_id, count(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: per user, the number of (click,
+    purchase) pairs where the purchase lands within 30 minutes after the
+    click — an interval SELF-join. Binned to an equi join on
+    (user_id, time-bin) via `range_join_binned` so the plan is a hash
+    join, not a nested loop; the same semantics run as a watermarked
+    stream-stream join in `streaming_join`."""
+    from ..operators.relational import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = range_join_binned(
+        purchases, clicks,
+        key="user_id", left_point="p_ts", right_lo="lo", right_hi="hi",
+        bin_width=30 * 60,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@register("streaming_join")  # rows-only: stream-stream join lifecycle
+def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks ⋈ purchases within
+    30 min, bounded join state on both sides). Rows-only check; equality
+    with the batch `events_click_attribution` is asserted in tests."""
+    from ..streaming.events import run_stream_stream_join_demo
+
+    return run_stream_stream_join_demo(spark, sf_dir)

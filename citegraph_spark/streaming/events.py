@@ -317,3 +317,63 @@ def run_dedup_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: purchase events joined to
+    the click by the same user within the preceding 30 minutes. Both
+    sides carry event-time watermarks and the join condition bounds
+    p_ts in [c_ts, c_ts + 30 min], so Spark can expire buffered click
+    state as soon as the purchase-side watermark passes
+    click.ts + 30 min — the state-bounding contract that makes a
+    stream-stream join viable on an unbounded 100 TB/day feed (an
+    unconstrained join would buffer both streams forever). The joined
+    rows land in an append-mode memory sink; per-user pair counts are
+    aggregated batch-side. Equality with the batch interval self-join
+    (`events_click_attribution`) is asserted in tests."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    name = "stream_join_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )

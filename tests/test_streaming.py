@@ -107,3 +107,18 @@ def test_streaming_dedup_drops_duplicate_delivery(spark):
     }
     # doubled delivery, single-delivery counts: every duplicate suppressed
     assert got == want
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    from citegraph_spark.streaming.events import run_stream_stream_join_demo
+
+    got = {
+        (r["user_id"], r["n_pairs"])
+        for r in run_stream_stream_join_demo(spark, SF_DIR).collect()
+    }
+    expected = {
+        (r["user_id"], r["n_pairs"])
+        for r in QUERIES["events_click_attribution"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert got, "no click->purchase pairs in the replay"
