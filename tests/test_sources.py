@@ -122,3 +122,60 @@ def test_orc_partitioned_write(spark):
         assert len(years) >= 2
         back = read_orc(spark, f"{d}/orders")
         assert back.count() == orders.count()
+
+
+def test_sorted_parquet_files_cover_disjoint_key_ranges(spark):
+    from citegraph_spark.sources.sinks import save_sorted_parquet
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        save_sorted_parquet(orders, f"{d}/orders", ["o_orderkey"], target_partitions=4)
+
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in sorted(os.listdir(f"{d}/orders")):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{d}/orders/{f}").metadata
+            idx = md.schema.names.index("o_orderkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+                assert st.has_min_max
+            ranges.append((min(mins), max(maxs)))
+        assert len(ranges) >= 2, "expected multiple range-partitioned files"
+        # files cover pairwise-disjoint key ranges -> min/max file pruning works
+        for lo, hi in sorted(ranges):
+            for lo2, hi2 in ranges:
+                if (lo, hi) != (lo2, hi2):
+                    assert hi < lo2 or hi2 < lo, f"overlap: {(lo, hi)} vs {(lo2, hi2)}"
+
+        back = spark.read.parquet(f"{d}/orders")
+        assert back.count() == orders.count()
+
+
+def test_compact_small_files_preserves_data(spark):
+    from citegraph_spark.sources.sinks import compact_small_files
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        # simulate a small-file mess: 32 shards of a small table
+        events.repartition(32).write.mode("overwrite").parquet(f"{d}/ev")
+        before = [f for f in os.listdir(f"{d}/ev") if f.endswith(".parquet")]
+        assert len(before) == 32
+        checksum_before = events.agg(
+            F.count("*").alias("n"), F.sum(F.crc32(F.col("event_id").cast("string"))).alias("c")
+        ).first()
+
+        n_out = compact_small_files(spark, f"{d}/ev", target_file_bytes=128 << 20)
+
+        after = [f for f in os.listdir(f"{d}/ev") if f.endswith(".parquet")]
+        assert len(after) == n_out < len(before)
+        back = spark.read.parquet(f"{d}/ev")
+        checksum_after = back.agg(
+            F.count("*").alias("n"), F.sum(F.crc32(F.col("event_id").cast("string"))).alias("c")
+        ).first()
+        assert tuple(checksum_before) == tuple(checksum_after)
