@@ -29,6 +29,11 @@ BENCH_QUERIES = [
     "q3_unshipped_revenue",
     "q5_local_supplier_volume",
     "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q19_disjunctive_filter",
+    "events_click_attribution",
     "multi_join_region_revenue",
     "running_total_orders",
     "graph_density",
