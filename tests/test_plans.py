@@ -97,3 +97,25 @@ def test_split_deterministic_under_repartition(spark):
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
     assert {tuple(r) for r in bb.collect()} == a
+
+
+def test_q4_exists_semi_join_is_hash_join(spark):
+    p = plan_text(QUERIES["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p, "EXISTS did not plan as a semi join"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # the date range must reach the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p, "order-date filter not pushed"
+
+
+def test_q19_disjunction_pushes_part_filters(spark):
+    p = plan_text(QUERIES["q19_disjunctive_filter"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # Catalyst splits the disjunction per side and pushes each half into
+    # its scan: brand/size branches to part, quantity ranges to lineitem
+    assert "EqualTo(p_brand,Brand#1)" in p, "brand filter not pushed to part scan"
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p, "quantity ranges not pushed to lineitem scan"
+
+
+def test_click_attribution_is_binned_hash_join(spark):
+    p = plan_text(QUERIES["events_click_attribution"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
