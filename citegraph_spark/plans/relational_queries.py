@@ -914,3 +914,25 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "sketch_mergeable_distinct",
+)  # rows-only: Datasketches HLL binary sketches are engine-specific
+def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches (Apache Datasketches HLL): one
+    sketch per nation over customer keys, then `hll_union_agg` merges the
+    25 sketches into a global distinct estimate WITHOUT re-touching the
+    base table. This is the 100 TB pattern: materialize per-partition /
+    per-day sketch rows once, answer rollup cardinality queries from the
+    sketch table at interactive cost (a distinct-count over any nation
+    subset is a union of kilobyte sketches, not a re-scan + key shuffle).
+    Rows-only check; tests assert per-nation and merged estimates within
+    HLL error bounds of exact."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk")
+    )
+    return per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_customers")
+    )

@@ -47,3 +47,25 @@ def test_init_counters_rho_exact(spark):
         w = (h % (1 << 64)) >> 6  # unsigned shift
         rho = (64 - 6 - w.bit_length() + 1) if w else (64 - 6 + 1)
         assert got[(node, idx)] == rho, (node, h, got[(node, idx)], rho)
+
+
+def test_mergeable_hll_sketches_match_exact_counts(spark):
+    """Union-merged per-nation sketches must estimate global distinct
+    within HLL(lgK=14) error (<1% at these cardinalities), and per-nation
+    estimates must match exact per-nation distincts."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    per = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", 14)).alias("approx"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    for r in per.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.02 * r["exact"])
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    merged = QUERIES["sketch_mergeable_distinct"](spark, sf_dir).first()["approx_customers"]
+    exact_total = c.select("c_custkey").distinct().count()
+    assert abs(merged - exact_total) <= max(1, 0.02 * exact_total)
