@@ -319,3 +319,13 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_stream_stream_join_demo
 
     return run_stream_stream_join_demo(spark, sf_dir)
+
+
+@register("streaming_enrich")  # rows-only: foreachBatch sink lifecycle
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment written through an idempotent
+    foreachBatch parquet sink (dynamic partition overwrite keyed by batch
+    id). Rows-only; equality with the batch join is asserted in tests."""
+    from ..streaming.events import run_stream_static_enrich_demo
+
+    return run_stream_static_enrich_demo(spark, sf_dir)

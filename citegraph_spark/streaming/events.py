@@ -377,3 +377,54 @@ def run_stream_stream_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+def run_stream_static_enrich_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment + foreachBatch sink: the event stream is
+    joined per micro-batch to a STATIC dimension (customer) — planned as
+    a broadcast hash join against the stream side, re-resolved every
+    batch so a dimension refresh is picked up without restarting the
+    query — and lands in parquet through `foreachBatch`, partitioned by
+    the batch id. Parquet + batch-id-scoped overwrite makes the sink
+    idempotent: a replayed micro-batch overwrites its own partition
+    instead of appending duplicates (the exactly-once recipe for
+    non-transactional stores). Returns per-nation event counts read back
+    from the files the stream wrote."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    enriched = events.join(F.broadcast(dim), "user_id", "inner")
+
+    out_dir = tempfile.mkdtemp()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{out_dir}/enriched")
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            enriched.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.read.parquet(f"{out_dir}/enriched")
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("nationkey")
+    )

@@ -122,3 +122,24 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
     }
     assert got == expected
     assert got, "no click->purchase pairs in the replay"
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    from citegraph_spark.streaming.events import run_stream_static_enrich_demo
+
+    got = {
+        (r["nationkey"], r["n_events"])
+        for r in run_stream_static_enrich_demo(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nationkey")
+    )
+    expected = {
+        (r["nationkey"], r["n_events"])
+        for r in ev.join(dim, "user_id")
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == expected and got
