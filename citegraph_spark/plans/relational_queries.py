@@ -936,3 +936,85 @@ def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_customers")
     )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+SELECT p_partkey, measure, round(value, 2) AS value
+FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         p_retailprice AS retailprice
+  FROM part WHERE p_partkey <= 200
+) UNPIVOT (value FOR measure IN (size, retailprice))
+ORDER BY p_partkey, measure
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): two per-part measures rotated into
+    (p_partkey, measure, value) rows — the inverse of the pivot query.
+    `DataFrame.unpivot` is a narrow projection (an Expand node: each
+    input row emits one row per measure with no shuffle), so it scales
+    linearly and keeps column pruning — only the 3 referenced columns
+    are read."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )
+    return (
+        p.unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+        .select("p_partkey", "measure", F.round("value", 2).alias("value"))
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@register(
+    "outer_join_nation_presence",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+""",
+)
+def outer_join_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer and supplier presence,
+    keeping nations that appear on only one side (nulls coalesced to 0).
+    Both sides are pre-aggregated to one row per nation BEFORE the outer
+    join, so the join input is |nations|-sized regardless of table scale
+    — the aggregate-then-outer-join shape that keeps full-outer joins
+    viable at 100 TB (outer joins can't broadcast, so shrink first)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
