@@ -517,3 +517,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("similarity_pq")  # rows-only: codebook contents are engine-specific
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (16 subspaces x 16 centroids = 16
+    bytes/vector, 32x compression; ADC shortlist + exact distributed
+    rerank) — the scale path where even the IVF cell lists exceed
+    broadcast size. Rows-only check; recall vs brute force is asserted
+    in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, k=3)

@@ -69,3 +69,36 @@ def test_ivf_trained_quantizer_recall(spark, emb):
     }
     hits = sum(1 for v, n in bf.items() if ivf.get(v) == n)
     assert hits / len(bf) >= 0.3, f"trained-IVF recall too low: {hits}/{len(bf)}"
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, emb):
+    sub = emb.limit(200)
+    bf = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk_bruteforce(sub, k=1).collect()
+    }
+    pq = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in similarity.pq_topk(sub, k=1, shortlist=32).collect()
+    }
+    # ADC top-32 shortlist + exact rerank: the true top-1 must appear in
+    # the shortlist for most queries even on hard (near-random) vectors
+    hits = sum(1 for v, n in bf.items() if pq.get(v) == n)
+    assert hits / len(bf) >= 0.5, f"PQ recall too low: {hits}/{len(bf)}"
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    from citegraph_spark.functions.similarity import (
+        _corpus_matrix,
+        _pq_codebooks,
+        _pq_encode_matrix,
+    )
+
+    sub = emb.limit(100)
+    books1 = _pq_codebooks(sub, 16, 16, "vec_id", "embedding")
+    books2 = _pq_codebooks(sub.repartition(5), 16, 16, "vec_id", "embedding")
+    assert np.allclose(books1, books2)
+    _, mat = _corpus_matrix(sub, "vec_id", "embedding")
+    codes = _pq_encode_matrix(mat, books1)
+    assert codes.shape == (100, 16) and codes.dtype == np.uint8
+    assert codes.max() < 16
