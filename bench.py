@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "similarity_ivf",
+    "similarity_pq",
     "dedup_embedding_cosine",
     "window_rank_lag",
     "graph_adjacency",
