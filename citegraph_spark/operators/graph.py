@@ -623,3 +623,68 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: every node
+    starts in its own community; each round a node adopts the most
+    frequent label among its neighbors and itself (self-vote damps the
+    oscillation synchronous LPA exhibits on bipartite structure), ties
+    broken toward the smallest label — fully deterministic. Output:
+    (node, community).
+
+    Per round: one equi join (neighbor labels) + one (node, label) count
+    aggregate + one argmax-by-struct aggregate. The argmax is
+    `max(struct(cnt, -label))` — a regular aggregate with map-side
+    combine on the same `node` key as the count's first grouping column,
+    NOT a row_number window (a window would force a second full sort
+    exchange per round). Lineage is truncated with localCheckpoint.
+    Fixed small `max_iter`: LPA quality saturates in a few rounds and
+    each extra round is a full join over the edge set.
+    """
+    fwd = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    rev = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    adj = fwd.unionByName(rev).filter(F.col("node") != F.col("nbr")).distinct()
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        adj.select("node").distinct().select("node", F.col("node").alias("community"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for it in range(1, max_iter + 1):
+        msgs = (
+            adj.alias("a")
+            .join(labels.alias("l"), F.col("a.nbr") == F.col("l.node"), "inner")
+            .select(F.col("a.node").alias("node"), F.col("l.community").alias("community"))
+        )
+        votes = msgs.unionByName(labels)
+        new_labels = (
+            votes.groupBy("node", "community")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("community")).alias("neg"))).alias("top")
+            )
+            .select("node", (-F.col("top.neg")).alias("community"))
+        )
+        if it % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    adj.unpersist()
+    return labels

@@ -532,3 +532,64 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").cast("long").alias("node"), "core_deg")
         .orderBy("node")
     )
+
+
+@register(
+    "graph_lpa",
+    f"""
+WITH RECURSIVE
+cit AS ({_CIT_SQL}),
+und AS (
+  SELECT DISTINCT least("from","to") AS a, greatest("from","to") AS b
+  FROM cit WHERE "from" <> "to"
+),
+nodes AS (
+  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB evaluates an inner
+  -- CTE's plain UNION with ALL semantics (observed 1.x quirk), which
+  -- would duplicate every seed row |degree| times
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  )
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+  UNION ALL SELECT node, node FROM nodes
+),
+lab AS (
+  SELECT 0 AS iter, node, node AS community FROM nodes
+  UNION ALL
+  SELECT v.iter + 1, v.node,
+         arg_max(v.community, v.cnt * 4294967296 - v.community) AS community
+  FROM (
+    SELECT l.iter, a.node, l.community, CAST(count(*) AS BIGINT) AS cnt
+    FROM adj a JOIN lab l ON a.nbr = l.node
+    WHERE l.iter < 5
+    GROUP BY 1, 2, 3
+  ) v
+  GROUP BY 1, 2
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(community AS BIGINT) AS community
+FROM lab WHERE iter = 5 ORDER BY node
+""",
+)
+def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities after 5 rounds
+    (operators/graph.py label_propagation): deterministic — self-vote
+    damping, ties toward the smallest label — so the DuckDB oracle
+    replays the IDENTICAL recurrence in a recursive CTE (arg_max keyed
+    by cnt*2^32 - community encodes the same (max count, min label)
+    choice; Spark-side early stop is sound because a stable round is the
+    identity)."""
+    from ..operators.graph import canonical_pairs, label_propagation
+
+    und = canonical_pairs(_citations(spark, sf_dir), "from", "to")
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return (
+        label_propagation(edges, max_iter=5)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("community").cast("long").alias("community"),
+        )
+        .orderBy("node")
+    )

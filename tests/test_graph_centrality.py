@@ -6,6 +6,8 @@ from __future__ import annotations
 import collections
 import itertools
 
+from pyspark.sql import functions as F
+
 from citegraph_spark.fixtures import fixture_citations
 from citegraph_spark.operators.graph import (
     bidirectional,
@@ -129,3 +131,34 @@ def test_kcore_empty_when_k_exceeds_max_degree(spark):
 
     pairs = canonical_pairs(fixture_citations(spark), "from", "to")
     assert k_core(pairs, k=10_000).count() == 0
+
+
+def test_label_propagation_separates_cliques(spark):
+    from citegraph_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by a single edge (4-7)
+    cliques = [(a, b) for grp in ([1, 2, 3, 4], [10, 11, 12, 7])
+               for a, b in itertools.combinations(grp, 2)]
+    edges = spark.createDataFrame(cliques + [(4, 7)], "src int, dst int")
+    got = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 7, 10, 11, 12}
+    # each clique collapses to one community; the bridge does not merge them
+    left = {got[n] for n in (1, 2, 3, 4)}
+    right = {got[n] for n in (7, 10, 11, 12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from citegraph_spark.operators.graph import label_propagation
+
+    from citegraph_spark.plans.entry_queries import _citations
+
+    e = _citations(spark, "/root/testdata/sf0.001").limit(400).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    a = {(r["node"], r["community"]) for r in label_propagation(e, max_iter=3).collect()}
+    b = {
+        (r["node"], r["community"])
+        for r in label_propagation(e.repartition(7), max_iter=3).collect()
+    }
+    assert a == b
