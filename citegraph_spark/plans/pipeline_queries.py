@@ -398,3 +398,52 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = clustering.kmeans_fit(emb, k=16, max_iter=4)
     return similarity.ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents)
+
+
+@register(
+    "dq_orders_checks",
+    """
+SELECT 'orderdate_not_null' AS rule,
+       CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'priority_in_domain',
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NULL OR o_orderpriority NOT IN
+         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_references_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+ORDER BY rule
+""",
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: three row-predicate rules evaluated
+    in ONE aggregate pass (functions/dataquality.py) plus a referential
+    orphan check against customer via broadcast LEFT ANTI join. Output
+    (rule, n_violations) — all zeros on the clean test corpus; the
+    operator is the point, the driver hash pins the contract."""
+    from ..functions.dataquality import dq_referential_violations, dq_row_violations
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows = dq_row_violations(
+        o,
+        {
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "priority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    ref = dq_referential_violations(
+        o, "o_custkey", c, "c_custkey", "custkey_references_customer"
+    )
+    return rows.unionByName(ref).orderBy("rule")

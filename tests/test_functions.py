@@ -234,3 +234,35 @@ def test_approx_percentile_error_bound(spark):
         "percentile_approx(l_extendedprice, 0.5, 10000) AS p"
     ).first()["p"]
     assert abs(approx - exact) / exact <= 0.01
+
+
+def test_dq_rules_count_violations_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions.dataquality import (
+        dq_referential_violations,
+        dq_row_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (3, None, "A"), (4, 7.0, None)],
+        "id int, price double, cat string",
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in dq_row_violations(
+            df,
+            {
+                "price_positive": F.col("price") > 0,
+                "cat_not_null": F.col("cat").isNotNull(),
+                "id_unique_range": F.col("id").between(1, 4),
+            },
+        ).collect()
+    }
+    # null predicate results count as violations (price=None fails >0)
+    assert got == {"price_positive": 2, "cat_not_null": 1, "id_unique_range": 0}
+
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "fk int")
+    ref = dq_referential_violations(child, "fk", parent, "k", "fk_ok").first()
+    assert (ref["rule"], ref["n_violations"]) == ("fk_ok", 2)
