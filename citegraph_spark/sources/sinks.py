@@ -84,3 +84,47 @@ def compact_small_files(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def upsert_parquet(
+    spark,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """Keyed MERGE/upsert into a parquet directory without a table
+    format: read current ∪ updates, keep the highest-`version_col` row
+    per key (ties favor the update), rewrite atomically (tmp dir + swap,
+    as in `compact_small_files`). This is copy-on-write MERGE semantics;
+    the rewrite cost is the whole target, so at 100 TB the target should
+    be partitioned (e.g. by date) and this applied per affected
+    partition — or swapped for a transactional format (Delta/Iceberg,
+    not available in this environment) where row-level merge is native.
+    The dedup is one shuffle on the key; no window sort is needed
+    (max_by-struct aggregate keeps it map-side combinable)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if os.path.exists(path):
+        current = spark.read.parquet(path).withColumn("_pri", F.lit(0))
+        merged_src = current.unionByName(updates.withColumn("_pri", F.lit(1)))
+    else:
+        merged_src = updates.withColumn("_pri", F.lit(1))
+
+    value_cols = [c for c in merged_src.columns if c not in key_cols]
+    merged = (
+        merged_src.groupBy(*key_cols)
+        .agg(
+            F.max(F.struct(version_col, "_pri", *[c for c in value_cols if c not in (version_col, "_pri")])).alias("_top")
+        )
+        .select(*key_cols, *[F.col(f"_top.{c}").alias(c) for c in value_cols if c != "_pri"])
+    )
+    tmp = f"{path}.upsert-{uuid.uuid4().hex[:8]}.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -179,3 +179,21 @@ def test_compact_small_files_preserves_data(spark):
             F.count("*").alias("n"), F.sum(F.crc32(F.col("event_id").cast("string"))).alias("c")
         ).first()
         assert tuple(checksum_before) == tuple(checksum_after)
+
+
+def test_upsert_parquet_latest_version_wins(spark):
+    from citegraph_spark.sources.sinks import upsert_parquet
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/state"
+        b1 = spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k int, v int, payload string"
+        )
+        upsert_parquet(spark, b1, p, ["k"], "v")
+        # batch 2: update k=2, insert k=4, stale k=3 (v=0 must lose)
+        b2 = spark.createDataFrame(
+            [(2, 2, "B"), (4, 1, "d"), (3, 0, "stale")], "k int, v int, payload string"
+        )
+        upsert_parquet(spark, b2, p, ["k"], "v")
+        got = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(p).collect()}
+        assert got == {1: (1, "a"), 2: (2, "B"), 3: (1, "c"), 4: (1, "d")}
