@@ -54,3 +54,33 @@ def dq_referential_violations(
         F.lit(rule_name).alias("rule"),
         F.count("*").cast("bigint").alias("n_violations"),
     )
+
+
+def write_with_metrics(
+    df: DataFrame,
+    rules: dict[str, Column],
+    path: str | None = None,
+) -> dict[str, int]:
+    """Validate WHILE writing: attach the single-pass violation counters
+    as a `DataFrame.observe` observation on the write job itself, so the
+    quality metrics come out of the same scan that produced the output —
+    no second pass over 100 TB. Writes parquet to `path` (or a noop sink
+    when None — metrics-only), returns {rule: n_violations}."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq")
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred.cast("boolean"), F.lit(False)), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias(name)
+        for name, pred in rules.items()
+    ]
+    observed = df.observe(obs, *aggs)
+    writer = observed.write.mode("overwrite")
+    if path is None:
+        writer.format("noop").save()
+    else:
+        writer.parquet(path)
+    return {k: int(v) for k, v in obs.get.items()}

@@ -266,3 +266,23 @@ def test_dq_rules_count_violations_single_pass(spark):
     child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "fk int")
     ref = dq_referential_violations(child, "fk", parent, "k", "fk_ok").first()
     assert (ref["rule"], ref["n_violations"]) == ("fk_ok", 2)
+
+
+def test_write_with_metrics_observes_violations_during_write(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions.dataquality import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None)], "id int, price double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        metrics = write_with_metrics(
+            df,
+            {"price_positive": F.col("price") > 0, "id_not_null": F.col("id").isNotNull()},
+            path=f"{d}/out",
+        )
+        assert metrics == {"price_positive": 2, "id_not_null": 0}
+        assert spark.read.parquet(f"{d}/out").count() == 3
