@@ -503,6 +503,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     broadcast_budget_bytes: int = 256 << 20,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """PageRank on a DIRECTED edge list (src, dst), fixed iteration count:
     r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u)/outdeg(u).
@@ -511,6 +512,12 @@ def pagerank(
     so ranks sum to < 1; the recurrence is otherwise the classic one and
     is exactly expressible in SQL (the DuckDB oracle mirrors it with a
     recursive CTE). Output: (node, rank).
+
+    `seeds`: PERSONALIZED PageRank — the teleport term restricts to the
+    seed set ((1-d)/|seeds| at seed nodes, 0 elsewhere) and the initial
+    mass is uniform over seeds, so ranks measure proximity to the seeds
+    (random walk with restart). Identical round shape and cost; only the
+    teleport expression changes.
 
     Same mechanics as the HyperBall loop (functions/sketches.py),
     mirrored for the src->dst message direction: the edge table is
@@ -552,17 +559,24 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
-    base = (1.0 - damping) / n
+    if seeds is None:
+        init_rank = F.lit(1.0 / n)
+        teleport = F.lit((1.0 - damping) / n)
+    else:
+        is_seed = F.col("node").isin(*[int(x) for x in seeds])
+        init_rank = F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+        teleport = F.when(is_seed, F.lit((1.0 - damping) / len(seeds))).otherwise(
+            F.lit(0.0)
+        )
+    ranks = nodes.select("node", init_rank.alias("rank")).localCheckpoint(eager=True)
     for it in range(1, iterations + 1):
         build = F.broadcast(ranks) if use_broadcast else ranks
         nxt = (
             e_aug.join(build, e_aug["src"] == build["node"], "inner")
             .select(e_aug["dst"].alias("node"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("node")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .agg(F.sum("c").alias("_s"))
+            .select("node", (teleport + F.lit(damping) * F.col("_s")).alias("rank"))
         )
         if it % checkpoint_every == 0 or it == iterations:
             nxt = nxt.localCheckpoint(eager=True)

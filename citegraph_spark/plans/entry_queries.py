@@ -490,6 +490,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_ppr",
+    f"""
+WITH RECURSIVE
+cit AS ({_CIT_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT "from" AS node FROM cit UNION ALL SELECT "to" FROM cit
+  )
+),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+outdeg AS (SELECT "from" AS src, CAST(COUNT(*) AS DOUBLE) AS od FROM cit GROUP BY "from"),
+eaug AS (
+  SELECT c."from" AS src, c."to" AS dst, 1.0 / o.od AS w
+  FROM cit c JOIN outdeg o ON c."from" = o.src
+  UNION ALL
+  SELECT node, node, 0.0 FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node,
+         CASE WHEN node IN (SELECT node FROM seeds) THEN 1.0 / 3.0 ELSE 0.0 END AS rank
+  FROM nodes
+  UNION ALL
+  SELECT pr.iter + 1, e.dst AS node,
+         CASE WHEN e.dst IN (SELECT node FROM seeds) THEN 0.15 / 3.0 ELSE 0.0 END
+           + 0.85 * SUM(pr.rank * e.w)
+  FROM pr JOIN eaug e ON pr.node = e.src
+  WHERE pr.iter < 10
+  GROUP BY pr.iter + 1, e.dst
+)
+SELECT node, ROUND(rank * 1e6, 3) AS rank_ppm
+FROM pr WHERE iter = 10 AND rank > 0 ORDER BY node
+""",
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from the 3
+    smallest node ids: the teleport term restricts to the seed set, so
+    rank measures proximity to the seeds — the recommendation/expansion
+    primitive. Zero-rank nodes (unreached from the seeds in 10 rounds)
+    are dropped on BOTH sides so the result is seed-local, not
+    graph-sized. Same zero-shuffle broadcast rounds as graph_pagerank;
+    oracle replays the recurrence with a seed-conditional teleport."""
+    from ..operators.graph import pagerank
+
+    edges = _citations(spark, sf_dir).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    nodes = edges.select(F.col("src").alias("n")).unionByName(
+        edges.select(F.col("dst").alias("n"))
+    )
+    seeds = [r["n"] for r in nodes.distinct().orderBy("n").limit(3).collect()]
+    return (
+        pagerank(edges, iterations=10, damping=0.85, seeds=seeds)
+        .filter(F.col("rank") > 0)
+        .select("node", F.round(F.col("rank") * 1e6, 3).alias("rank_ppm"))
+        .orderBy("node")
+    )
+
+
+@register(
     "graph_kcore",
     f"""
 WITH RECURSIVE

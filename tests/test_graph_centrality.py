@@ -162,3 +162,16 @@ def test_label_propagation_deterministic_under_repartition(spark):
         for r in label_propagation(e.repartition(7), max_iter=3).collect()
     }
     assert a == b
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    # chain 1->2->3 and isolated pair 10->11: seeding at 1 must leave
+    # the disconnected component with zero rank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst int"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=8, seeds=[1]).collect()}
+    assert r[10] == 0.0 and r[11] == 0.0
+    assert r[1] > r[2] > r[3] > 0
+    # decayed-dangling variant: total mass stays within (0, 1]
+    assert 0 < sum(r.values()) <= 1.0 + 1e-9
