@@ -35,9 +35,12 @@ def load_citations(spark: SparkSession, path: str) -> DataFrame:
     """`(from INT, to INT)` directed edge list from whitespace text."""
     lines = _non_comment_lines(spark, path)
     toks = lines.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+    # try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on a
+    # malformed token; try_cast -> null -> na.drop reproduces the
+    # reference's drop-bad-rows behavior (DataFrameLoader.scala:37)
     df = toks.select(
-        F.element_at("t", 1).cast("int").alias("from"),
-        F.element_at("t", 2).cast("int").alias("to"),
+        F.element_at("t", 1).try_cast("int").alias("from"),
+        F.element_at("t", 2).try_cast("int").alias("to"),
     )
     return df.na.drop()
 
@@ -51,7 +54,7 @@ def normalize_paper_id(col):
             (F.length(s) == 9) & s.startswith("11"), F.substring(s, 3, 7)
         )
         .otherwise(s)
-        .cast("int")
+        .try_cast("int")
     )
 
 
@@ -62,7 +65,7 @@ def load_published_dates(spark: SparkSession, path: str) -> DataFrame:
     toks = lines.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
     df = toks.select(
         normalize_paper_id(F.trim(F.element_at("t", 1))).alias("id"),
-        F.substring(F.trim(F.element_at("t", 2)), 1, 4).cast("int").alias("year"),
+        F.substring(F.trim(F.element_at("t", 2)), 1, 4).try_cast("int").alias("year"),
     ).na.drop()
     return df.groupBy("id").agg(F.min("year").alias("year"))
 

@@ -197,3 +197,57 @@ def test_upsert_parquet_latest_version_wins(spark):
         upsert_parquet(spark, b2, p, ["k"], "v")
         got = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(p).collect()}
         assert got == {1: (1, "a"), 2: (2, "B"), 3: (1, "c"), 4: (1, "d")}
+
+
+def test_custom_python_datasource_matches_column_loader(spark):
+    from citegraph_spark.sources.citations import (
+        load_citations,
+        load_published_dates,
+    )
+    from citegraph_spark.sources.citations_datasource import CitationsDataSource
+
+    spark.dataSource.register(CitationsDataSource)
+    with tempfile.TemporaryDirectory() as d:
+        # two shards -> two InputPartitions, plus comment/blank/malformed
+        # lines and a cross-listed 9-digit id
+        with open(f"{d}/cit", "w") as f:
+            f.write("# comment\n2 1\n3 1\n\nbad row x\n4 2\n")
+        with open(f"{d}/pub0.txt", "w") as f:
+            f.write("# c\n1\t1992-01-01\n2\t1993-03-04\n")
+        with open(f"{d}/pub1.txt", "w") as f:
+            f.write("110000042\t1994-05-06\n3\t1993-07-08\n")
+        os.makedirs(f"{d}/pubdir")
+        os.rename(f"{d}/pub0.txt", f"{d}/pubdir/pub0.txt")
+        os.rename(f"{d}/pub1.txt", f"{d}/pubdir/pub1.txt")
+
+        ds_cit = {
+            (r["from"], r["to"])
+            for r in spark.read.format("citations").load(f"{d}/cit").collect()
+        }
+        col_cit = {
+            (r["from"], r["to"]) for r in load_citations(spark, f"{d}/cit").collect()
+        }
+        assert ds_cit == col_cit == {(2, 1), (3, 1), (4, 2)}
+
+        ds_pub = {
+            (r["id"], r["year"])
+            for r in spark.read.format("citations")
+            .option("kind", "published")
+            .load(f"{d}/pubdir")
+            .collect()
+        }
+        # 110000042 -> 42 (9-digit 11-prefix normalization)
+        assert ds_pub == {(1, 1992), (2, 1993), (42, 1994), (3, 1993)}
+        col_pub = {
+            (r["id"], r["year"])
+            for r in load_published_dates(spark, f"{d}/pubdir/*.txt").collect()
+        }
+        assert ds_pub == col_pub
+
+        n_parts = (
+            spark.read.format("citations")
+            .option("kind", "published")
+            .load(f"{d}/pubdir")
+            .rdd.getNumPartitions()
+        )
+        assert n_parts == 2, "one InputPartition per shard file"
