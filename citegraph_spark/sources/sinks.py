@@ -128,3 +128,28 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) key: interleave the low `bits` bits of two
+    non-negative int columns — pure JVM column expressions (shifts,
+    masks, bitwise or), no UDF. Sorting by this key gives BOTH columns
+    locality, so range filters on either column prune files/row groups
+    after a `save_sorted_parquet(..., [zkey])` write — the multi-column
+    generalization of single-key clustering. 16 bits per dimension keeps
+    the key in a BIGINT; values are clamped into range first (clamping
+    only weakens locality for outliers, never correctness — the key is
+    layout, not data)."""
+    from pyspark.sql import functions as F
+
+    max_v = (1 << bits) - 1
+    a = F.least(F.greatest(col_a.cast("long"), F.lit(0)), F.lit(max_v))
+    b = F.least(F.greatest(col_b.cast("long"), F.lit(0)), F.lit(max_v))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return key

@@ -251,3 +251,31 @@ def test_custom_python_datasource_matches_column_loader(spark):
             .rdd.getNumPartitions()
         )
         assert n_parts == 2, "one InputPartition per shard file"
+
+
+def test_zorder_layout_gives_both_columns_locality(spark):
+    from citegraph_spark.sources.sinks import save_sorted_parquet, zorder_key
+
+    import pyarrow.parquet as pq
+
+    # 64x64 grid: z-order must bound BOTH x and y ranges per file,
+    # a plain x-sort would leave y spanning the full domain everywhere
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df = grid.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), bits=6))
+        save_sorted_parquet(df, f"{d}/z", ["zkey"], target_partitions=4)
+        spans_x, spans_y = [], []
+        for f in os.listdir(f"{d}/z"):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(f"{d}/z/{f}", columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            spans_x.append(max(xs) - min(xs))
+            spans_y.append(max(ys) - min(ys))
+        assert len(spans_x) >= 2
+        # each file covers about half the domain per dimension (a z-curve
+        # quadrant), far from the full 63-wide span a bad layout gives
+        assert max(spans_x) <= 40 and max(spans_y) <= 40, (spans_x, spans_y)
