@@ -702,3 +702,136 @@ def label_propagation(
 
     adj.unpersist()
     return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """SCC of a DIRECTED graph: TRIM + coloring (parallel FW-BW, Orzan).
+
+    Phase 1 — trim: a node with zero in-degree or zero out-degree cannot
+    be on a cycle, so it is a singleton SCC; peel such nodes iteratively
+    (each round: two distincts + two semi joins — a DAG trims to empty in
+    topological-depth rounds, so the common near-acyclic citation graph
+    never reaches the expensive phase). Phase 2 — coloring on the cyclic
+    residue: propagate the max node id FORWARD to a fixpoint (color
+    classes), then from each root (color(r)=r) propagate a confirmation
+    flag BACKWARD restricted to the root's color class; confirmed nodes
+    are exactly root's SCC (root→v forward ∧ v→root backward), emitted
+    and peeled — every color class peels one SCC per outer round. All
+    nodes never emitted by phase 2 (trimmed or edge-orphaned) are
+    singleton SCCs, emitted in one final anti-join. Output: (node, scc),
+    scc = the component's max node id.
+
+    Round shape matches connected_components: equi join + max-aggregate,
+    localCheckpoint lineage truncation, no RDDs/UDFs. Worst case (one
+    long cycle) pays O(cycle length) rounds — the bound any
+    label-propagation SCC pays.
+    """
+    spark = edges.sparkSession
+    live = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("src").cast("long").alias("node"))
+        .unionByName(edges.select(F.col("dst").cast("long").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- phase 1: trim acyclic fringe (cannot be on any cycle)
+    n_edges = live.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        srcs = live.select(F.col("src").alias("node")).distinct()
+        dsts = live.select(F.col("dst").alias("node")).distinct()
+        core = srcs.intersect(dsts)  # >=1 out-edge AND >=1 in-edge
+        nxt = (
+            live.join(core.withColumnRenamed("node", "_s"), live["src"] == F.col("_s"), "left_semi")
+            .join(core.withColumnRenamed("node", "_d"), live["dst"] == F.col("_d"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        live = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+
+    # ---- phase 2: coloring on the cyclic residue
+    out_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        nodes = (
+            live.select(F.col("src").alias("node"))
+            .unionByName(live.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nodes.isEmpty():
+            break
+        color = nodes.select("node", F.col("node").alias("color"))
+        for _i in range(max_rounds):
+            msgs = (
+                live.join(color, live["src"] == color["node"], "inner")
+                .select(F.col("dst").alias("node"), "color")
+            )
+            new_color = (
+                color.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            n_changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            color = new_color
+            if n_changed == 0:
+                break
+        confirmed = color.filter(F.col("node") == F.col("color")).select(
+            "node", "color"
+        )
+        for _i in range(max_rounds):
+            msgs = (
+                live.join(confirmed, live["dst"] == confirmed["node"], "inner")
+                .select(F.col("src").alias("node"), "color")
+            )
+            cand = (
+                msgs.join(color.withColumnRenamed("color", "_c"), "node")
+                .filter(F.col("color") == F.col("_c"))
+                .select("node", "color")
+            )
+            new_confirmed = (
+                confirmed.unionByName(cand)
+                .groupBy("node")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            if new_confirmed.count() == confirmed.count():
+                confirmed = new_confirmed
+                break
+            confirmed = new_confirmed
+        out_parts.append(confirmed.select("node", F.col("color").alias("scc")))
+        done = confirmed.select("node")
+        live = (
+            live.join(done.withColumnRenamed("node", "_s"), live["src"] == F.col("_s"), "left_anti")
+            .join(done.withColumnRenamed("node", "_d"), live["dst"] == F.col("_d"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    # ---- nodes never emitted (trimmed / orphaned) are singleton SCCs
+    cyclic = out_parts[0] if out_parts else None
+    for p in out_parts[1:]:
+        cyclic = cyclic.unionByName(p)
+    if cyclic is None:
+        return all_nodes.select("node", F.col("node").alias("scc"))
+    singletons = all_nodes.join(cyclic.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("scc")
+    )
+    return cyclic.unionByName(singletons)

@@ -652,3 +652,27 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register("graph_scc")  # rows-only: iterative trim+coloring (Tarjan-verified in tests)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected-component SIZE distribution of the directed
+    citation mapping (operators/graph.py strongly_connected_components:
+    trim acyclic fringe, color the cyclic residue). On this mapping the
+    overlapping orderkey/partkey id ranges create one giant SCC plus
+    singletons — (scc_size, n_sccs) is the stable, compact contract.
+    Rows-only: the nested fixpoints aren't SQL-expressible; the operator
+    is verified against a Tarjan reference implementation in tests."""
+    from ..operators.graph import strongly_connected_components
+
+    edges = _citations(spark, sf_dir).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    return (
+        strongly_connected_components(edges)
+        .groupBy("scc")
+        .agg(F.count("*").alias("n"))
+        .groupBy(F.col("n").alias("scc_size"))
+        .agg(F.count("*").alias("n_sccs"))
+        .orderBy("scc_size")
+    )

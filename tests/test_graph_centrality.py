@@ -175,3 +175,97 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     assert r[1] > r[2] > r[3] > 0
     # decayed-dangling variant: total mass stays within (0, 1]
     assert 0 < sum(r.values()) <= 1.0 + 1e-9
+
+
+def _tarjan(edges):
+    import sys
+
+    sys.setrecursionlimit(100000)
+    adj = collections.defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        adj[a].append(b)
+        nodes.update((a, b))
+    index, low, on, st, out = {}, {}, set(), [], []
+    counter = [0]
+
+    def strong(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        st.append(v)
+        on.add(v)
+        for w in adj[v]:
+            if w not in index:
+                strong(w)
+                low[v] = min(low[v], low[w])
+            elif w in on:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            comp = []
+            while True:
+                w = st.pop()
+                on.discard(w)
+                comp.append(w)
+                if w == v:
+                    break
+            out.append(frozenset(comp))
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    return set(out)
+
+
+def test_scc_on_crafted_graph(spark):
+    from citegraph_spark.operators.graph import strongly_connected_components
+
+    # cycle {1,2,3} -> cycle {4,5} -> singleton 6; back-edge free across
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = collections.defaultdict(set)
+    for r in strongly_connected_components(df).collect():
+        got[r["scc"]].add(r["node"])
+    assert set(map(frozenset, got.values())) == {
+        frozenset({1, 2, 3}),
+        frozenset({4, 5}),
+        frozenset({6}),
+    }
+
+
+def test_scc_matches_tarjan_on_random_graph(spark):
+    import random
+
+    from citegraph_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = collections.defaultdict(set)
+    for r in strongly_connected_components(df).collect():
+        got[r["scc"]].add(r["node"])
+    assert set(map(frozenset, got.values())) == _tarjan(edges)
+
+
+def test_scc_emits_trimmed_nodes_as_singletons(spark):
+    from citegraph_spark.operators.graph import strongly_connected_components
+
+    # star 3->1, 3->2: the fixed peel bug — 1 and 2 must appear
+    df = spark.createDataFrame([(3, 1), (3, 2)], "src int, dst int")
+    got = {(r["node"], r["scc"]) for r in strongly_connected_components(df).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_scc_cycle_hanging_off_dag(spark):
+    from citegraph_spark.operators.graph import strongly_connected_components
+
+    edges = [(10, 1), (1, 2), (2, 3), (3, 1), (3, 20)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = collections.defaultdict(set)
+    for r in strongly_connected_components(df).collect():
+        got[r["scc"]].add(r["node"])
+    assert set(map(frozenset, got.values())) == {
+        frozenset({1, 2, 3}),
+        frozenset({10}),
+        frozenset({20}),
+    }
