@@ -329,3 +329,46 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_stream_static_enrich_demo
 
     return run_stream_static_enrich_demo(spark, sf_dir)
+
+
+@register(
+    "events_hierarchical_rollup",
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(v), 2) AS value_sum,
+       CAST(count(*) AS BIGINT) AS n_hours_active
+FROM hourly
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily aggregates derived
+    from HOURLY pre-aggregates, never re-touching raw events — the
+    continuous-aggregate pattern (sums/counts re-aggregate losslessly;
+    the hourly tier is what a production pipeline materializes
+    incrementally, and every coarser resolution reads tiers, not the
+    100 TB raw feed). Two cascaded hash aggregates; the second runs on
+    |hours × types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("value_sum"),
+            F.count("*").alias("n_hours_active"),
+        )
+        .orderBy("day", "event_type")
+    )
