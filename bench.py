@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "split_train_test",
     "gopher_quality_filter",
     "tfidf_top_terms",
+    "sketch_mergeable_distinct",
+    "unpivot_part_measures",
+    "outer_join_nation_presence",
+    "dq_orders_checks",
+    "events_hierarchical_rollup",
 ]
 
 
