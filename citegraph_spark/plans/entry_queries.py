@@ -676,3 +676,115 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sccs"))
         .orderBy("scc_size")
     )
+
+
+@register(
+    "graph_hits",
+    f"""
+WITH RECURSIVE
+cit AS ({_CIT_SQL}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT "from" AS node FROM cit UNION ALL SELECT "to" FROM cit
+  )
+),
+msgs AS (
+  SELECT "from" AS frm, "to" AS t, 1 AS kind FROM cit
+  UNION ALL
+  SELECT "to" AS frm, "from" AS t, 2 AS kind FROM cit
+  UNION ALL
+  SELECT node, node, 0 FROM nodes
+),
+hk AS (
+  SELECT 0 AS iter, node,
+         CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth
+  FROM nodes
+  UNION ALL
+  SELECT hk.iter + 1, m.t AS node,
+         SUM(CASE WHEN m.kind = 2 THEN hk.auth ELSE CAST(0.0 AS DOUBLE) END) AS hub,
+         SUM(CASE WHEN m.kind = 1 THEN hk.hub ELSE CAST(0.0 AS DOUBLE) END) AS auth
+  FROM hk JOIN msgs m ON hk.node = m.frm
+  WHERE hk.iter < 10
+  GROUP BY hk.iter + 1, m.t
+),
+fin AS (SELECT node, hub, auth FROM hk WHERE iter = 10),
+mx AS (SELECT max(hub) AS mh, max(auth) AS ma FROM fin)
+SELECT node,
+       round(hub / mx.mh * 1e6, 3) AS hub_ppm,
+       round(auth / mx.ma * 1e6, 3) AS auth_ppm
+FROM fin, mx ORDER BY node
+""",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 10 Jacobi rounds (operators/graph.py hits —
+    one pre-expanded message join per round, zero-shuffle with the state
+    broadcast; same round mechanics as graph_pagerank). Scores are
+    normalized by their max AT OUTPUT (per-round normalization is a
+    scalar that cancels and is not expressible inside recursive SQL) and
+    emitted in ppm so the driver's hash carries ~9 significant digits.
+    The DuckDB oracle replays the identical recurrence as a recursive
+    CTE over the same message expansion."""
+    from ..operators.graph import hits
+
+    edges = _citations(spark, sf_dir).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    state = hits(edges, iterations=10)
+    mx = state.agg(
+        F.max("hub").alias("mh"), F.max("auth").alias("ma")
+    )
+    return (
+        state.join(F.broadcast(mx))
+        .select(
+            "node",
+            F.round(F.col("hub") / F.col("mh") * 1e6, 3).alias("hub_ppm"),
+            F.round(F.col("auth") / F.col("ma") * 1e6, 3).alias("auth_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+und AS (
+  SELECT DISTINCT least("from", "to") AS a, greatest("from", "to") AS b
+  FROM cit WHERE "from" <> "to"
+),
+nbrs AS (
+  SELECT a AS z, b AS x FROM und UNION ALL SELECT b AS z, a AS x FROM und
+),
+deg AS (SELECT z, count(*) AS deg FROM nbrs GROUP BY z),
+mid AS (
+  SELECT n.z, n.x, d.deg FROM nbrs n JOIN deg d ON n.z = d.z
+  WHERE d.deg BETWEEN 2 AND 10000
+),
+wedges AS (
+  SELECT m1.x AS a, m2.x AS b, 1.0 / ln(CAST(m1.deg AS DOUBLE)) AS aa_w
+  FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x
+),
+scores AS (
+  SELECT w.a, w.b, count(*) AS cn, round(sum(w.aa_w), 6) AS adamic_adar
+  FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
+  GROUP BY w.a, w.b
+)
+SELECT a, b, cn, adamic_adar FROM scores
+ORDER BY adamic_adar DESC, cn DESC, a, b
+LIMIT 100
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the undirected citation graph: top-100
+    non-adjacent pairs by Adamic-Adar over common neighbors
+    (operators/graph.py link_prediction — wedge join through the middle
+    node with a hub cap, anti-join against existing edges, heap top-k).
+    The order key is the ROUNDED score, so cross-engine float-sum
+    noise (~1e-15) cannot flip the top-k boundary."""
+    from ..operators.graph import canonical_pairs, link_prediction
+
+    und = canonical_pairs(_citations(spark, sf_dir), a="from", b="to")
+    return link_prediction(und, top_k=100, max_degree=10_000).select(
+        "a", "b", "cn", "adamic_adar"
+    )
