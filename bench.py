@@ -67,6 +67,16 @@ BENCH_QUERIES = [
     "outer_join_nation_presence",
     "dq_orders_checks",
     "events_hierarchical_rollup",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "graph_hits",
+    "graph_link_prediction",
+    "doc_repetition_signals",
+    "contamination_check",
 ]
 
 

@@ -447,3 +447,227 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_custkey", c, "c_custkey", "custkey_references_customer"
     )
     return rows.unionByName(ref).orderBy("rule")
+
+
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), "
+    "i -> array_to_string(list_slice(toks, i, i + 1), ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_SHINGLES8 = (
+    "list_distinct(CASE WHEN len(toks) >= 8 THEN "
+    "list_transform(range(1, len(toks) - 6), "
+    "i -> array_to_string(list_slice(toks, i, i + 7), ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+@register(
+    "doc_repetition_signals",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_types,
+         list_max(list_transform(list_distinct(toks),
+                  w -> len(list_filter(toks, t -> t = w)))) AS top_word,
+         {_BIGRAMS} AS bg
+  FROM t WHERE len(toks) > 0
+),
+sig2 AS (
+  SELECT doc_id, n_toks, n_types, top_word,
+         len(bg) AS n_bg,
+         CASE WHEN len(bg) > 0 THEN
+           list_max(list_transform(list_distinct(bg),
+                    w -> len(list_filter(bg, t -> t = w))))
+         ELSE 0 END AS top_bigram
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_toks AS INT) AS n_toks,
+       round(n_types * 1.0 / n_toks, 6) AS type_token_ratio,
+       round(top_word * 1.0 / n_toks, 6) AS top_word_frac,
+       round(CASE WHEN n_bg > 0 THEN top_bigram * 1.0 / n_bg ELSE 0.0 END, 6)
+         AS top_bigram_frac,
+       (top_word * 1.0 / n_toks > 0.1
+        OR (n_bg > 0 AND top_bigram * 1.0 / n_bg > 0.18)) AS is_repetitive
+FROM sig2 ORDER BY doc_id
+""",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher §A1.1-style
+    repetition rules, Rae et al. 2021): type-token ratio, most-frequent-
+    word fraction, most-frequent-bigram fraction, and a composite
+    repetitive flag. Computed entirely with ARRAY expressions (distinct×n
+    compares per row, JVM-side) — a narrow map with NO shuffle and no
+    explode, unlike the groupBy-per-word formulation whose shuffle volume
+    is the token count of the corpus; at 100 TB that difference is the
+    whole job."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    top_of = lambda arr: F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda w: F.size(F.filter(arr, lambda x: x == w)),
+        )
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sig = t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+        top_of(F.col("toks")).alias("top_word"),
+        bigrams.alias("bg"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        "n_types",
+        "top_word",
+        F.size("bg").alias("n_bg"),
+        F.when(F.size("bg") > 0, top_of(F.col("bg"))).otherwise(0).alias("top_bigram"),
+    )
+    twf = F.col("top_word") / F.col("n_toks")
+    tbf = F.when(F.col("n_bg") > 0, F.col("top_bigram") / F.col("n_bg")).otherwise(0.0)
+    return sig.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.round(F.col("n_types") / F.col("n_toks"), 6).alias("type_token_ratio"),
+        F.round(twf, 6).alias("top_word_frac"),
+        F.round(tbf, 6).alias("top_bigram_frac"),
+        ((twf > 0.1) | ((F.col("n_bg") > 0) & (tbf > 0.18))).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_domain_mix",
+    f"""
+WITH chars AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS cs
+               FROM documents GROUP BY source),
+mn AS (SELECT min(cs) AS m FROM chars),
+rates AS (SELECT source, CAST(floor(100.0 * mn.m / cs) AS INT) AS rate_pct
+          FROM chars, mn),
+b AS (SELECT doc_id, source, n_chars, {_BUCKET_SQL} AS bucket FROM documents),
+kept AS (
+  SELECT b.source, r.rate_pct, b.n_chars
+  FROM b JOIN rates r ON b.source = r.source
+  WHERE b.bucket < r.rate_pct
+)
+SELECT source, rate_pct,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY source, rate_pct ORDER BY source
+""",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: compute per-source keep-rates FROM the
+    data (equalize char mass to the smallest source — the generic form
+    of 'resample sources to target weights'), then hash-sample each
+    source at its computed rate. Two tiny aggregates produce the rate
+    table (broadcast back); the corpus pass stays narrow — md5-bucket
+    sampling is a pure key function, so the kept set is deterministic,
+    append-stable, and identical under repartitioning. Unlike
+    sample_stratified (fixed rates), the rates here are data-derived —
+    the two-pass compute-then-apply pipeline every mixing job needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("cs")
+    )
+    mn = chars.agg(F.min("cs").alias("m"))
+    rates = chars.join(F.broadcast(mn)).select(
+        "source",
+        F.floor(F.lit(100.0) * F.col("m") / F.col("cs")).cast("int").alias("rate_pct"),
+    )
+    b = docs.select(
+        "doc_id", "source", "n_chars", _bucket(F.col("doc_id")).alias("bucket")
+    )
+    return (
+        b.join(F.broadcast(rates), "source")
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "contamination_check",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES8} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 10),
+corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 10),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id
+),
+sizes AS (SELECT doc_id, len(sh) AS n_shingles FROM sh WHERE doc_id >= 10)
+SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(s.n_shingles AS INT) AS n_shingles,
+       round(h.n_hits * 1.0 / s.n_shingles, 6) AS hit_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+WHERE h.n_hits >= 5
+ORDER BY h.doc_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (the n-gram-overlap decontamination
+    step of every pretraining pipeline, e.g. GPT-3 appendix C / PaLM §6):
+    docs sharing >= 5 distinct 8-gram shingles with a benchmark set
+    (stand-in: doc_id < 10) are flagged with their hit count and hit
+    fraction. The benchmark's shingle set is small by construction, so
+    the probe is a BROADCAST semi-structured join against the corpus
+    posting list — the corpus is scanned once, never shuffled on the
+    shingle key (at 100 TB the posting-list self-join this replaces
+    would dwarf the job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    sh8 = F.when(
+        F.size("toks") >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 8)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", sh8.alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 10)
+    posting = corpus.select("doc_id", F.explode("sh").alias("s"))
+    hits_df = (
+        posting.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    sizes = corpus.select("doc_id", F.size("sh").alias("n_shingles"))
+    return (
+        hits_df.filter(F.col("n_hits") >= 5)
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("hit_frac"),
+        )
+        .orderBy("doc_id")
+    )
