@@ -980,3 +980,73 @@ def link_prediction(
     return scores.orderBy(
         F.col("adamic_adar").desc(), F.col("cn").desc(), "a", "b"
     ).limit(top_k)
+
+
+def sssp_bounded(
+    edges_w: DataFrame,
+    source: int,
+    rounds: int = 15,
+    checkpoint_every: int = 3,
+    broadcast_budget_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Weighted single-source shortest distances within `rounds` hops
+    (bounded Bellman-Ford): d_{k+1}(v) = min(d_k(v), min_{u->v} d_k(u) +
+    w(u,v)), run for a FIXED round count so the result ("shortest
+    distance using <= k edges") is exactly replayable in recursive SQL.
+
+    `edges_w`: (src, dst, w), non-negative weights. Same zero-shuffle
+    round mechanics as `pagerank`/`hits`: the edge table is augmented
+    once with zero-weight self-loops (carrying each node's own distance
+    forward, so a round is ONE join + min-aggregate with no union
+    against the previous state), pre-partitioned by dst, and the
+    distance table — which only ever holds REACHED nodes, a frontier
+    that grows like the ball around the source — is broadcast while it
+    fits `broadcast_budget_bytes`. Distances are sums of the input
+    weights selected by min: no divisions, so integer-valued weights
+    stay exact in double and the DuckDB oracle matches bit-for-bit.
+
+    Output: (node, dist) for nodes within `rounds` hops of `source`.
+    """
+    import gc
+
+    spark = edges_w.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .unionByName(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e_aug = (
+        edges_w.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0.0).alias("w"),
+            )
+        )
+        .repartition(n_shuffle, "dst")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    use_broadcast = n * 16 <= broadcast_budget_bytes
+
+    dist = e_aug.sparkSession.createDataFrame(
+        [(int(source), 0.0)], "node long, dist double"
+    )
+    for it in range(1, rounds + 1):
+        build = F.broadcast(dist) if use_broadcast else dist
+        nxt = (
+            e_aug.join(build, e_aug["src"] == build["node"], "inner")
+            .select(
+                e_aug["dst"].alias("node"),
+                (F.col("dist") + F.col("w")).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("dist"))
+        )
+        if it % checkpoint_every == 0 or it == rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        dist = nxt
+        gc.collect()
+    return dist

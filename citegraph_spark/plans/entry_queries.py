@@ -788,3 +788,55 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(und, top_k=100, max_degree=10_000).select(
         "a", "b", "cn", "adamic_adar"
     )
+
+
+@register(
+    "graph_sssp",
+    f"""
+WITH RECURSIVE
+cit AS ({_CIT_SQL}),
+ew AS (SELECT "from" AS src, "to" AS dst,
+              CAST(1 + ("to" % 5) AS DOUBLE) AS w FROM cit),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew
+  )
+),
+eaug AS (
+  SELECT src, dst, w FROM ew
+  UNION ALL
+  SELECT node, node, CAST(0 AS DOUBLE) FROM nodes
+),
+src0 AS (SELECT min("from") AS s FROM cit),
+sp AS (
+  SELECT 0 AS iter, s AS node, CAST(0 AS DOUBLE) AS dist FROM src0
+  UNION ALL
+  SELECT sp.iter + 1, e.dst AS node, MIN(sp.dist + e.w) AS dist
+  FROM sp JOIN eaug e ON sp.node = e.src
+  WHERE sp.iter < 15
+  GROUP BY sp.iter + 1, e.dst
+)
+SELECT node, round(dist, 1) AS dist FROM sp WHERE iter = 15 ORDER BY node
+""",
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest distances within 15 hops
+    (operators/graph.py sssp_bounded — bounded Bellman-Ford with
+    zero-weight self-loops, broadcast distance table, zero-shuffle
+    rounds; weights are the deterministic 1 + (dst % 5)). Distances are
+    min-selected sums of integer-valued weights — exact in double — so
+    the recursive-CTE oracle matches without tolerance."""
+    from ..operators.graph import sssp_bounded
+
+    cit = _citations(spark, sf_dir)
+    edges_w = cit.select(
+        F.col("from").cast("long").alias("src"),
+        F.col("to").cast("long").alias("dst"),
+        (1 + F.col("to") % 5).cast("double").alias("w"),
+    )
+    source = cit.agg(F.min("from")).first()[0]
+    return (
+        sssp_bounded(edges_w, source=int(source), rounds=15)
+        .select("node", F.round("dist", 1).alias("dist"))
+        .orderBy("node")
+    )

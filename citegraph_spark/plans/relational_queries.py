@@ -1018,3 +1018,44 @@ def outer_join_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "sql_api_region_revenue",
+    """
+SELECT r.r_name AS region,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, year(o.o_orderdate)
+ORDER BY region, o_year
+""",
+)
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string front door: the same engine surface exposed via
+    `spark.sql` over registered temp views — users who write ANSI SQL
+    instead of DataFrame chains get the identical Catalyst plan
+    (broadcast dims, one fact shuffle). The reference has no SQL parser
+    at all (SURVEY.md §3: queries are CLI task names); this query pins
+    our engine's parser path end-to-end against the DuckDB oracle."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlapi_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c, n, r) */
+               r.r_name AS region,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM sqlapi_lineitem l
+        JOIN sqlapi_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN sqlapi_customer c ON o.o_custkey = c.c_custkey
+        JOIN sqlapi_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN sqlapi_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, year(o.o_orderdate)
+        ORDER BY region, o_year
+        """
+    )

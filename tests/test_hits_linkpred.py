@@ -94,3 +94,45 @@ def test_link_prediction_excludes_existing_edges(spark):
         (r["a"], r["b"]) for r in link_prediction(und, top_k=1000).collect()
     }
     assert not (predicted & existing)
+
+
+def test_sssp_matches_dijkstra_bruteforce(spark):
+    import heapq
+
+    from citegraph_spark.operators.graph import sssp_bounded
+
+    raw = _raw_edges(spark)
+    edges_w = [(u, v, float(1 + v % 3)) for u, v in raw]
+    src = min(u for u, _ in raw)
+
+    # Dijkstra gives true shortest distances; with rounds >= |V| the
+    # bounded Bellman-Ford must agree exactly.
+    adj = collections.defaultdict(list)
+    for u, v, w in edges_w:
+        adj[u].append((v, w))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    df = spark.createDataFrame(edges_w, "src long, dst long, w double")
+    got = {r["node"]: r["dist"] for r in sssp_bounded(df, src, rounds=20).collect()}
+    assert got == dist
+
+
+def test_sssp_unreachable_nodes_absent(spark):
+    from citegraph_spark.operators.graph import sssp_bounded
+
+    # 1->2, isolated pair 3->4: from source 1 only {1, 2} are reachable
+    df = spark.createDataFrame(
+        [(1, 2, 5.0), (3, 4, 1.0)], "src long, dst long, w double"
+    )
+    got = {r["node"]: r["dist"] for r in sssp_bounded(df, 1, rounds=5).collect()}
+    assert got == {1: 0.0, 2: 5.0}
