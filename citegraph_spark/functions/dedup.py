@@ -185,6 +185,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-threshold near-dup pairs via PPJoin-style prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin; Xiao et al. PPJoin) over 3-gram
+    shingle sets.
+
+    Scale path: where the inverted-index join (`ngram_jaccard_pairs`)
+    posts EVERY shingle, this posts only each doc's prefix — the
+    (1-t)·|sh|+1 globally-RAREST shingles. For t=0.8 that is ~20 % of the
+    postings, and because the prefix keeps the rarest shingles first, the
+    candidate join's collision lists are the shortest ones. A length
+    filter (t·max(|a|,|b|) <= min(|a|,|b|), necessary for J >= t) prunes
+    candidates before the distinct.
+
+    Correctness: sort every doc's shingles by one global order (document
+    frequency asc, shingle asc). With prefix length
+    p = n - ceil(t·n) + 1, any pair with J >= t shares >= ceil(t·n)
+    shingles, which cannot all fit in the (ceil(t·n) - 1)-element
+    suffixes — so some shared shingle lands in both prefixes. Candidates
+    are then verified with exact Jaccard; output == the brute-force /
+    inverted-index answer.
+
+    Shuffles: df-count groupBy(shingle), ordering groupBy(doc_id),
+    candidate join on shingle, two verify joins on doc_id — all keyed,
+    all map-side-combinable. Nothing scales with |docs|².
+
+    Output: (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", shingles(F.col("_toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    posting = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = posting.groupBy("s").agg(F.count("*").alias("df"))
+    # global rare-first order: array_sort over struct<df,s> sorts by df
+    # then shingle — deterministic across executors
+    ordered = (
+        posting.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "s"))), lambda e: e["s"]
+            ).alias("os")
+        )
+    )
+    n = F.size("os")
+    p = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    pre = ordered.select("doc_id", n.alias("n"), F.slice("os", F.lit(1), p).alias("prefix"))
+    left = pre.select(
+        F.col("doc_id").alias("a"), F.col("n").alias("na"), F.explode("prefix").alias("s")
+    )
+    right = pre.select(
+        F.col("doc_id").alias("b"), F.col("n").alias("nb"), F.explode("prefix").alias("s")
+    )
+    cand = (
+        left.join(right, "s")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.greatest("na", "nb") * F.lit(threshold) <= F.least("na", "nb"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc SIMHASH_BITS-bit SimHash over word tokens.
 

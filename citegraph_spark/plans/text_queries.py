@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dedup, multimodal, similarity, text
+from ..functions import dedup, frequency, multimodal, similarity, text
 from ..sources.tables import load_table
 from .entry_queries import register
 
@@ -264,6 +264,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs)
 
 
+@register(
+    "dedup_prefix_filter",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+     sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+     nz AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+      (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+ORDER BY a, b
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join (exact
+    Jaccard >= 0.8 over 3-gram shingles). The oracle is the O(n²)
+    brute-force formulation — an independent algorithm producing the
+    identical pair set, so the hash match proves the prefix filter loses
+    no pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(docs)
+
+
 def _simhash_votes_sql() -> str:
     return ", ".join(
         f"sum(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
@@ -302,6 +327,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Rows-only check: the banding join is the non-SQL part."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs)
+
+
+@register(
+    "heavy_hitters_exact",
+    f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+     c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20
+""",
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent tokens: explode + hash-groupBy (map-side
+    partial) + TakeOrderedAndProject top-k — the JVM baseline the
+    Misra-Gries sketch approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(20)
+    )
+
+
+@register("heavy_hitters_mg")  # rows-only: estimates are partition-order-dependent
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable heavy-hitters sketch (k=64 counters/partition,
+    two-level merge): single-pass bounded-memory top-20 token estimate.
+    Rows-only check; the est <= true <= est + N/(k+1) bound and the
+    guaranteed-presence of every token with freq > N/(k+1) are asserted
+    in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return frequency.misra_gries_topn(toks, col="tok", k=64, topn=20)
 
 
 # -------------------------------------------------------------- similarity

@@ -153,3 +153,24 @@ def zorder_key(col_a, col_b, bits: int = 16):
             F.shiftleft(bit_b, 2 * i + 1)
         )
     return key
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leaving every other partition of the target untouched.
+
+    This is the scale-correct incremental refresh for a partitioned
+    100 TB table: a daily job writes the day's partition(s) without
+    rewriting — or even listing — the rest of the table, and without the
+    read-modify-write cycle `upsert_parquet` needs for keyed merges.
+    Spark's STATIC overwrite mode (the default) would first DELETE the
+    whole root path; the partitionOverwriteMode=dynamic session/ write
+    option scopes the delete to partitions the incoming frame actually
+    contains (Spark SQL docs, `spark.sql.sources.partitionOverwriteMode`).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

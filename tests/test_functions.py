@@ -286,3 +286,32 @@ def test_write_with_metrics_observes_violations_during_write(spark):
         )
         assert metrics == {"price_positive": 2, "id_not_null": 0}
         assert spark.read.parquet(f"{d}/out").count() == 3
+
+
+def test_prefix_filter_equals_inverted_index(spark, docs):
+    """Prefix filtering is exact: at any threshold, the pair set must be
+    IDENTICAL to the full inverted-index join (no lost candidates)."""
+    for t in (0.8, 0.5):
+        pf = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        full = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == full and len(pf) > 0
+
+
+def test_prefix_filter_handles_skewed_tiny_corpus(spark):
+    """Docs sharing only COMMON shingles must not pair below threshold,
+    and exact duplicates must pair at jaccard 1.0."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "alpha beta gamma completely different tail words here"),
+        (4, "unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.prefix_filter_jaccard_pairs(df, threshold=0.8).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]

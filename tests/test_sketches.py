@@ -69,3 +69,51 @@ def test_mergeable_hll_sketches_match_exact_counts(spark):
     merged = QUERIES["sketch_mergeable_distinct"](spark, sf_dir).first()["approx_customers"]
     exact_total = c.select("c_custkey").distinct().count()
     assert abs(merged - exact_total) <= max(1, 0.02 * exact_total)
+
+
+# ------------------------------------------------------- Misra-Gries
+
+
+def test_misra_gries_bounds_and_presence(spark):
+    """est <= true <= est + N/(k+1) for every reported token, and every
+    token with true freq > N/(k+1) must be reported (guaranteed-presence
+    property of a merged MG summary)."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions import frequency, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    k = 64
+    n_total = toks.count()
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    err = n_total / (k + 1)
+
+    mg = frequency.misra_gries_topn(toks, col="tok", k=k, topn=20).collect()
+    assert len(mg) == 20
+    for r in mg:
+        true = exact[r["tok"]]
+        assert r["est_cnt"] <= true <= r["est_cnt"] + err, (r, true, err)
+
+    # full summary (topn=k): must contain every token above the bound
+    full = {
+        r["tok"]
+        for r in frequency.misra_gries_topn(toks, col="tok", k=k, topn=k).collect()
+    }
+    must_have = {t for t, c in exact.items() if c > err}
+    assert must_have <= full, must_have - full
+
+
+def test_misra_gries_merge_rule():
+    """Unit-check the decrement merge: k=2, stream a,a,a,b,b,c,c,d —
+    merged pairwise summaries keep the heavy keys with valid bounds."""
+    from citegraph_spark.functions.frequency import _mg_merge
+
+    s = _mg_merge({}, {"a": 3, "b": 2}, 2)
+    assert s == {"a": 3, "b": 2}
+    s = _mg_merge(s, {"c": 2, "d": 1}, 2)
+    # counts: a3 b2 c2 d1 -> 3rd largest = 2 -> a1 survives; b,c drop to 0, d negative
+    assert s == {"a": 1}

@@ -292,3 +292,30 @@ def test_zorder_layout_gives_both_columns_locality(spark):
         # average, and y locality strictly beats the x-sorted layout
         assert mean_y_z < 0.8 * mean_y_xsort, (z, xs)
         assert mean_x_z <= 48, z
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
+    from citegraph_spark.sources.sinks import overwrite_partitions_dynamic
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [("2025-01-01", 1, 10.0), ("2025-01-02", 2, 20.0), ("2025-01-03", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions_dynamic(base, path, ["day"])
+
+    # refresh day 2 only, with different content
+    patch = spark.createDataFrame(
+        [("2025-01-02", 99, 99.9)], "day string, k int, v double"
+    )
+    overwrite_partitions_dynamic(patch, path, ["day"])
+
+    # partition-column inference reads `day` back as a date; normalize
+    got = {
+        (str(r["day"]), r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2025-01-01", 1, 10.0),
+        ("2025-01-02", 99, 99.9),  # replaced
+        ("2025-01-03", 3, 30.0),  # untouched
+    }
