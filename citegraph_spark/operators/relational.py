@@ -202,3 +202,117 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l_salted.join(r_salted, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact global rank (dense row numbering by `order_cols`)
+    WITHOUT a single-partition sort.
+
+    `Window.orderBy` with no partition key pulls every row into ONE
+    partition — the classic scale cliff. This instead mirrors how Spark's
+    own sort executes: range-repartition on the keys (disjoint, ordered
+    key ranges per partition), count rows per partition (a tiny
+    P-row aggregate collected to the driver, like the range sampler
+    itself), then global rank = cumulative offset of earlier partitions +
+    intra-partition row_number. The per-partition window still exchanges
+    on the synthetic partition id, but each hash bucket holds one
+    already-range-bounded partition — nothing ever concentrates on a
+    single machine.
+
+    Ties broken by the full `order_cols` list — pass enough columns to
+    make the order total, or equal rows get an arbitrary (but stable
+    within a run) relative order.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run per job
+    )
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return ranged.withColumn(
+        rank_col, (F.row_number().over(w) + offset_map[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Exact equi-depth histogram: rank every row with `global_rank`,
+    assign bucket = (rank-1)*n_buckets div N (integer math — no float
+    boundary ambiguity), aggregate count/min/max/sum per bucket."""
+    total = df.count()
+    ranked = global_rank(df, [value_col, tiebreak_col])
+    bucket = ((F.col("rnk") - 1) * n_buckets / F.lit(total)).cast("int")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min(value_col), 2).alias("lo"),
+            F.round(F.max(value_col), 2).alias("hi"),
+            F.round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 20,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance <= max_dist, without
+    the O(n²) cross join: levenshtein(a,b) >= |len(a)-len(b)|, so
+    candidates only need docs whose lengths fall in the same or adjacent
+    length bucket of width max_dist (a 3-way bucket explode on one side
+    of an equi join). The cheap |len diff| filter runs before the
+    quadratic-cost levenshtein.
+
+    Output: (a, b, dist) with a < b, dist <= max_dist.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"), F.length(text_col).alias("l")
+    )
+    b0 = F.floor(F.col("l") / max_dist).cast("int")
+    left = d.select(F.col("id").alias("ida"), F.col("txt").alias("ta"),
+                    F.col("l").alias("la"), b0.alias("bucket"))
+    right = d.select(
+        F.col("id").alias("idb"), F.col("txt").alias("tb"), F.col("l").alias("lb"),
+        F.explode(F.array(b0 - 1, b0, b0 + 1)).alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("ida") < F.col("idb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        )
+        .select(
+            F.col("ida").alias("a"),
+            F.col("idb").alias("b"),
+            F.levenshtein("ta", "tb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("a", "b")
+    )

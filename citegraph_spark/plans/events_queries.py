@@ -451,3 +451,100 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "events_funnel",
+    """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+     p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+     f AS (SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM v
+           UNION ALL SELECT 2, 'click', count(*) FROM c
+           UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+SELECT CAST(step AS INT) AS step, step_name, CAST(users AS BIGINT) AS users,
+       round(coalesce(users * 1.0 / lag(users) OVER (ORDER BY step), 1.0), 6)
+         AS conversion
+FROM f ORDER BY step
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view -> click -> purchase: each user advances a
+    step only with an event strictly AFTER their previous step's earliest
+    qualifying event (min-timestamp chaining, the standard funnel
+    semantics). Three keyed min-aggregates + two equi joins on user_id —
+    after the first shuffle the rest are co-partitioned; step-over-step
+    conversion from a 3-row window."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = None
+    for step, (name, df) in enumerate([("view", t1), ("click", t2), ("purchase", t3)], 1):
+        row = df.agg(F.count("*").alias("users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("step_name"), "users"
+        )
+        steps = row if steps is None else steps.unionByName(row)
+    w = Window.orderBy("step")
+    return steps.select(
+        "step",
+        "step_name",
+        "users",
+        F.round(
+            F.coalesce(F.col("users") / F.lag("users").over(w), F.lit(1.0)), 6
+        ).alias("conversion"),
+    ).orderBy("step")
+
+
+@register(
+    "events_cohort_retention",
+    """
+WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+           FROM events GROUP BY user_id),
+     a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events)
+SELECT f.cohort_week AS cohort_week,
+       CAST((a.week - f.cohort_week) / 7 AS INT) AS week_offset,
+       count(*) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the ISO week of
+    their first event; active_users counts distinct users of each cohort
+    seen again k weeks later. Both sides reduce events to small per-user
+    frames before the join (shuffle on user_id, then on the tiny
+    (cohort, offset) key)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"))
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

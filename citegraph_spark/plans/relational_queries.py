@@ -1059,3 +1059,30 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY region, o_year
         """
     )
+
+
+@register(
+    "equidepth_histogram_prices",
+    """
+WITH r AS (SELECT o_totalprice,
+                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+                  count(*) OVER () AS n
+           FROM orders)
+SELECT CAST(((rnk - 1) * 8) // n AS INT) AS bucket,
+       count(*) AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(sum(o_totalprice), 2) AS value_sum
+FROM r GROUP BY 1 ORDER BY 1
+""",
+)
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket equi-depth histogram of order prices via the
+    distributed global-rank operator (range repartition + per-partition
+    offsets — never a single-partition sort; operators/relational.py
+    `global_rank`). Bucket assignment is pure integer math, so the
+    NTILE-free oracle formulation hash-matches exactly."""
+    from ..operators.relational import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(orders, "o_totalprice", "o_orderkey", n_buckets=8)

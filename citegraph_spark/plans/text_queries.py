@@ -587,3 +587,61 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, k=3)
+
+
+@register(
+    "dedup_edit_distance",
+    """
+WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 20
+WHERE levenshtein(a.text, b.text) <= 20
+ORDER BY a, b
+""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (dist <= 20) via length-bucket blocking
+    — dist >= |len(a)-len(b)| makes same/adjacent length buckets a
+    lossless candidate filter, so no O(n²) cross join reaches the
+    quadratic-cost levenshtein kernel."""
+    from ..operators.relational import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs)
+
+
+@register(
+    "bpe_top_merges",
+    f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+     p AS (SELECT unnest(list_transform(range(1, length(tok)),
+                                        i -> substring(tok, i, 2))) AS pair
+           FROM t WHERE length(tok) >= 2)
+SELECT pair, count(*) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training step: corpus-wide counts of adjacent character
+    pairs within word tokens, top-20 merge candidates. Two explodes that
+    never leave the scan stage, one hash aggregate with map-side partial
+    counts, TakeOrderedAndProject top-k — no shuffle carries raw pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )

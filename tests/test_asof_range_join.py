@@ -63,3 +63,70 @@ def test_range_join_binned_no_key(spark):
         ).collect()
     }
     assert got == {(1, 10), (2, 10), (3, 11)}
+
+
+# ------------------------------------------------- global rank / histogram
+
+
+def test_global_rank_matches_single_partition_sort(spark):
+    """Distributed rank (range partitions + offsets) must equal the naive
+    global-window row_number for every row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.relational import global_rank
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("v"), F.col("id").alias("k")
+    )
+    got = global_rank(df, ["v", "k"], num_partitions=16)
+    naive = df.withColumn("rnk", F.row_number().over(Window.orderBy("v", "k")).cast("long"))
+    assert got.join(naive, ["v", "k"]).filter(
+        got["rnk"] != naive["rnk"]
+    ).count() == 0
+
+
+def test_equidepth_histogram_buckets_balanced(spark):
+    from citegraph_spark.operators.relational import equidepth_histogram
+
+    df = spark.range(0, 1003).selectExpr("id * 7 % 991 AS v", "id AS k")
+    h = equidepth_histogram(df, "v", "k", n_buckets=8).collect()
+    assert len(h) == 8
+    sizes = [r["n_rows"] for r in h]
+    assert sum(sizes) == 1003 and max(sizes) - min(sizes) <= 1
+    # buckets must tile the value range in order
+    for lo_r, hi_r in zip(h, h[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_edit_distance_pairs_blocking_is_lossless(spark):
+    """Length-bucket blocking must find exactly the brute-force pairs."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.relational import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghiX"),          # dist 1 to doc 1
+            (3, "abcdefghijklmnop"),    # dist 6 to doc 1 (appended)
+            (4, "zzzzzzzzzz"),          # dist 10 to doc 1, > threshold 5
+            (5, "abc"),                 # big length gap
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in edit_distance_pairs(docs, max_dist=5).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("tb"))
+    brute = {
+        (r["a"], r["b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("ta", "tb").alias("dist"))
+        .filter(F.col("dist") <= 5)
+        .collect()
+    }
+    assert got == brute and (1, 2, 1) in got

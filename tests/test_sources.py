@@ -319,3 +319,51 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
         ("2025-01-02", 99, 99.9),  # replaced
         ("2025-01-03", 3, 30.0),  # untouched
     }
+
+
+def test_incremental_rollup_refresh_matches_full_recompute(spark, tmp_path):
+    """Refreshing one day must (a) bit-match a full recompute for that
+    day, (b) leave every other partition untouched."""
+    from citegraph_spark.sources.sinks import (
+        daily_event_rollup,
+        overwrite_partitions_dynamic,
+        refresh_rollup_days,
+    )
+
+    from citegraph_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "rollup")
+
+    # initial build from STALE data (one day truncated), full-table write
+    stale_day = "2024-01-05"
+    stale = ev.filter(
+        ~((F.to_date("ts").cast("string") == stale_day) & (F.col("value") > 50))
+    )
+    overwrite_partitions_dynamic(daily_event_rollup(stale), path, ["day"])
+
+    before = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    # late data arrives for the stale day -> refresh only that partition
+    refresh_rollup_days(ev, path, [stale_day])
+
+    after = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["value_sum"])
+        for r in spark.read.parquet(path).collect()
+    }
+    expected = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["value_sum"])
+        for r in daily_event_rollup(ev).collect()
+    }
+    for key, val in after.items():
+        if key[0] == stale_day:
+            assert val == expected[key]          # refreshed == full recompute
+        else:
+            assert val == before[key]            # untouched partitions identical
+    assert any(k[0] == stale_day for k in after)
+    assert {k for k in after if k[0] == stale_day} == {
+        k for k in expected if k[0] == stale_day
+    }
