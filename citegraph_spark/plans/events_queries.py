@@ -548,3 +548,88 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_gap_fill",
+    """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                  count(*) AS n, round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+     bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi FROM events),
+     grid AS (SELECT t.event_type, g.hr
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                    FROM bounds) g)
+SELECT grid.event_type AS event_type,
+       strftime(grid.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(h.n, 0) AS n,
+       last_value(h.v IGNORE NULLS)
+         OVER (PARTITION BY grid.event_type ORDER BY grid.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid LEFT JOIN h ON grid.event_type = h.event_type AND grid.hr = h.hr
+ORDER BY event_type, hour
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: a dense hourly (type × hour) grid
+    (sequence + explode — generated, never shuffled), left-joined with the
+    hourly aggregate; empty buckets get n=0 and carry the last observed
+    hourly value-sum forward (LOCF via last(ignorenulls) running window)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("v", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_transitions",
+    """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition (Markov) counts: lag over the
+    per-user event sequence (total order via (ts, event_id) tiebreak),
+    then a tiny 5×5 aggregate. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        s.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -671,3 +671,49 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_weighted",
+    """
+WITH u AS (SELECT o_orderkey, o_totalprice,
+                  ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 AS unif
+           FROM orders),
+     k AS (SELECT o_orderkey, o_totalprice,
+                  -ln(unif) / o_totalprice AS key
+           FROM u WHERE unif > 0)
+SELECT o_orderkey, o_totalprice, round(key * 1e6, 6) AS priority_ppm
+FROM k ORDER BY key, o_orderkey LIMIT 50
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-ES
+    form: priority = -ln(u)/w with u a DETERMINISTIC md5-derived uniform
+    per key — the 50 smallest priorities are a weight-proportional sample
+    that is reproducible, append-stable, and needs only a top-k
+    (TakeOrderedAndProject), never a global sort. rand()-based weighted
+    sampling has none of those properties at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    unif = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    k = (
+        orders.select("o_orderkey", "o_totalprice", unif.alias("unif"))
+        .filter(F.col("unif") > 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (-F.log("unif") / F.col("o_totalprice")).alias("key"),
+        )
+    )
+    return (
+        k.select(
+            "o_orderkey", "o_totalprice", F.round(F.col("key") * 1e6, 6).alias("priority_ppm"), "key"
+        )
+        .orderBy("key", "o_orderkey")
+        .limit(50)
+        .drop("key")
+    )
