@@ -943,6 +943,11 @@ def link_prediction(
     sole witnesses are hubs, which Adamic-Adar already down-weights by
     1/ln(deg)).
     """
+    # und_edges may hang off an arbitrary (dedup/join) lineage and is
+    # scanned 3 more times below (both wedge sides via mid, the anti
+    # build) — materialize it once instead of recomputing its exchanges
+    # per consumer
+    und_edges = und_edges.localCheckpoint(eager=True)
     nbrs = (
         und_edges.select(F.col("a").alias("z"), F.col("b").alias("x"))
         .unionByName(und_edges.select(F.col("b").alias("z"), F.col("a").alias("x")))
@@ -958,6 +963,9 @@ def link_prediction(
             "z",
         )
         .select("z", "x", "deg")
+        # both sides of the wedge self-join read this: compute the
+        # degree-join once, not twice
+        .localCheckpoint(eager=True)
     )
     left = mid.select("z", F.col("x").alias("u"), "deg")
     right = mid.select(F.col("z").alias("z2"), F.col("x").alias("v"))

@@ -653,16 +653,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") >= 10)
-    posting = corpus.select("doc_id", F.explode("sh").alias("s"))
+    # n_shingles rides the posting rows (one int per row) so the corpus
+    # shingling runs ONCE — no second evaluation + join-back for sizes
+    posting = corpus.select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
     hits_df = (
         posting.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count("*").alias("n_hits"), F.first("n_shingles").alias("n_shingles"))
     )
-    sizes = corpus.select("doc_id", F.size("sh").alias("n_shingles"))
     return (
         hits_df.filter(F.col("n_hits") >= 5)
-        .join(sizes, "doc_id")
         .select(
             "doc_id",
             F.col("n_hits").cast("bigint").alias("n_hits"),
