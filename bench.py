@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "graph_sssp",
     "events_scd2_history",
     "sql_api_region_revenue",
+    "events_moving_avg_time",
+    "stats_moments",
+    "winsorized_prices",
+    "hof_array_stats",
+    "events_json_map_agg",
+    "graph_closeness_sampled",
 ]
 
 

@@ -81,3 +81,72 @@ def misra_gries_topn(
     )
     merged = partials.groupBy().applyInPandas(mg_final, "tok string, est_cnt long")
     return merged.orderBy(F.desc("est_cnt"), "tok")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005 — public)
+# --------------------------------------------------------------------------
+
+
+def _cms_hash(key: str, row: int, width: int) -> int:
+    """Deterministic row-seeded bucket: md5 of '<row>:<key>' — stable
+    across processes, partitions, and engines (no PYTHONHASHSEED
+    dependence)."""
+    import hashlib
+
+    h = hashlib.md5(f"{row}:{key}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % width
+
+
+def count_min_estimates(
+    tokens_df: DataFrame,
+    query_keys: list[str],
+    col: str = "tok",
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch point estimates for `query_keys` over the token
+    stream: depth x width counter matrix, est(key) = min over rows of
+    the key's bucket. One-sided error: est >= true always, and
+    est <= true + 2N/width with probability >= 1 - 2^-depth.
+
+    Spark shape (mergeable-summary two-level, same as Misra-Gries
+    above): mapInPandas builds ONE sketch per partition (exact
+    value_counts per Arrow batch folded into the matrix), emitted as
+    depth*width (cell_idx, cnt) rows; cell-wise summation — CMS merge IS
+    vector addition — happens in a single JVM-side groupBy(cell).sum,
+    so the reduce stage never touches Python. The queried keys are then
+    estimated from the merged matrix in one tiny driver-side pass.
+    State: depth*width*8 bytes per partition (80 KB at 5x2048) —
+    constant in N, the point of a sketch at 100 TB.
+    """
+    spark = tokens_df.sparkSession
+
+    def sketch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        m = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            for key, cnt in pdf[col].value_counts().items():
+                for r in range(depth):
+                    m[r, _cms_hash(str(key), r, width)] += int(cnt)
+        flat = m.ravel()
+        nz = np.flatnonzero(flat)
+        yield pd.DataFrame({"cell": nz.astype("int64"), "cnt": flat[nz]})
+
+    cells = (
+        tokens_df.select(F.col(col).alias(col))
+        .mapInPandas(sketch_partition, "cell long, cnt long")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {int(r["cell"]): int(r["cnt"]) for r in cells.collect()}
+    rows = []
+    for key in query_keys:
+        est = min(
+            merged.get(r * width + _cms_hash(key, r, width), 0) for r in range(depth)
+        )
+        rows.append((key, est))
+    return spark.createDataFrame(rows, "tok string, est_cnt long").orderBy(
+        F.desc("est_cnt"), "tok"
+    )

@@ -12,7 +12,7 @@ linear scaling; Catalyst pipelines them into the scan stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Language-marker stopwords for the n-gram/lexicon language-ID heuristic.
@@ -89,3 +89,82 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (The content-defined rolling-hash variant is `dedup.simhash`.)"""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def char_symbols(col: Column) -> Column:
+    """Token string -> array of single-character symbols (BPE start state)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: F.substring(col, i, F.lit(1))
+    )
+
+
+def bpe_merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a symbol array: greedy left-to-right
+    replacement of adjacent (a, b) with the merged symbol a||b, as a
+    single JVM-side `aggregate` fold — no Python boundary. Overlaps
+    resolve left-first automatically: once merged, the new last element
+    is a||b (strictly longer than `a`), so it can't re-match as `a`."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding training loop (Sennrich et al. 2016, public):
+    learn `n_merges` merges from a WEIGHTED VOCABULARY (tok, cnt) — the
+    scalable formulation: the corpus is first collapsed to distinct
+    tokens with frequencies (one aggregate over the token stream; the
+    reference's corpus-collapse analog is its group-count A1,
+    Analytics.scala:97), and every iteration then runs on the small
+    vocab table, not the corpus.
+
+    Per round: adjacent symbol pairs via slice+zip_with (no explode of
+    overlapping windows), weighted count, argmax collected to the driver
+    (ties -> lexicographically smallest pair, fully deterministic), then
+    the merge applied with `bpe_merge_pair`. The symbol table is
+    localCheckpoint-ed each round: the merge fold nests one lambda per
+    round and unbounded plan nesting is the classic iterative-Catalyst
+    trap. Returns [(step, left, right, cnt)], 1-indexed.
+    """
+    spark = vocab.sparkSession
+    syms = vocab.select(
+        F.col("cnt").cast("long").alias("cnt"),
+        char_symbols(F.col("tok")).alias("symbols"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        n = F.size("symbols")
+        pairs = syms.filter(n >= 2).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("symbols", F.lit(1), n - 1),
+                    F.slice("symbols", F.lit(2), n - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((step, a, b, c))
+        syms = syms.select(
+            "cnt", bpe_merge_pair(F.col("symbols"), a, b).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return merges

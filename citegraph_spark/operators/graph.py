@@ -1058,3 +1058,95 @@ def sssp_bounded(
         dist = nxt
         gc.collect()
     return dist
+
+
+def multi_source_bfs(
+    und_edges: DataFrame,
+    sources: list[int],
+    rounds: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Exact shortest hop-distances from a small set of landmark sources
+    within `rounds` hops — the building block for sampled (landmark)
+    closeness/eccentricity centrality at scale, where all-pairs BFS is
+    infeasible (reference computes pair counts only, Analytics.scala:
+    152-229; per-landmark distances are the natural extension).
+
+    `und_edges`: (src, dst) ALREADY undirected (both orientations
+    present). State is (src_id, node, dist) — |sources| x reached-ball
+    rows, a small multiple of the node count for small landmark sets, so
+    the distance table is broadcast into each relaxation round: a round
+    is ONE broadcast-hash join + min-aggregate, zero shuffle on the edge
+    side. Self-loops carry settled distances forward (same mechanics as
+    `sssp_bounded` with w=1 on real edges, w=0 on loops); lineage is cut
+    with localCheckpoint. Output: (src_id, node, dist INT).
+    """
+    import gc
+
+    spark = und_edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nodes = (
+        und_edges.select(F.col("src").alias("node"))
+        .unionByName(und_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e_aug = (
+        und_edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.lit(1).alias("w"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("node").cast("long").alias("src"),
+                F.col("node").cast("long").alias("dst"),
+                F.lit(0).alias("w"),
+            )
+        )
+        .repartition(n_shuffle, "dst")
+        .localCheckpoint(eager=True)
+    )
+
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "src_id long, node long, dist int"
+    )
+    for it in range(1, rounds + 1):
+        nxt = (
+            e_aug.join(F.broadcast(dist), e_aug["src"] == dist["node"], "inner")
+            .select(
+                "src_id",
+                e_aug["dst"].alias("node"),
+                (F.col("dist") + F.col("w")).cast("int").alias("d"),
+            )
+            .groupBy("src_id", "node")
+            .agg(F.min("d").alias("dist"))
+        )
+        if it % checkpoint_every == 0 or it == rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        dist = nxt
+        gc.collect()
+    return dist
+
+
+def closeness_from_landmarks(bfs_dist: DataFrame) -> DataFrame:
+    """Per-landmark closeness + eccentricity over the reached ball:
+    (src_id, reached, total_dist, closeness = reached / total_dist,
+    eccentricity = max dist). One tiny aggregate over the
+    multi_source_bfs output; harmonic or normalized variants are one
+    expression away."""
+    return (
+        bfs_dist.filter(F.col("dist") > 0)
+        .groupBy("src_id")
+        .agg(
+            F.count("*").alias("reached"),
+            F.sum("dist").cast("bigint").alias("total_dist"),
+            F.max("dist").cast("int").alias("eccentricity"),
+        )
+        .select(
+            "src_id",
+            "reached",
+            "total_dist",
+            F.round(F.col("reached") / F.col("total_dist"), 6).alias("closeness"),
+            "eccentricity",
+        )
+    )

@@ -363,6 +363,49 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequency.misra_gries_topn(toks, col="tok", k=64, topn=20)
 
 
+@register(
+    "heavy_hitters_cms",
+    f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+rws AS (SELECT unnest(range(0,5)) AS r),
+cells AS (
+  SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 16))::UBIGINT % 2048 AS b,
+         count(*) AS cnt
+  FROM t, rws GROUP BY 1, 2
+),
+topk AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, tok LIMIT 20)),
+probes AS (
+  SELECT topk.tok, rws.r,
+         ('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || topk.tok), 1, 16))::UBIGINT % 2048 AS b
+  FROM topk, rws
+)
+SELECT p.tok, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+GROUP BY p.tok ORDER BY est_cnt DESC, p.tok
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimates (functions/frequency.py
+    count_min_estimates, depth=5 x width=2048) for the exact top-20
+    tokens. Unlike Misra-Gries, CMS merge is pure vector addition, so
+    the estimate is a deterministic function of the DATA alone
+    (partition-order independent) — which is why this sketch gets a full
+    value-hash oracle: DuckDB replays the md5 bucket hash, the cell
+    sums, and the min-over-rows probe exactly. One-sided error:
+    est >= true, est - true <= 2N/width w.p. >= 1 - 2^-depth."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    keys = [
+        r["tok"]
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+        .collect()
+    ]
+    return frequency.count_min_estimates(toks, keys, col="tok", depth=5, width=2048)
+
+
 # -------------------------------------------------------------- similarity
 
 

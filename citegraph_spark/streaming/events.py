@@ -23,22 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_LONG_TS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+def _events_read_schema(spark: SparkSession, path: str):
+    """Physical read schema of an events parquet file, plus whether `ts`
+    surfaces as a raw long (TIMESTAMP(NANOS) files under nanosAsLong) or
+    as a native timestamp type (micros files). The file source needs a
+    declared schema that matches the physical encoding, and the driver
+    has shipped BOTH encodings across testdata generations — detect, not
+    assume."""
+    df = spark.read.parquet(path)
+    return df.schema, dict(df.dtypes).get("ts") == "bigint"
+
+
+def _normalize_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
+    """ts → session-tz TIMESTAMP for watermarks/windows, from either
+    encoding (nanos-as-long or native timestamp[_ntz])."""
+    if ts_is_long:
+        # ns exceed 2^53: integer DIV, not float division
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file replay for
     local verification; swap for kafka/rate in production)."""
+    schema, ts_is_long = _events_read_schema(spark, f"{sf_dir}/events.parquet")
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_LONG_TS_SCHEMA)  # ts is TIMESTAMP(NANOS) → long
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")  # basePath must be a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _normalize_ts(raw, ts_is_long)
 
 
 def streaming_windowed_agg(events: DataFrame) -> DataFrame:
@@ -150,11 +165,10 @@ def run_windowed_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F811
 
     tmp = tempfile.mkdtemp()
-    batch = (
-        spark.read.schema(EVENTS_LONG_TS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .orderBy("ts")
-    )
+    schema, ts_is_long = _events_read_schema(spark, f"{sf_dir}/events.parquet")
+    batch = _normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), ts_is_long
+    ).orderBy("ts")
     n = batch.count()
     half = batch.limit(n // 2)
     rest = batch.subtract(half)
@@ -166,14 +180,15 @@ def run_windowed_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.endswith(".parquet"):
                 os.rename(f"{tmp}/{sub}/{f}", f"{tmp}/in/{i:02d}.parquet")
 
+    # ts was normalized to TIMESTAMP before the halves were written, so
+    # the replay files stream back with the batch schema, no further fix
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_LONG_TS_SCHEMA)
+        .schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .load(f"{tmp}/in")
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    agg = streaming_windowed_agg(events)
+    agg = streaming_windowed_agg(raw)
     name = "stream_windowed_append_out"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -284,13 +299,14 @@ def run_dedup_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(src_file, f"{tmp}/in/00.parquet")
         shutil.copy(src_file, f"{tmp}/in/01.parquet")
 
+        schema, ts_is_long = _events_read_schema(spark, src_file)
         raw = (
             spark.readStream.format("parquet")
-            .schema(EVENTS_LONG_TS_SCHEMA)
+            .schema(schema)
             .option("maxFilesPerTrigger", "1")
             .load(f"{tmp}/in")
         )
-        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        events = _normalize_ts(raw, ts_is_long)
         # horizon covers the whole replayed span so every duplicate is
         # still inside the dedup state when its copy arrives; production
         # tunes this to the real out-of-orderness bound

@@ -1,0 +1,206 @@
+"""Unit tests for the round-3 analytics surface: multi-source BFS /
+landmark closeness, time-range windows, winsorization, UDTF chunking,
+null-safe join, JSON map parsing. Parity at sf0.01 is covered by the
+driver's oracle gate; these pin exact semantics on tiny inputs."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+# 3 - 4        7 - 8
+# | x |        |
+# 1 - 2 - 5 -- 6
+EDGES = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4), (2, 5), (5, 6), (6, 7), (7, 8)]
+
+
+def _und(spark):
+    both = EDGES + [(b, a) for a, b in EDGES]
+    return spark.createDataFrame(both, "src long, dst long").distinct()
+
+
+def _bfs_py(sources, max_hops):
+    adj = {}
+    for a, b in EDGES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for n, d in dist.items():
+            out[(s, n)] = d
+    return out
+
+
+def test_multi_source_bfs_matches_bruteforce(spark):
+    from citegraph_spark.operators.graph import multi_source_bfs
+
+    got = {
+        (r["src_id"], r["node"]): r["dist"]
+        for r in multi_source_bfs(_und(spark), [1, 8], rounds=3).collect()
+    }
+    assert got == _bfs_py([1, 8], 3)
+
+
+def test_closeness_from_landmarks_arithmetic(spark):
+    from citegraph_spark.operators.graph import (
+        closeness_from_landmarks,
+        multi_source_bfs,
+    )
+
+    dist = multi_source_bfs(_und(spark), [1], rounds=10)
+    row = closeness_from_landmarks(dist).collect()[0]
+    # exact distances from 1: {2,3,4}=1, 5=2, 6=3, 7=4, 8=5 -> total 17
+    assert row["reached"] == 7
+    assert row["total_dist"] == 17
+    assert abs(row["closeness"] - 7 / 17) < 1e-6
+    assert row["eccentricity"] == 5
+
+
+def test_time_range_window_excludes_stale_rows(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1800, 20.0), (3, 5400, 60.0)],
+        "event_id int, sec int, value double",
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("sec").rangeBetween(-3600, 0)
+    got = {
+        r["event_id"]: r["mav"]
+        for r in ev.withColumn("mav", F.avg("value").over(w)).collect()
+    }
+    # row 3 at t=5400: frame [1800, 5400] keeps rows 2 and 3, drops row 1
+    assert got == {1: 10.0, 2: 15.0, 3: 40.0}
+
+
+def test_winsorized_prices_bounds(spark):
+    from citegraph_spark.plans.analytics_queries import winsorized_prices
+
+    rows = winsorized_prices(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        # ~1% clipped each side of each group, never more than 2%
+        assert 0 < r["n_clipped_low"] <= r["n_clipped_high"] * 3 + 50
+        assert r["avg_winsorized"] > 0
+
+
+def test_udtf_chunker_matches_python(spark):
+    from citegraph_spark.plans.analytics_queries import udtf_chunk_split
+
+    rows = udtf_chunk_split(spark, "/root/testdata/sf0.001").collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .collect()
+    }
+    expect = []
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        for i in range(0, len(words), 10):
+            chunk = words[i : i + 10]
+            expect.append((doc_id, i // 10, len(chunk), chunk[0]))
+    assert [tuple(r) for r in rows] == expect
+
+
+def test_null_safe_join_matches_null_keys(spark):
+    a = spark.createDataFrame([(None, 1), ("x", 2)], "k string, va int")
+    b = spark.createDataFrame([(None, 10), ("x", 20), ("y", 30)], "k string, vb int")
+    got = {
+        (r["va"], r["vb"])
+        for r in a.join(b, a["k"].eqNullSafe(b["k"])).select("va", "vb").collect()
+    }
+    assert got == {(1, 10), (2, 20)}
+
+
+def test_json_map_parse_types(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": 2}',), ('{"a": 5}',)], "props string")
+    kv = df.select(F.explode(F.from_json("props", "map<string,int>")).alias("k", "v"))
+    got = {(r["k"], r["v"]) for r in kv.collect()}
+    assert got == {("a", 1), ("b", 2), ("a", 5)}
+
+
+def test_stats_moments_deterministic_mode(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", "a"), ("g", "b")], "grp string, v string"
+    )
+    # tie between a and b -> deterministic mode returns the smallest
+    got = df.groupBy("grp").agg(F.mode("v", True).alias("m")).collect()[0]["m"]
+    assert got == "a"
+
+
+def _bpe_py(word_counts, n_merges):
+    """Reference BPE (Sennrich et al. 2016 pseudo-code, public)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        # argmax, ties -> lexicographically smallest pair
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, a, b, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + cnt
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from citegraph_spark.functions.text import bpe_train
+
+    words = {"lower": 5, "lowest": 2, "newer": 6, "wider": 3, "low": 7}
+    vocab = spark.createDataFrame(list(words.items()), "tok string, cnt long")
+    got = bpe_train(vocab, n_merges=6)
+    assert got == _bpe_py(words, 6)
+
+
+def test_bpe_merge_handles_overlapping_runs(spark):
+    from citegraph_spark.functions.text import bpe_merge_pair, char_symbols
+
+    df = spark.createDataFrame([("aaa",), ("aabaa",)], "tok string")
+    got = {
+        r["tok"]: r["m"]
+        for r in df.select(
+            "tok", bpe_merge_pair(char_symbols(F.col("tok")), "a", "a").alias("m")
+        ).collect()
+    }
+    # greedy left-to-right, non-overlapping
+    assert got == {"aaa": ["aa", "a"], "aabaa": ["aa", "b", "aa"]}
+
+
+def test_pipeline_end_to_end_splits_sum_to_dedup_count(spark):
+    from citegraph_spark.plans.analytics_queries import pipeline_end_to_end
+
+    rows = pipeline_end_to_end(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_docs"] for r in rows) > 0
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_file_lineage_counts_covers_all_rows(spark):
+    from citegraph_spark.plans.analytics_queries import file_lineage_counts
+
+    rows = file_lineage_counts(spark, "/root/testdata/sf0.001").collect()
+    total = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == total

@@ -67,9 +67,12 @@ def test_stateful_sessionize_closed_sessions_match_batch(spark):
     closed = run_stateful_sessionize_demo(spark, SF_DIR).collect()
     # batch truth: all sessions per user; the stream emits every session
     # except each user's LAST (still open in state at replay end)
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
-        "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
-    )
+    from citegraph_spark.streaming.events import _events_read_schema, _normalize_ts
+
+    _, ts_is_long = _events_read_schema(spark, f"{SF_DIR}/events.parquet")
+    ev = _normalize_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), ts_is_long
+    ).select("user_id", "ts")
     s = sessionize(ev, "user_id", "ts", gap_minutes=30)
     batch = {
         (r["user_id"], r["session_start"], r["n"])
