@@ -106,10 +106,16 @@ def main() -> int:
     force(QUERIES["distinct_flag_status"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
-        force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # per-query isolation: one broken query must never zero the whole
+        # artifact — record the failure and keep timing the rest.
+        try:
+            force(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
         # drop persisted plan state leaked by iterative queries (BFS
         # rounds, LSH shingle cache) so each query is measured in
         # isolation instead of under its predecessors' memory pressure.
@@ -129,17 +135,16 @@ def main() -> int:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

@@ -34,10 +34,46 @@ from pyspark.sql import types as T
 TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, cosine double, rank int"
 
 
-def _corpus_matrix(emb: DataFrame, id_col: str, vec_col: str):
+#: Max corpus matrix size the brute-force path may collect+broadcast.
+#: Mirrors operators/graph.py pagerank's broadcast_budget_bytes pattern:
+#: the driver-collect shortcut must FAIL FAST above the budget instead of
+#: silently OOMing the driver at scale.
+BROADCAST_BUDGET_BYTES = 256 << 20
+
+
+class CorpusTooLargeError(ValueError):
+    """Raised when the corpus exceeds the brute-force broadcast budget.
+
+    The caller should route to the scale paths instead: `lsh_ann_topk`
+    (bucketed candidates, shuffle verify), `ivf_topk` (centroid-pruned
+    cells), or `pq_topk` (32× compressed ADC shortlist)."""
+
+
+def _corpus_matrix(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    budget_bytes: int = BROADCAST_BUDGET_BYTES,
+):
     """Collect (ids, L2-normalized matrix) — only valid when the corpus
     side fits driver/executor memory (64-dim × 1 M rows = 256 MB: fine;
-    beyond that, use lsh_ann_topk or IVF partitioning)."""
+    beyond that, use lsh_ann_topk or IVF partitioning).
+
+    Guarded: estimates the matrix size from (row count × dim) BEFORE
+    collecting and raises `CorpusTooLargeError` above `budget_bytes` —
+    a cheap count+first aggregate, so an over-budget corpus costs two
+    small jobs instead of a driver OOM."""
+    n = emb.count()
+    first = emb.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    est = n * dim * 8 + n * 8  # float64 matrix + int64 ids
+    if est > budget_bytes:
+        raise CorpusTooLargeError(
+            f"corpus matrix ~{est >> 20} MiB ({n} rows × {dim} dims) exceeds "
+            f"the {budget_bytes >> 20} MiB brute-force broadcast budget; use "
+            "lsh_ann_topk / ivf_topk / pq_topk for corpora beyond broadcast "
+            "size"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([r[1] for r in rows], dtype=np.float64)

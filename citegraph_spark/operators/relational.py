@@ -67,7 +67,10 @@ def sessionize(
     shuffle on user, then per-user sorted scan; scales with user
     cardinality, not total rows per partition."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # TIMESTAMP_NTZ (Spark 4's read of tz-less parquet timestamps) has no
+    # direct BIGINT cast; route via TIMESTAMP (session TZ pinned to UTC).
+    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("_new_session", is_new).withColumn(
         "session_id",
@@ -284,23 +287,58 @@ def edit_distance_pairs(
     max_dist: int = 20,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein distance <= max_dist, without
-    the O(n²) cross join: levenshtein(a,b) >= |len(a)-len(b)|, so
-    candidates only need docs whose lengths fall in the same or adjacent
-    length bucket of width max_dist (a 3-way bucket explode on one side
-    of an equi join). The cheap |len diff| filter runs before the
-    quadratic-cost levenshtein.
+    the O(n²) cross join, via a lossless three-stage filter cascade:
+
+    1. **Length blocking** (candidate generation): levenshtein(a,b) >=
+       |len(a)-len(b)|, so candidates only need docs whose lengths fall
+       in the same or adjacent length bucket of width max_dist (a 3-way
+       bucket explode on one side of an equi join).
+    2. **1-gram count filter** (per-candidate O(alphabet) reject): each
+       edit changes at most one character count on each side, so
+       levenshtein(a,b) >= L1(hist(a), hist(b)) / 2 — the q-gram count
+       filter with q=1 (Gravano et al., VLDB'01). Histograms over a
+       fixed [a-z + space] alphabet are built once per doc with
+       `length - length(replace(...))` (pure codegen, no UDF) and
+       compared with `zip_with`+`aggregate` — ~30 integer ops per pair
+       vs ~k·len DP cells, rejecting the bulk of same-length-but-
+       different-content candidates before any DP runs.
+    3. **Banded levenshtein verify**: `levenshtein(a, b, threshold)`
+       (Spark >= 3.5) runs Ukkonen's O(k·len) band instead of the full
+       O(len²) matrix and early-outs to -1 above the threshold.
+
+    At 100 TB the cascade bounds per-candidate cost at O(alphabet) for
+    the overwhelming reject path; candidate *generation* remains length-
+    blocked (dense length bands stay the scale risk — the full fix is
+    PassJoin-style positional segment indexing, which this module trades
+    off against zero-explosion candidate volume at current shapes).
 
     Output: (a, b, dist) with a < b, dist <= max_dist.
     """
-    d = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("txt"), F.length(text_col).alias("l")
+    alphabet = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+    hist = F.array(
+        *[
+            (F.length("txt") - F.length(F.replace(F.col("txt"), F.lit(ch))))
+            for ch in alphabet
+        ]
     )
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("l"),
+    ).withColumn("h", hist)
     b0 = F.floor(F.col("l") / max_dist).cast("int")
     left = d.select(F.col("id").alias("ida"), F.col("txt").alias("ta"),
-                    F.col("l").alias("la"), b0.alias("bucket"))
+                    F.col("l").alias("la"), F.col("h").alias("ha"),
+                    b0.alias("bucket"))
     right = d.select(
         F.col("id").alias("idb"), F.col("txt").alias("tb"), F.col("l").alias("lb"),
+        F.col("h").alias("hb"),
         F.explode(F.array(b0 - 1, b0, b0 + 1)).alias("bucket"),
+    )
+    l1 = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         left.join(right, "bucket")
@@ -308,11 +346,12 @@ def edit_distance_pairs(
             (F.col("ida") < F.col("idb"))
             & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
         )
+        .filter(l1 <= 2 * max_dist)
         .select(
             F.col("ida").alias("a"),
             F.col("idb").alias("b"),
-            F.levenshtein("ta", "tb").alias("dist"),
+            F.levenshtein("ta", "tb", max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .orderBy("a", "b")
     )

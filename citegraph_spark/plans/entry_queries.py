@@ -324,15 +324,22 @@ def double_vertex_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_idle_customers",
     """
 SELECT c.c_custkey AS custkey, c.c_name AS name
-FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+FROM customer c ANTI JOIN (
+  SELECT * FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+) o ON c.c_custkey = o.o_custkey
 ORDER BY custkey
 """,
 )
 def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4/U2: left anti join — keys never seen (reference subtractByKey,
-    Analytics.scala:287)."""
+    """J4/U2: left anti join — keys absent from the probe side (reference
+    subtractByKey, Analytics.scala:287). Probe side is date-restricted
+    (orders since 2000) so the result is non-empty at every SF — the
+    testdata gives every customer at least one all-time order, which made
+    the unrestricted anti join a vacuous 0-row check."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))

@@ -207,31 +207,48 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_join_events_orders",
     """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         TIMESTAMP '2024-01-01'
+           + (datediff('day', DATE '1995-01-01', o_orderdate) % 27) * INTERVAL 1 DAY
+           AS lo
+  FROM orders
+)
 SELECT o.o_orderkey AS orderkey,
        count(*) AS n_events,
        round(sum(e.value), 2) AS value_sum
-FROM orders o
+FROM o
 JOIN events e
   ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts <= o.o_orderdate + INTERVAL 3 DAY
+ AND e.ts >= o.lo
+ AND e.ts <= o.lo + INTERVAL 3 DAY
 GROUP BY 1 ORDER BY 1
 """,
 )
 def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range join: events inside the 3-day window after each
-    order by the same customer. Binned to an equi join on (key, bin)
+    """Interval/range join: events inside the 3-day window anchored at
+    each order by the same customer. Binned to an equi join on (key, bin)
     (operators/relational.py `range_join_binned`) — Catalyst would
     otherwise plan the inequality as a broadcast-nested-loop, O(|L|*|R|).
+
+    Anchor: the testdata's order dates (1995-2001) and event timestamps
+    (2024-01) never overlap, so the raw o_orderdate window was a vacuous
+    0-row check; each order date is remapped deterministically into the
+    events epoch (2024-01-01 + days-since-1995 mod 27) to exercise the
+    operator on real overlap density.
     """
     from ..operators.relational import range_join_binned
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    anchor = F.expr(
+        "TIMESTAMP '2024-01-01' + make_dt_interval("
+        "datediff(o_orderdate, DATE '1995-01-01') % 27)"
+    )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("lo"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("hi"),
+        anchor.alias("lo"),
+        (anchor + F.expr("INTERVAL 3 DAYS")).alias("hi"),
     )
     joined = range_join_binned(
         ev, o, key="user_id", left_point="ts", right_lo="lo", right_hi="hi",

@@ -252,7 +252,7 @@ def run_stateful_sessionize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events = _read_events_stream(spark, sf_dir).select(
-        "user_id", F.col("ts").cast("long").alias("ts_epoch")
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_epoch")
     )
     out = events.groupBy("user_id").applyInPandasWithState(
         _session_state_fn,

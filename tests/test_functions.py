@@ -315,3 +315,11 @@ def test_prefix_filter_handles_skewed_tiny_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = dedup.prefix_filter_jaccard_pairs(df, threshold=0.8).collect()
     assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_bruteforce_cosine_rejects_over_budget_corpus(spark, emb):
+    """An over-broadcast-budget corpus must fail fast (CorpusTooLargeError)
+    instead of collecting to the driver — the scale guard for the
+    brute-force path (route to lsh_ann_topk/ivf_topk instead)."""
+    with pytest.raises(similarity.CorpusTooLargeError, match="broadcast budget"):
+        similarity._corpus_matrix(emb, "vec_id", "embedding", budget_bytes=1024)
