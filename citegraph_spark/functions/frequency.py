@@ -30,6 +30,7 @@ exists for the single-pass bounded-memory regime where the full
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -88,14 +89,18 @@ def misra_gries_topn(
 # --------------------------------------------------------------------------
 
 
-def _cms_hash(key: str, row: int, width: int) -> int:
-    """Deterministic row-seeded bucket: md5 of '<row>:<key>' — stable
-    across processes, partitions, and engines (no PYTHONHASHSEED
-    dependence)."""
-    import hashlib
-
-    h = hashlib.md5(f"{row}:{key}".encode()).digest()
-    return int.from_bytes(h[:8], "big") % width
+def _cms_buckets(key: str, depth: int, width: int) -> list[int]:
+    """All `depth` bucket indices for a key from ONE md5 digest —
+    deterministic across processes, partitions, and engines (no
+    PYTHONHASHSEED dependence). Rows derive by Kirsch-Mitzenmacher
+    double hashing, bucket_r = (h1 + r·h2) mod width, from the two
+    8-byte digest halves — one interpreter-level hash per unique key
+    instead of one per (key, row), which profiled as the hot loop of
+    the sketch builder."""
+    d = hashlib.md5(key.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stepping
+    return [(h1 + r * h2) % width for r in range(depth)]
 
 
 def count_min_estimates(
@@ -126,10 +131,10 @@ def count_min_estimates(
         import numpy as np
 
         m = np.zeros((depth, width), dtype=np.int64)
+        rows_idx = np.arange(depth)
         for pdf in batches:
             for key, cnt in pdf[col].value_counts().items():
-                for r in range(depth):
-                    m[r, _cms_hash(str(key), r, width)] += int(cnt)
+                m[rows_idx, _cms_buckets(str(key), depth, width)] += int(cnt)
         flat = m.ravel()
         nz = np.flatnonzero(flat)
         yield pd.DataFrame({"cell": nz.astype("int64"), "cnt": flat[nz]})
@@ -144,7 +149,8 @@ def count_min_estimates(
     rows = []
     for key in query_keys:
         est = min(
-            merged.get(r * width + _cms_hash(key, r, width), 0) for r in range(depth)
+            merged.get(r * width + b, 0)
+            for r, b in enumerate(_cms_buckets(key, depth, width))
         )
         rows.append((key, est))
     return spark.createDataFrame(rows, "tok string, est_cnt long").orderBy(

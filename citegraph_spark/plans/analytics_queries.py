@@ -59,12 +59,15 @@ def events_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; the frame scan is a single ordered pass per
     partition (Spark keeps a sliding aggregate, not O(n^2) re-sums).
     Rows with equal timestamps share a frame in both engines (RANGE
-    frame peers), so the oracle matches row-for-row."""
+    frame peers), so the oracle matches row-for-row. The frame orders by
+    unix_micros — whole-second granularity would make distinct-but-same-
+    second events frame peers and over-include gaps in (3600s, 3601s),
+    diverging from the oracle's microsecond INTERVAL."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         ev.select("event_id", "user_id", "ts", "value")
@@ -299,6 +302,8 @@ def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_len int, first_word string")
     class Chunker:
         def eval(self, text: str, size: int):
+            if text is None:  # NULL doc → no chunks (matches the oracle)
+                return
             words = text.split(" ")
             for i in range(0, len(words), size):
                 chunk = words[i : i + size]
@@ -536,10 +541,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "file_lineage_counts",
     """
-SELECT parse_filename(filename) AS file_name,
+SELECT 'lineitem.parquet' AS file_name,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+FROM lineitem
 GROUP BY 1 ORDER BY 1
 """,
 )
@@ -548,8 +553,11 @@ def file_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     source file (+ per-file distinct order count). At 100 TB this is the
     debugging query — which input file produced these rows — and it
     costs nothing extra: `_metadata.file_name` is populated by the scan
-    itself, no join against a listing. (The oracle pins the driver's
-    sf0.01 gate path explicitly — DuckDB views can't carry filenames.)"""
+    itself, no join against a listing. (The oracle can't see filenames
+    through its pre-registered views, so it pins the testdata invariant —
+    one file per table, named `lineitem.parquet` at every SF — instead of
+    hardcoding one SF's absolute path, which broke gate runs at any other
+    sf_dir.)"""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
