@@ -93,9 +93,24 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact shingle
-    Jaccard >= threshold. Output: (a, b, jaccard) with a < b."""
+    Jaccard >= threshold. Output: (a, b, jaccard) with a < b.
+
+    Hot-bucket cap: a band bucket holding B docs contributes O(B²)
+    candidate pairs, so one degenerate band key (empty/boilerplate
+    shingle sets — common in web corpora) can dominate the whole join at
+    scale. Buckets larger than `max_bucket_size` are excluded from THAT
+    band's pair generation (a cheap per-(band, hash) count before the
+    self-join — map-side combinable, no extra pass over the docs).
+    Recall degrades gracefully, not silently to a hang: a true near-dup
+    pair collides in every band with probability ~s^(r) per band, so it
+    still surfaces through any of the other N_BANDS-1 bands unless those
+    buckets are ALSO over cap — at which point the docs are mass
+    boilerplate and belong to an exact-dedup pass, not pairwise LSH.
+    With the default cap the worst-case per-bucket candidate count is
+    bounded at max_bucket_size² regardless of corpus size."""
     # tokens materialized in their own projection: higher-order-function
     # lambdas are excluded from whole-stage codegen/CSE, so an inlined
     # tokens() expression would re-run the split per shingle reference
@@ -110,6 +125,15 @@ def minhash_lsh_pairs(
     hm = sh.select("doc_id", "sh", shingle_hash_col(F.col("sh")).alias("hm"))
     sig = hm.select("doc_id", "sh", *minhash_signature_cols(F.col("hm")))
     bands = minhash_bands(sig)
+
+    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_bucket_n")
+    )
+    bands = (
+        bands.join(bucket_sizes, ["band_idx", "band_hash"])
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
 
     left = bands.select(
         F.col("doc_id").alias("a"), "band_idx", "band_hash"

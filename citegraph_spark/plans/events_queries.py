@@ -137,23 +137,43 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_windowed")  # rows-only: driven through writeStream
+@register(
+    "streaming_windowed",
+    """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
 def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling-window aggregate executed as an actual Structured
     Streaming query (readStream parquet replay → watermark → window →
-    memory sink). Equality with the batch `events_windowed_agg` plan is
-    asserted in tests; here the driver gets a rows-only check because the
-    streaming lifecycle is not SQL-expressible."""
+    memory sink). The returned rows ARE the stream's final complete-mode
+    table, so the batch-semantics oracle certifies stream == batch
+    end-to-end (the streaming *lifecycle* still isn't SQL, but its
+    output is)."""
     from ..streaming.events import run_windowed_stream_demo
 
     return run_windowed_stream_demo(spark, sf_dir)
 
 
-@register("streaming_stateful_counts")  # rows-only: custom stateful operator
+@register(
+    "streaming_stateful_counts",
+    """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
 def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running event counters carried in GroupState across
-    micro-batches. Rows-only check; batch equivalence in tests."""
+    micro-batches. Returns the final per-user state rows, which the
+    batch-semantics oracle certifies against a plain groupBy."""
     from ..streaming.events import run_stateful_counts_demo
 
     return run_stateful_counts_demo(spark, sf_dir)
@@ -261,24 +281,57 @@ def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_sessionize")  # rows-only: stateful streaming lifecycle
+@register(
+    "streaming_sessionize",
+    """
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te FROM events
+), s AS (
+  SELECT user_id, te,
+         CASE WHEN lag(te) OVER w IS NULL
+                OR te - lag(te) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY te)
+), g AS (
+  SELECT user_id, te,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY te
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), sess AS (
+  SELECT user_id, sid, min(te) AS session_start,
+         count(*) AS n_events
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, session_start, n_events
+FROM sess
+WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+ORDER BY user_id, session_start
+""",
+)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState):
-    per-user open-session state across micro-batches, closed sessions
-    emitted in append mode. Rows-only; closed-session equivalence with
-    the batch sessionize is asserted in tests."""
+    per-user open-session state across micro-batches, CLOSED sessions
+    emitted in append mode (each user's final session stays open in
+    state — see run_stateful_sessionize_demo). The oracle recomputes the
+    closed-session set relationally: 30-min-gap sessionize, then drop
+    each user's last (max-sid) session."""
     from ..streaming.events import run_stateful_sessionize_demo
 
     return run_stateful_sessionize_demo(spark, sf_dir)
 
 
-@register("streaming_dedup")  # rows-only: streaming lifecycle
+@register(
+    "streaming_dedup",
+    """
+SELECT event_type, count(*) AS n_after_dedup
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once from an at-least-once replay:
-    dropDuplicatesWithinWatermark over a doubled event delivery, with
-    dedup state bounded by the watermark horizon. Rows-only check;
-    equality with the single-delivery batch counts is asserted in
-    tests."""
+    dropDuplicatesWithinWatermark over a DOUBLED event delivery, with
+    dedup state bounded by the watermark horizon. The oracle is the
+    single-delivery per-type count — matching it proves the second
+    delivery was fully suppressed."""
     from ..streaming.events import run_dedup_stream_demo
 
     return run_dedup_stream_demo(spark, sf_dir)
@@ -328,21 +381,46 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_join")  # rows-only: stream-stream join lifecycle
+@register(
+    "streaming_join",
+    """
+SELECT c.user_id AS user_id, count(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1
+""",
+)
 def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ purchases within
-    30 min, bounded join state on both sides). Rows-only check; equality
-    with the batch `events_click_attribution` is asserted in tests."""
+    30 min, bounded join state on both sides). The oracle is the batch
+    interval self-join — same SQL as `events_click_attribution` — so a
+    hash match certifies no pair was dropped or duplicated by the
+    streaming state machinery (single-batch replay: the watermark evicts
+    nothing on this bounded input)."""
     from ..streaming.events import run_stream_stream_join_demo
 
     return run_stream_stream_join_demo(spark, sf_dir)
 
 
-@register("streaming_enrich")  # rows-only: foreachBatch sink lifecycle
+@register(
+    "streaming_enrich",
+    """
+SELECT c.c_nationkey AS nationkey, count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment written through an idempotent
     foreachBatch parquet sink (dynamic partition overwrite keyed by batch
-    id). Rows-only; equality with the batch join is asserted in tests."""
+    id). The returned rows are read back from the files the stream wrote,
+    so the batch-join oracle certifies the whole write path (a doubled
+    batch replay would double counts and hash-mismatch)."""
     from ..streaming.events import run_stream_static_enrich_demo
 
     return run_stream_static_enrich_demo(spark, sf_dir)

@@ -323,3 +323,27 @@ def test_bruteforce_cosine_rejects_over_budget_corpus(spark, emb):
     brute-force path (route to lsh_ann_topk/ivf_topk instead)."""
     with pytest.raises(similarity.CorpusTooLargeError, match="broadcast budget"):
         similarity._corpus_matrix(emb, "vec_id", "embedding", budget_bytes=1024)
+
+
+def test_minhash_lsh_hot_bucket_cap(spark, docs):
+    """The per-band bucket cap must (a) leave results identical when no
+    bucket exceeds it, and (b) bound candidate generation when one does.
+    A corpus of identical docs puts ALL docs in one bucket per band; with
+    the cap below the corpus size, every band bucket is over cap, so the
+    join yields no candidates instead of |corpus|² rows."""
+    uncapped = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    wide_cap = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=10**6).collect()
+    }
+    assert uncapped == wide_cap
+
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated again and again ok") for i in range(8)],
+        "doc_id long, text string",
+    )
+    capped = dedup.minhash_lsh_pairs(boiler, max_bucket_size=4).collect()
+    assert capped == []
+    # sanity: without the cap binding, the planted dups ARE found
+    found = dedup.minhash_lsh_pairs(boiler, max_bucket_size=100).collect()
+    assert len(found) == 8 * 7 // 2
