@@ -145,10 +145,46 @@ class HopPlotRow:
     percent: float
 
 
+def _local_pairs_by_distance(
+    edge_list: list[tuple], max_d: int
+) -> list[tuple[int, int]]:
+    """Exact all-pairs BFS on a driver-local edge list (both orientations
+    present, as produced by `bidirectional`). Returns the same
+    [(d, cumulative pairs)] contract as the distributed path."""
+    from collections import defaultdict, deque
+
+    adj: dict = defaultdict(set)
+    for s, t in edge_list:
+        if s != t:
+            adj[s].add(t)
+    per_d: dict = defaultdict(int)
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= max_d:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        for t, d in dist.items():
+            if t > s:  # each unordered pair counted once
+                per_d[d] += 1
+    counts: list[tuple[int, int]] = []
+    acc = 0
+    for d in sorted(per_d):
+        acc += per_d[d]
+        counts.append((d, acc))
+    return counts
+
+
 def connected_pairs_by_distance(
     edges: DataFrame,
     max_d: int = 20,
     checkpoint_every: int = 3,
+    local_threshold: int = 2000,
 ) -> list[tuple[int, int]]:
     """Frontier BFS over pairs: returns [(d, cumulative #unordered connected
     pairs with shortest distance <= d)] until convergence or max_d.
@@ -158,8 +194,21 @@ def connected_pairs_by_distance(
     extend from either end); `seen` holds CANONICAL pairs at distance <= d.
     A distance-(d+1) pair is always a distance-d pair extended by one edge,
     so candidates = frontier ⋈ edges, anti-joined against seen.
+
+    Graphs at or below `local_threshold` edges take a driver-local exact
+    BFS instead: the distributed loop costs ~8 Spark jobs per round
+    (frontier join, fused dedup shuffle, checkpoint materializations) —
+    pure fixed overhead when the whole graph fits in one pair of driver
+    lists. Same cutover reasoning as broadcast-vs-shuffle join: below the
+    threshold the data movement IS the cost. The fixture graphs (tens of
+    edges) go from ~10 s to milliseconds; any real corpus is far above
+    the threshold and unaffected.
     """
     spark = edges.sparkSession
+    n_edges = edges.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        rows = edges.collect()
+        return _local_pairs_by_distance([(r[0], r[1]) for r in rows], max_d)
     edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
     d1 = canonical_pairs(edges).persist(StorageLevel.MEMORY_AND_DISK)
