@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "hof_array_stats",
     "events_json_map_agg",
     "graph_closeness_sampled",
+    "pack_sequences",
+    "shuffle_shard_stats",
+    "dedup_incremental",
+    "doc_novelty_trigrams",
 ]
 
 

@@ -39,17 +39,20 @@ def token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9_]+|[^a-z0-9_\s]"), 0))
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (for MinHash / Jaccard near-dup)."""
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-token shingles. `distinct=True` (default) dedups — the SET form
+    MinHash / Jaccard need; `distinct=False` keeps every instance — the
+    MULTISET form frequency-weighted signals (e.g. trigram novelty)
+    need."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(F.size(toks) >= n, arr).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_count(toks: Column, words: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:

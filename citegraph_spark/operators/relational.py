@@ -256,6 +256,51 @@ def global_rank(
     ).drop("_pid")
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    alias: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact global running sum of `value_col` ordered by
+    `order_cols`, WITHOUT a single-partition sort — same machinery as
+    `global_rank`: range-repartition on the order keys, collect the tiny
+    per-partition value sums, add each partition's predecessor offset to
+    an intra-partition running sum. The cumulative value is INCLUSIVE of
+    the current row; subtract `value_col` for the exclusive prefix."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run
+    )
+    sizes = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s in sizes:
+        offsets[pid] = acc
+        acc += s or 0
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        alias,
+        (F.sum(value_col).over(w) + offset_map[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+
+
 def equidepth_histogram(
     df: DataFrame,
     value_col: str,

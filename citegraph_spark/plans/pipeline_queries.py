@@ -719,3 +719,267 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("key")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chop training batches)
+# --------------------------------------------------------------------------
+
+_TOKCNT_SQL = f"len({_TOKS})"
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH t AS (SELECT doc_id, CAST({_TOKCNT_SQL} AS BIGINT) AS nt FROM documents),
+c AS (
+  SELECT doc_id, nt,
+         COALESCE(sum(nt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM t
+)
+SELECT CAST(bef // 2048 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches, concat-and-chop form: docs
+    in deterministic (doc_id) order are laid head-to-tail on a token
+    tape; a doc belongs to the 2048-token bin where it STARTS
+    (bin = exclusive-prefix-token-count // 2048). Output: per-bin doc
+    and token counts.
+
+    The prefix sum is `global_cumsum` (operators/relational.py) — range
+    repartition + per-partition offsets, NOT a Window.orderBy with no
+    partition key, which would drag the whole corpus through one
+    partition; packing is the canonical "needs a global running sum at
+    100 TB" operator."""
+    from ..operators.relational import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    c = global_cumsum(t, ["doc_id"], "nt", alias="incl")
+    return (
+        c.withColumn("bef", F.col("incl") - F.col("nt"))
+        .groupBy(F.floor(F.col("bef") / 2048).cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-order shuffle shards
+# --------------------------------------------------------------------------
+
+
+@register(
+    "shuffle_shard_stats",
+    f"""
+WITH k AS (
+  SELECT doc_id, CAST({_TOKCNT_SQL} AS BIGINT) AS nt,
+         md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+)
+SELECT CAST(('0x' || substring(okey, 1, 8))::BIGINT % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, okey) AS first_doc_id
+FROM k GROUP BY 1 ORDER BY 1
+""",
+)
+def shuffle_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: order key =
+    md5(seed || doc_id) (a keyed uniform — reproducible across engines,
+    runs, and repartitioning, unlike rand()), shard = top 8 hex digits
+    mod 8. Per shard: doc/token counts and the first doc in shard order
+    (min_by on the order key). At 100 TB this is exactly how a corpus is
+    shuffled for training: one hash pass, one shuffle on shard, no
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    okey = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    k = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("nt"),
+        okey.alias("okey"),
+    )
+    shard = (
+        F.conv(F.substring("okey", 1, 8), 16, 10).cast("bigint") % 8
+    ).cast("int")
+    return (
+        k.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.min_by("doc_id", "okey").alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental cross-corpus dedup (new crawl vs existing corpus)
+# --------------------------------------------------------------------------
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, {_SHINGLES_SQL} AS sh, {_BUCKET_SQL} AS b
+  FROM documents
+),
+new AS (SELECT * FROM d WHERE b >= 80),
+ex  AS (SELECT * FROM d WHERE b < 80),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM new n JOIN ex e ON md5(n.text) = md5(e.text)
+),
+near AS (
+  SELECT DISTINCT n.doc_id
+  FROM new n JOIN ex e
+    ON len(list_intersect(n.sh, e.sh)) * 1.0
+       / (len(n.sh) + len(e.sh) - len(list_intersect(n.sh, e.sh))) >= 0.8
+)
+SELECT n.doc_id,
+       CASE WHEN exact.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM new n
+LEFT JOIN exact ON n.doc_id = exact.doc_id
+LEFT JOIN near ON n.doc_id = near.doc_id
+ORDER BY n.doc_id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against the EXISTING corpus —
+    the shape every continuously-fed training pipeline runs: never
+    all-pairs over the full corpus, only new×existing.
+
+    New docs (deterministic md5 bucket >= 80, standing in for the fresh
+    crawl) are checked two ways: exact (md5-of-text equi join) and near
+    (3-token shingles; candidates from an inverted-index posting join on
+    shared shingles — cost scales with posting-list overlap, not
+    |new|×|existing| — verified with exact Jaccard >= 0.8). Output: each
+    new doc_id with status kept / exact_dup / near_dup. The DuckDB
+    oracle recomputes near-dups with an independent brute-force
+    list_intersect cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.array_distinct(text.shingles(text.tokens(F.col("text")))).alias("sh"),
+        _bucket(F.col("doc_id")).alias("b"),
+    )
+    new = d.filter(F.col("b") >= 80).drop("b")
+    ex = d.filter(F.col("b") < 80).drop("b")
+
+    exact = (
+        new.select("doc_id", F.md5("text").alias("h"))
+        .join(ex.select(F.md5("text").alias("h")).distinct(), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+
+    # inverted-index candidates: one posting row per (doc, shingle)
+    np_ = new.select(F.col("doc_id").alias("n_id"), F.explode("sh").alias("s"))
+    ep = ex.select(F.col("doc_id").alias("e_id"), F.explode("sh").alias("s"))
+    cand = np_.join(ep, "s").select("n_id", "e_id").distinct()
+    n_sh = new.select(F.col("doc_id").alias("n_id"), F.col("sh").alias("n_sh"))
+    e_sh = ex.select(F.col("doc_id").alias("e_id"), F.col("sh").alias("e_sh"))
+    inter = F.size(F.array_intersect("n_sh", "e_sh"))
+    union = F.size("n_sh") + F.size("e_sh") - inter
+    near = (
+        cand.join(n_sh, "n_id")
+        .join(e_sh, "e_id")
+        .filter(inter / union.cast("double") >= 0.8)
+        .select(F.col("n_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), "exact_dup")
+            .when(F.col("is_near").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty (memorization-risk signal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_novelty_trigrams",
+    f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len({_TOKS}) - 1),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) AS ng
+  FROM documents
+),
+cnt AS (SELECT ng, count(*) AS c FROM g GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq
+  FROM g JOIN cnt USING (ng) GROUP BY 1
+)
+SELECT CAST(least(9, (10 * uniq) // total) AS INT) AS novelty_decile,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_novelty_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a doc's trigram
+    instances that occur exactly once in the whole corpus, bucketed into
+    deciles (integer math — (10*uniq)//total — so the bucket edge is
+    exact cross-engine). Low-novelty docs are near-boilerplate /
+    memorization risks; this is the corpus-level signal behind dedup
+    thresholds. Shape: explode → corpus counts (map-side combine) →
+    count-join back → per-doc aggregate; two shuffles, both on trigram /
+    doc keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            text.shingles(text.tokens(F.col("text")), distinct=False)
+        ).alias("ng"),
+    )
+    cnt = g.groupBy("ng").agg(F.count("*").alias("c"))
+    per_doc = (
+        g.join(cnt, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("uniq"),
+        )
+    )
+    decile = F.least(
+        F.lit(9), F.floor((10 * F.col("uniq")) / F.col("total"))
+    ).cast("int")
+    return (
+        per_doc.groupBy(decile.alias("novelty_decile"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("novelty_decile")
+    )

@@ -3,6 +3,8 @@ hand-checkable inputs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from citegraph_spark.operators.relational import asof_join, range_join_binned
 
 
@@ -130,3 +132,80 @@ def test_edit_distance_pairs_blocking_is_lossless(spark):
         .collect()
     }
     assert got == brute and (1, 2, 1) in got
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """global_cumsum (range-repartition + per-partition offsets) must equal
+    the naive single-partition running sum."""
+    from pyspark.sql import Window
+
+    from citegraph_spark.operators.relational import global_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    )
+    got = {
+        (r["k"], r["cum"])
+        for r in global_cumsum(df, ["k"], "v", num_partitions=16).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["k"], r["cum"])
+        for r in df.withColumn("cum", F.sum("v").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Every doc lands in the bin where its token tape offset starts; bin
+    token sums must cover the whole corpus exactly once."""
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    out = QUERIES["pack_sequences"](spark, "/root/testdata/sf0.001").collect()
+    bins = [r["bin"] for r in out]
+    assert bins == sorted(bins)
+    assert all(r["n_docs"] >= 1 for r in out)
+    total_tokens = sum(r["n_tokens"] for r in out)
+    from citegraph_spark.functions import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = docs.select(
+        F.sum(F.size(text.tokens(F.col("text")))).alias("s")
+    ).first()["s"]
+    assert total_tokens == want
+
+
+def test_dedup_incremental_flags_planted_exact_dup(spark):
+    """A new-batch doc whose text equals an existing doc must be flagged
+    exact_dup; near-identical (one token changed) must be near_dup."""
+    from citegraph_spark.functions import text as T
+    from citegraph_spark.plans.pipeline_queries import dedup_incremental
+    import inspect
+
+    # drive the same logic through a planted frame via the module's
+    # internals: bucket>=80 docs are "new"
+    base = " ".join(f"word{i}" for i in range(40))
+    rows = []
+    # find ids whose bucket lands on each side deterministically
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    ex_id = next(i for i in range(1000) if bucket(i) < 80)
+    new_exact = next(i for i in range(1000) if bucket(i) >= 80)
+    new_near = next(
+        i for i in range(1000) if bucket(i) >= 80 and i != new_exact
+    )
+    near_text = base.replace("word7 ", "wordx ", 1)
+    df = spark.createDataFrame(
+        [(ex_id, base), (new_exact, base), (new_near, near_text)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r["status"] for r in dedup_incremental(spark, d).collect()}
+    assert out[new_exact] == "exact_dup"
+    assert out[new_near] == "near_dup"
