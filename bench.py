@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_json_map_agg",
     "graph_closeness_sampled",
     "pack_sequences",
+    "events_session_window",
     "shuffle_shard_stats",
     "dedup_incremental",
     "doc_novelty_trigrams",

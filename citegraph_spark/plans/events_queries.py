@@ -728,3 +728,63 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+_SESSION_WINDOW_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+         END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+@register("events_session_window", _SESSION_WINDOW_SQL)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window): Spark assigns each
+    event to a gap-merged session range — the built-in form of the
+    gaps-and-islands sessionize. Note the boundary semantics: session
+    ranges are [start, last+gap), so a gap of EXACTLY 30 min starts a
+    new session (>=, where the lag-based `events_sessionize` uses >);
+    the oracle replays >= to match."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register("streaming_session_window", _SESSION_WINDOW_SQL)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same session-window aggregate executed as a watermarked
+    Structured Streaming query (update mode, session state merged and
+    evicted by event-time watermark). The returned rows are the stream's
+    final upserts, so the gaps-and-islands oracle certifies
+    stream == batch for native session windows too."""
+    from ..streaming.events import run_session_window_stream_demo
+
+    return run_session_window_stream_demo(spark, sf_dir)

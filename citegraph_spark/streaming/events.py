@@ -444,3 +444,44 @@ def run_stream_static_enrich_demo(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_events"))
         .orderBy("nationkey")
     )
+
+
+def run_session_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window streaming aggregate (F.session_window +
+    watermark): Spark's built-in session assignment — state is merged
+    window ranges per user, evicted once the event-time watermark passes
+    a session's close. Streaming session windows support append/complete
+    output only (update is rejected: a session's KEY — its start — can
+    move when windows merge); complete mode gives the final table on
+    this bounded replay. Complements the applyInPandasWithState
+    sessionizer (run_stateful_sessionize_demo), the CUSTOM-state form of
+    the same computation."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    name = "stream_session_window_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)

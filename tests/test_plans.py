@@ -119,3 +119,19 @@ def test_q19_disjunction_pushes_part_filters(spark):
 def test_click_attribution_is_binned_hash_join(spark):
     p = plan_text(QUERIES["events_click_attribution"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_no_single_partition_sort(spark):
+    """Packing's prefix sum must come from the range-repartitioned
+    cumsum, never a partition-less global Window (which would plan a
+    single-partition Exchange of the whole corpus)."""
+    p = plan_text(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in p, "global window leaked in"
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    """new×existing candidates must come from the posting join (equi on
+    shingle) — never a cross/nested-loop product of the two corpora."""
+    p = plan_text(QUERIES["dedup_incremental"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
