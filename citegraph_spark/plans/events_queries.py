@@ -788,3 +788,63 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_session_window_stream_demo
 
     return run_session_window_stream_demo(spark, sf_dir)
+
+
+@register(
+    "events_variant_props",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_props,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_even
+FROM v GROUP BY 1 ORDER BY 1
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    ONCE into the binary variant encoding, then typed variant_get
+    extractions — the parse-once/extract-many shape that beats repeated
+    get_json_object string re-parsing when many fields are read at scale
+    (events_json_props shows the string-path form of the same query)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_props"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("k_even"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_state_inspect",
+    """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Data Source (`spark.read.format("statestore")`): the
+    windowed aggregate's RocksDB/HDFS state read back from the
+    checkpoint as a DataFrame — streaming-state observability. The
+    oracle is the batch windowed aggregate: after a full replay the
+    checkpoint's per-(window, type) state must equal the batch answer,
+    so a hash match certifies the state store's contents, not just the
+    sink's."""
+    from ..streaming.events import run_state_inspect_demo
+
+    return run_state_inspect_demo(spark, sf_dir)

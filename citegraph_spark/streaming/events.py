@@ -485,3 +485,41 @@ def run_session_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFram
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+def run_state_inspect_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state OBSERVABILITY: run the windowed aggregate with a
+    persistent checkpoint, then read the aggregation state back with the
+    `statestore` reader (Spark 4 State Data Source) — the ops surface
+    for debugging a live 100 TB stream's state without stopping it.
+    Returns the state rows projected to the aggregate's output shape;
+    after a full replay the store's (window, type) → (count, sum) state
+    IS the batch answer, which the DuckDB oracle certifies."""
+    import tempfile
+
+    events = _read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+    )
+    ckpt = tempfile.mkdtemp()  # must outlive the query for the state read
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_inspect_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    ss = spark.read.format("statestore").load(ckpt)
+    return ss.select(
+        F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 2).alias("value_sum"),
+    )
