@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "shuffle_shard_stats",
     "dedup_incremental",
     "doc_novelty_trigrams",
+    "doc_lm_surprisal",
 ]
 
 

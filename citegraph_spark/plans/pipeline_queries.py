@@ -983,3 +983,54 @@ def doc_novelty_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("novelty_decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity-proxy quality signal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_lm_surprisal",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+),
+lm AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+),
+tot AS (SELECT sum(c) AS n FROM lm)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       round(avg(-ln(lm.c * 1.0 / tot.n)), 4) AS avg_surprisal
+FROM tok JOIN lm USING (t) CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram LM:
+    per-doc average token surprisal -ln p(token), p from corpus counts.
+    High-surprisal docs are rare-token-heavy (noise / non-language);
+    low-surprisal docs are boilerplate — the classic cheap LM filter
+    before a real model scores anything.
+
+    Shape: one explode over tokens, corpus counts with map-side combine,
+    count-join back (token table broadcast — vocab ≪ corpus at any
+    scale), per-doc aggregate. The corpus total rides along as a
+    1-row broadcast cross join, same pattern as winsorized_prices."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("t"))
+    lm = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
