@@ -960,11 +960,15 @@ def doc_novelty_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-join back → per-doc aggregate; two shuffles, both on trigram /
     doc keys."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            text.shingles(text.tokens(F.col("text")), distinct=False)
-        ).alias("ng"),
+    # two-step projection: HOF lambdas are excluded from codegen CSE, so
+    # an inlined shingles(tokens(text)) re-runs the split per element
+    # (same measured ~10x effect as the MinHash path, dedup.py)
+    g = (
+        docs.select("doc_id", text.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(text.shingles(F.col("_toks"), distinct=False)).alias("ng"),
+        )
     )
     cnt = g.groupBy("ng").agg(F.count("*").alias("c"))
     per_doc = (
