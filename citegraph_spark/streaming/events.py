@@ -11,6 +11,13 @@ same input (replayed through a parquet file source).
 Scale notes: event-time watermarks bound state; the windowed aggregate
 state is (window × event_type) — small; the stateful per-user counter
 uses GroupState with a timeout so abandoned users age out.
+
+Custom state API choice: `applyInPandasWithState` (GroupState), not the
+newer `transformWithStateInPandas` — the TWS Python state-server
+protocol needs the `google.protobuf` package, which is absent/broken in
+this container (probed: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+ImportError google.protobuf.descriptor). Both express the same
+bounded-state semantics; swap-in is mechanical where protobuf exists.
 """
 
 from __future__ import annotations

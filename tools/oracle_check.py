@@ -6,6 +6,7 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 floats rounded to 9 significant-ish decimals before hashing).
 
 Usage: python tools/oracle_check.py [name ...]
+Scale factor: set ORACLE_SF_DIR (default /root/testdata/sf0.01).
 """
 
 from __future__ import annotations
@@ -15,9 +16,11 @@ import math
 import sys
 import time
 
+import os
+
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
