@@ -93,3 +93,60 @@ def test_range_join_property(spark, pts, ivs, bin_width):
         if pk == ik and lo <= p <= hi
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=10
+    ),
+    max_dist=st.integers(1, 8),
+)
+@SET
+def test_edit_distance_cascade_lossless(spark, texts, max_dist):
+    """The three-stage filter cascade (length blocking → 1-gram L1 count
+    filter → banded levenshtein) must find EXACTLY the brute-force pair
+    set — the L1/2 lower bound and the length bound are lossless."""
+    import itertools
+
+    from citegraph_spark.operators.relational import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in edit_distance_pairs(df, max_dist=max_dist).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= max_dist
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=1, max_size=60),
+)
+@SET
+def test_global_cumsum_property(spark, vals):
+    from citegraph_spark.operators.relational import global_cumsum
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {(r["k"], r["cum"]) for r in global_cumsum(df, ["k"], "v", num_partitions=4).collect()}
+    acc, want = 0, set()
+    for i, v in enumerate(vals):
+        acc += v
+        want.add((i, acc))
+    assert got == want
