@@ -2,23 +2,31 @@
 
 Images/audio/video are carried as `binary` columns with a metadata
 struct; decode / feature-extraction runs as Arrow-batched pandas
-functions via `mapInPandas` — the Spark-side plumbing (schema,
-partitioning, batch shape) is real and tested, while the actual media
-decoding is STUBBED (`decode_image` raises NotImplementedError: the
-image/audio libraries are not in this container) with a deterministic
-fake used by `extract_features` so pipelines are end-to-end runnable.
+functions via `mapInPandas` — one serialization boundary per batch,
+not per row.
 
-Scale: mapInPandas streams Arrow batches through Python — one
-serialization boundary per batch, not per row. Payload-heavy tables
-should be repartitioned by size (`spark.sql.files.maxPartitionBytes`)
-before feature extraction so one task never holds more than a few
-hundred MB of payload.
+Decode support is two-tier:
+- REAL, library-free decoders for uncompressed raster formats — binary
+  PPM (P6) and 24-bit uncompressed BMP — implemented with struct/numpy
+  only (`decode_image`, `resize_image`, `encode_ppm`). These run
+  end-to-end in this container and are round-trip tested.
+- Compressed formats (JPEG/PNG/...) require PIL/opencv, which are NOT
+  in this container: `decode_image` raises NotImplementedError for
+  them, and `extract_features` falls back to a deterministic
+  byte-histogram feature so pipelines stay runnable on arbitrary
+  payloads.
+
+Scale: payload-heavy tables should be repartitioned by size
+(`spark.sql.files.maxPartitionBytes`) before feature extraction so one
+task never holds more than a few hundred MB of payload.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,18 +55,90 @@ def to_binary_payload(
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload to pixels. STUB: the decode libraries
-    (PIL/opencv) are not available in this container."""
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the simplest
+    real raster container; pure bytes, no libraries."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5 or parts[0] != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = parts[4]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER; 24bpp uncompressed
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    for r in range(h):
+        start = off + r * stride
+        row = np.frombuffer(payload[start : start + w * 3], dtype=np.uint8)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img  # bottom-up storage when h > 0
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    REAL decode for binary PPM (P6) and 24-bit uncompressed BMP —
+    struct/numpy only, no imaging libraries. Compressed formats
+    (JPEG/PNG) would need PIL/opencv, absent from this container."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv which are not installed; "
-        "extract_features uses a deterministic fake instead"
+        "compressed image decode (JPEG/PNG/...) requires PIL/opencv which "
+        "are not installed; PPM(P6)/BMP(24-bit) decode natively"
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize a decodable image payload with nearest-neighbor resampling
+    (pure numpy index math) and re-encode as PPM. Real for PPM/BMP
+    inputs; compressed formats raise as in `decode_image`."""
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_ppm(img[ys][:, xs])
+
+
+def _pixel_feature(img: np.ndarray) -> list[float]:
+    """FEATURE_DIM pixel-statistic vector from a decoded image:
+    [h/256, w/256, mean_r, mean_g, mean_b, std_r, std_g, std_b] with
+    channel stats scaled to [0, 1]."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    stds = flat.std(axis=0) / 255.0
+    return [h / 256.0, w / 256.0, *means.tolist(), *stds.tolist()]
+
+
 def _fake_feature(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector: byte
-    histogram moments over FEATURE_DIM equal-width buckets."""
+    """Deterministic fallback for undecodable payloads: byte histogram
+    over FEATURE_DIM equal-width buckets."""
     if not payload:
         return [0.0] * FEATURE_DIM
     counts = [0] * FEATURE_DIM
@@ -68,12 +148,20 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
+def _feature(payload: bytes) -> list[float]:
+    try:
+        return _pixel_feature(decode_image(payload))
+    except (NotImplementedError, ValueError, IndexError):
+        return _fake_feature(payload)
+
+
 def extract_features(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta).
 
-    Real media would call `decode_image`/resample/frame-sample here; the
-    batch shape, schema, and partition behavior are identical with the
-    deterministic fake."""
+    Decodable payloads (PPM/BMP) get REAL pixel-statistic features;
+    anything else gets the deterministic byte-histogram fallback — the
+    batch shape, schema, and partition behavior are identical either
+    way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -82,20 +170,11 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "modality": [m["modality"] for m in pdf["meta"]],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                    "feature": [_feature(p) for p in pdf["payload"]],
                 }
             )
 
     return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
-
-
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB: decode/encode libraries are not
-    available in this container; the Spark-side pipeline shape is
-    demonstrated by `sample_frames`/`extract_features`."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv which are not installed"
-    )
 
 
 N_FRAMES = 4
@@ -111,9 +190,9 @@ def sample_frames(binary_df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     the 1:N row explosion shape a video pipeline needs (one input row ->
     n_frames output rows, still one Arrow batch boundary per partition).
 
-    The frame decode is the deterministic fake (byte-histogram over the
-    frame's byte slice); a real pipeline swaps `_fake_feature` for the
-    codec call, nothing else changes."""
+    Frames are byte slices featurized with the histogram fallback; a
+    real pipeline swaps the slice for the codec's frame decode, nothing
+    else changes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -875,11 +875,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes near-dups with an independent brute-force
     list_intersect cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "text",
-        F.array_distinct(text.shingles(text.tokens(F.col("text")))).alias("sh"),
-        _bucket(F.col("doc_id")).alias("b"),
+    # persist() is the materialization barrier here, same as the MinHash
+    # path (functions/dedup.py): HOF lambdas skip codegen CSE and
+    # CollapseProject re-inlines single-referenced projections, so
+    # without the barrier every downstream branch (postings, ordering,
+    # verify arrays) re-runs the O(|toks|²) shingle construction per
+    # reference. The persisted frame is one row per doc — tiny relative
+    # to the corpus at every scale.
+    d = (
+        docs.select("doc_id", "text", text.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            "text",
+            F.array_distinct(text.shingles(F.col("_toks"))).alias("sh"),
+            _bucket(F.col("doc_id")).alias("b"),
+        )
+        .persist()
     )
     new = d.filter(F.col("b") >= 80).drop("b")
     ex = d.filter(F.col("b") < 80).drop("b")
@@ -892,10 +903,46 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(1))
     )
 
-    # inverted-index candidates: one posting row per (doc, shingle)
-    np_ = new.select(F.col("doc_id").alias("n_id"), F.explode("sh").alias("s"))
-    ep = ex.select(F.col("doc_id").alias("e_id"), F.explode("sh").alias("s"))
-    cand = np_.join(ep, "s").select("n_id", "e_id").distinct()
+    # PPJoin-style prefix-filtered candidates (lossless; see
+    # functions/dedup.py prefix_filter_jaccard_pairs for the lemma): under
+    # ONE global rare-first shingle order — document frequency over the
+    # COMBINED corpus, so both sides sort identically — any pair with
+    # J >= t must share a shingle inside both docs' (n - ceil(t*n) + 1)-
+    # element prefixes. Posting only prefixes cuts candidate volume ~25x
+    # at t=0.8 vs full inverted-index posting (measured 372k -> 15k
+    # pairs at sf0.1), and candidates stop growing with every shared
+    # COMMON shingle — the term that scales quadratically on boilerplate.
+    t = 0.8
+    posting_all = d.select("doc_id", "b", F.explode("sh").alias("s"))
+    dfreq = posting_all.groupBy("s").agg(F.count("*").alias("df"))
+    ordered = (
+        posting_all.join(dfreq, "s")
+        .groupBy("doc_id", "b")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "s"))), lambda e: e["s"]
+            ).alias("os")
+        )
+    )
+    n = F.size("os")
+    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    pre = ordered.select(
+        "doc_id", "b", n.alias("n"), F.slice("os", F.lit(1), plen).alias("prefix")
+    )
+    np_ = pre.filter(F.col("b") >= 80).select(
+        F.col("doc_id").alias("n_id"), F.col("n").alias("nn"),
+        F.explode("prefix").alias("s"),
+    )
+    ep = pre.filter(F.col("b") < 80).select(
+        F.col("doc_id").alias("e_id"), F.col("n").alias("ne"),
+        F.explode("prefix").alias("s"),
+    )
+    cand = (
+        np_.join(ep, "s")
+        .filter(F.greatest("nn", "ne") * F.lit(t) <= F.least("nn", "ne"))
+        .select("n_id", "e_id")
+        .distinct()
+    )
     n_sh = new.select(F.col("doc_id").alias("n_id"), F.col("sh").alias("n_sh"))
     e_sh = ex.select(F.col("doc_id").alias("e_id"), F.col("sh").alias("e_sh"))
     inter = F.size(F.array_intersect("n_sh", "e_sh"))
@@ -960,15 +1007,18 @@ def doc_novelty_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-join back → per-doc aggregate; two shuffles, both on trigram /
     doc keys."""
     docs = load_table(spark, sf_dir, "documents")
-    # two-step projection: HOF lambdas are excluded from codegen CSE, so
-    # an inlined shingles(tokens(text)) re-runs the split per element
-    # (same measured ~10x effect as the MinHash path, dedup.py)
+    # persist() as materialization barrier (see dedup_incremental /
+    # functions/dedup.py): without it CollapseProject re-inlines the
+    # token projection into the shingle transform (per-element regex
+    # re-split) and BOTH consumers of g — the corpus count and the
+    # count-join — pay the explode again.
     g = (
         docs.select("doc_id", text.tokens(F.col("text")).alias("_toks"))
         .select(
             "doc_id",
             F.explode(text.shingles(F.col("_toks"), distinct=False)).alias("ng"),
         )
+        .persist()
     )
     cnt = g.groupBy("ng").agg(F.count("*").alias("c"))
     per_doc = (

@@ -347,3 +347,59 @@ def test_minhash_lsh_hot_bucket_cap(spark, docs):
     # sanity: without the cap binding, the planted dups ARE found
     found = dedup.minhash_lsh_pairs(boiler, max_bucket_size=100).collect()
     assert len(found) == 8 * 7 // 2
+
+
+def test_ppm_roundtrip_and_resize():
+    """Real decode path: PPM(P6) encode → decode round-trips exactly;
+    nearest-neighbor resize of a constant image keeps the color."""
+    import numpy as np
+
+    img = np.zeros((6, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    img[:, :, 1] = 100
+    img[:, :, 2] = 55
+    payload = multimodal.encode_ppm(img)
+    back = multimodal.decode_image(payload)
+    assert back.shape == (6, 4, 3)
+    assert (back == img).all()
+    small = multimodal.decode_image(multimodal.resize_image(payload, 2, 3))
+    assert small.shape == (3, 2, 3)
+    assert (small.reshape(-1, 3) == [200, 100, 55]).all()
+
+
+def test_bmp_decode_24bit():
+    """Real decode path: hand-constructed 24-bit bottom-up BMP with row
+    padding decodes to the expected RGB array."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 2  # stride = 12 (9 data + 3 pad)
+    # rows stored bottom-up, pixels BGR
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]  # RGB of visual top row
+    bottom = [(10, 20, 30)] * 3
+    def row_bytes(px):
+        return b"".join(bytes((b, g, r)) for (r, g, b) in px) + b"\x00" * 3
+
+    raster = row_bytes(bottom) + row_bytes(top)  # bottom-up order
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    img = multimodal.decode_image(header + raster)
+    assert img.shape == (2, 3, 3)
+    assert img[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert img[1].tolist() == [[10, 20, 30]] * 3
+
+
+def test_pixel_features_on_decodable_payload():
+    """extract_features must use the REAL pixel statistics for decodable
+    payloads: a constant-color image's channel means are exact."""
+    import numpy as np
+
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    f = multimodal._feature(multimodal.encode_ppm(img))
+    assert f[2:5] == [128 / 255.0] * 3  # channel means
+    assert f[5:8] == [0.0, 0.0, 0.0]  # constant image: zero std
