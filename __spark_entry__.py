@@ -92,6 +92,12 @@ _R2_CHEAP_FIRST = [
     "contamination_check", "dedup_clusters", "fixture_effective_diameter",
     "fixture_hopplot", "dedup_prefix_filter", "similarity_ivf_trained",
     "kmeans_embeddings", "dedup_edit_distance",
+    # round-2 additions, measured at sf0.01 (cheap ones interleave fine
+    # at the tail of the unchecked group)
+    "shuffle_shard_stats", "events_variant_props", "dedup_incremental",
+    "doc_novelty_trigrams", "pack_sequences", "events_session_window",
+    "doc_lm_surprisal", "streaming_state_inspect",
+    "streaming_session_window",
 ]
 
 
