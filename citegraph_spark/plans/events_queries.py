@@ -848,3 +848,37 @@ def streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_state_inspect_demo
 
     return run_state_inspect_demo(spark, sf_dir)
+
+
+@register(
+    "salted_join_event_nations",
+    """
+SELECT c.c_nationkey AS nationkey,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi join through `salted_join`
+    (operators/relational.py): the fact side's hot keys are spread over
+    16 salt buckets, the dimension side replicated per salt — the manual
+    fallback for plans where AQE's runtime skew split can't act. The
+    oracle is the plain join, so the hash match proves salting is
+    result-invariant (its whole point)."""
+    from ..operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(ev, dim, key="user_id", n_salts=16)
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("nationkey")
+    )
