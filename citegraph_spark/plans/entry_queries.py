@@ -847,3 +847,34 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("dist", 1).alias("dist"))
         .orderBy("node")
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+und AS (SELECT DISTINCT least(x."to", y."to") AS a, greatest(x."to", y."to") AS b
+        FROM cit x JOIN cit y ON x."from" = y."from" AND x."to" <> y."to"),
+adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT x, count(*) AS d FROM adj GROUP BY 1),
+tri AS (SELECT a1.x AS v, count(*) AS t
+        FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+        JOIN und e ON e.a = a1.y AND e.b = a2.y GROUP BY 1)
+SELECT deg.x AS node, CAST(d AS BIGINT) AS degree,
+       round(2.0 * COALESCE(t, 0) / (d * (d - 1)), 6) AS cc
+FROM deg LEFT JOIN tri ON tri.v = deg.x
+WHERE d >= 2 ORDER BY cc DESC, node LIMIT 100
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-citation
+    projection, top-100 by (cc desc, node): triangles enumerated once
+    with degree-ordered orientation (operators/graph.py
+    `local_clustering` — oriented out-degree is O(sqrt|E|), so the wedge
+    join survives power-law hubs), each triangle crediting its three
+    corners via one narrow explode. The oracle recomputes per-node
+    triangles with an independent naive neighbor-pair self-join."""
+    from ..operators.graph import co_citation, local_clustering
+
+    und = co_citation(_citations(spark, sf_dir))
+    return local_clustering(und, top_k=100)

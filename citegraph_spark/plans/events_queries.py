@@ -882,3 +882,38 @@ def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "events_sliding_window",
+    """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events CROSS JOIN unnest([0, 1]) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (30-min window, 15-min slide): every
+    event lands in exactly window/slide = 2 overlapping windows —
+    F.window's three-arg form, the shape behind rolling KPIs. Spark
+    expands the windows map-side (no self-join); the oracle replicates
+    each event into its 2 windows with an unnest cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
