@@ -149,9 +149,12 @@ def _fake_feature(payload: bytes) -> list[float]:
 
 
 def _feature(payload: bytes) -> list[float]:
+    # struct.error: a payload starting with b"BM" but shorter than the
+    # 34-byte BMP header makes struct.unpack_from raise — such payloads
+    # must hit the histogram fallback, not kill the mapInPandas task.
     try:
         return _pixel_feature(decode_image(payload))
-    except (NotImplementedError, ValueError, IndexError):
+    except (NotImplementedError, ValueError, IndexError, struct.error):
         return _fake_feature(payload)
 
 

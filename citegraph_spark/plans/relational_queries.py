@@ -270,15 +270,27 @@ def multi_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-)  # rows-only: HLL sketch result differs across engines by design
+    """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem
+""",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++): the scale path for
     cardinality over 100 TB — constant memory vs countDistinct's shuffle
-    of every key. Rows-only check (sketches are engine-specific);
-    tests assert <=2% relative error vs the exact count."""
+    of every key. The HLL estimate itself is engine-specific, so the
+    hashable output is the exact count plus an in-query certificate that
+    the estimate lands within 5% (2.5 sigma at rsd=0.02) of it — the
+    oracle asserts the same exact count and TRUE. Production at scale
+    runs the approx aggregate alone; the exact column here is the
+    verification harness, not the plan."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
 
 
@@ -401,17 +413,39 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_prices")  # rows-only: sketch is engine-specific
+@register(
+    "approx_percentile_prices",
+    """
+SELECT l_returnflag AS flag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
     path: mergeable constant-memory summaries instead of a global sort.
-    Rows-only; error vs exact asserted in tests."""
+    The sketch value is engine-specific, so the hashable output is the
+    exact interpolated percentile plus an in-query certificate that the
+    GK estimate (accuracy 10000, rank error <= n/10000) lands inside the
+    exact [q-0.002, q+0.002] quantile envelope — 20x the guaranteed
+    rank error, deterministic at every SF. Production at scale runs the
+    approx aggregate alone; the exact columns are the harness."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
+    apx = lambda q: F.percentile_approx("l_extendedprice", q, 10000)  # noqa: E731
+    in_bound = lambda q: apx(q).between(  # noqa: E731
+        exact(q - 0.002), exact(q + 0.002)
+    )
     return (
         li.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+            F.round(exact(0.5), 4).alias("p50_exact"),
+            F.round(exact(0.9), 4).alias("p90_exact"),
+            in_bound(0.5).alias("p50_in_bound"),
+            in_bound(0.9).alias("p90_in_bound"),
         )
         .orderBy("flag")
     )
@@ -1086,3 +1120,38 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return equidepth_histogram(orders, "o_totalprice", "o_orderkey", n_buckets=8)
+
+
+@register(
+    "csv_sink_roundtrip",
+    """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_name
+""",
+)
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted single-file CSV sink round-trip (S8/S9, reference
+    DataFrameSaver.scala:8-25): write nation through
+    save_sorted_csv_single (distributed sort, then coalesce(1) so the
+    order survives into the single output file), read the file back with
+    the original schema, and return the rows. The batch oracle certifies
+    the WHOLE write path — a dropped header, lost sort, re-typed column,
+    or doubled part file would hash-mismatch. Rows are materialized
+    before the temp dir is removed (single-file CSV is small by
+    contract; `save_parquet` is the scale path)."""
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import save_sorted_csv_single
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="csv_sink_roundtrip_")
+    try:
+        path = f"{out}/nation_sorted"
+        save_sorted_csv_single(n, path, "n_name")
+        back = spark.read.option("header", "true").schema(n.schema).csv(path)
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

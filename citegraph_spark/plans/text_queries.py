@@ -496,23 +496,120 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_features")  # rows-only: mapInPandas fake-decode
+# The multimodal feature queries emit the vector EXPLODED to
+# (.., dim, bucket_count) scalars: the driver's canonicalizer
+# (pandas.sort_values) cannot hash array-typed cells, and integer bucket
+# counts (recovered exactly from the float32 feature via
+# round(value * slice_len)) hash deterministically where rounded floats
+# would not. The oracle recomputes the byte histogram per UTF-8 byte via
+# hex nibbles: bucket(b) = b // 32 = high_nibble // 2.
+
+
+@register(
+    "multimodal_features",
+    """
+WITH b AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_bytes,
+         list_transform(range(1, n_bytes + 1),
+                        i -> ('0x' || substring(hx, 2*i - 1, 1))::INT // 2)
+           AS buckets
+  FROM b
+)
+SELECT doc_id, n_bytes, 'text' AS modality, d.dim::INT AS dim,
+       CAST(len(list_filter(buckets, x -> x = d.dim)) AS BIGINT)
+         AS bucket_count
+FROM k, (SELECT unnest(range(0, 8)) AS dim) d
+ORDER BY doc_id, dim
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (decode step
-    stubbed with a deterministic byte-histogram fake)."""
+    """Arrow-batched feature extraction over binary payloads (real PPM/BMP
+    decode with a deterministic byte-histogram fallback; these text
+    payloads all take the histogram path), exploded to one row per
+    feature dimension with the exact integer bucket count."""
     docs = load_table(spark, sf_dir, "documents")
     binary = multimodal.to_binary_payload(docs, "doc_id", "text")
-    return multimodal.extract_features(binary).orderBy("doc_id")
+    feats = multimodal.extract_features(binary)
+    return (
+        feats.select(
+            "doc_id", "n_bytes", "modality",
+            F.posexplode("feature").alias("dim", "value"),
+        )
+        .select(
+            "doc_id", "n_bytes", "modality", "dim",
+            F.round(F.col("value") * F.col("n_bytes"))
+            .cast("long")
+            .alias("bucket_count"),
+        )
+        .orderBy("doc_id", "dim")
+    )
 
 
-@register("multimodal_frames")  # rows-only: mapInPandas 1:N frame explosion
+@register(
+    "multimodal_frames",
+    """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
+  FROM documents
+),
+f AS (
+  SELECT doc_id, nb, hx, unnest(range(0, 4))::INT AS frame_idx FROM b
+),
+s AS (
+  SELECT doc_id, frame_idx, hx, nb,
+         (frame_idx * greatest(nb, 1)) // 4 AS off,
+         ((frame_idx + 1) * greatest(nb, 1)) // 4 AS fin
+  FROM f
+),
+k AS (
+  SELECT doc_id, frame_idx, off::INT AS frame_offset,
+         list_transform(range(off + 1, least(fin, nb) + 1),
+                        i -> ('0x' || substring(hx, 2*i - 1, 1))::INT // 2)
+           AS buckets
+  FROM s
+)
+SELECT doc_id, frame_idx, frame_offset, d.dim::INT AS dim,
+       CAST(len(list_filter(buckets, x -> x = d.dim)) AS BIGINT)
+         AS bucket_count
+FROM k, (SELECT unnest(range(0, 8)) AS dim) d
+ORDER BY doc_id, frame_idx, dim
+""",
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-like binary payloads: 4 evenly-spaced
-    frames per payload, each with its own (fake-decoded) feature vector —
-    the 1:N explosion shape of a video pipeline."""
+    frames per payload, each with its own (histogram) feature vector —
+    the 1:N explosion shape of a video pipeline — exploded to one row
+    per (frame, dim) with the exact integer bucket count. The slice
+    length is reconstructed from meta.n_bytes with the same floor
+    arithmetic sample_frames uses."""
     docs = load_table(spark, sf_dir, "documents")
     binary = multimodal.to_binary_payload(docs, "doc_id", "text", modality="video")
-    return multimodal.sample_frames(binary).orderBy("doc_id", "frame_idx")
+    frames = multimodal.sample_frames(binary)
+    sizes = binary.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"))
+    slice_len = F.expr(
+        "((frame_idx + 1) * greatest(n_bytes, 1)) div 4"
+        " - (frame_idx * greatest(n_bytes, 1)) div 4"
+    )
+    return (
+        frames.join(F.broadcast(sizes), "doc_id")
+        .select(
+            "doc_id", "frame_idx", "frame_offset",
+            F.posexplode("feature").alias("dim", "value"),
+            slice_len.alias("slice_len"),
+        )
+        .select(
+            "doc_id", "frame_idx", "frame_offset", "dim",
+            F.round(F.col("value") * F.col("slice_len"))
+            .cast("long")
+            .alias("bucket_count"),
+        )
+        .orderBy("doc_id", "frame_idx", "dim")
+    )
 
 
 @register(

@@ -510,23 +510,31 @@ def run_state_inspect_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
     )
+    import shutil
+
     ckpt = tempfile.mkdtemp()  # must outlive the query for the state read
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("state_inspect_sink")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
-    ss = spark.read.format("statestore").load(ckpt)
-    return ss.select(
-        F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        F.col("key.event_type").alias("event_type"),
-        F.col("value.count").alias("n"),
-        F.round(F.col("value.sum"), 2).alias("value_sum"),
-    )
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("state_inspect_sink")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        ss = spark.read.format("statestore").load(ckpt)
+        projected = ss.select(
+            F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+            F.round(F.col("value.sum"), 2).alias("value_sum"),
+        )
+        # materialize before the checkpoint dir (the statestore source's
+        # backing files) is removed — state is small: windows × types
+        return spark.createDataFrame(projected.collect(), projected.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -204,3 +204,53 @@ def test_file_lineage_counts_covers_all_rows(spark):
     rows = file_lineage_counts(spark, "/root/testdata/sf0.001").collect()
     total = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     assert sum(r["n_rows"] for r in rows) == total
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain equi
+    join, for a left side with one hot key and an unmatched key."""
+    from citegraph_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(7)] + [(9, 0)],
+        "k int, v int",
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, name string")
+    got = sorted(map(tuple, salted_join(left, right, key="k", n_salts=8).collect()))
+    expected = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == expected
+    assert len(got) == 507  # hot key kept whole, key 9 dropped (inner)
+
+
+def test_sliding_window_matches_bruteforce(tmp_path, spark):
+    """30-min/15-min sliding windows: every event must land in exactly
+    the two windows [floor15(t)-15, floor15(t)] — checked end-to-end
+    through the registered query on a tiny parquet events table."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m, seconds=s), typ, float(val))
+        for m, s, typ, val in [
+            (0, 0, "a", 1), (7, 30, "a", 2), (14, 59, "b", 3),
+            (15, 0, "a", 4), (29, 59, "b", 5), (30, 0, "a", 6),
+            (44, 59, "a", 7), (45, 0, "b", 8),
+        ]
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+
+    out = QUERIES["events_sliding_window"](spark, str(tmp_path)).collect()
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["value_sum"]) for r in out}
+
+    expected = defaultdict(lambda: [0, 0.0])
+    for t, typ, v in rows:
+        f15 = t.replace(minute=(t.minute // 15) * 15, second=0)
+        for start in (f15, f15 - dt.timedelta(minutes=15)):
+            key = (start.strftime("%Y-%m-%d %H:%M:%S"), typ)
+            expected[key][0] += 1
+            expected[key][1] += v
+    assert got == {k: (n, s) for k, (n, s) in expected.items()}

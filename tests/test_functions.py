@@ -403,3 +403,13 @@ def test_pixel_features_on_decodable_payload():
     f = multimodal._feature(multimodal.encode_ppm(img))
     assert f[2:5] == [128 / 255.0] * 3  # channel means
     assert f[5:8] == [0.0, 0.0, 0.0]  # constant image: zero std
+
+
+def test_feature_fallback_on_truncated_bmp():
+    """A payload starting with b'BM' but shorter than the BMP header must
+    take the byte-histogram fallback (struct.error path), not crash the
+    mapInPandas task."""
+    for payload in (b"BM", b"BMshort", b"BM" + b"\x00" * 20):
+        f = multimodal._feature(payload)
+        assert f == multimodal._fake_feature(payload)
+        assert len(f) == multimodal.FEATURE_DIM

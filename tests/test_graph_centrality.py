@@ -269,3 +269,59 @@ def test_scc_cycle_hanging_off_dag(spark):
         frozenset({10}),
         frozenset({20}),
     }
+
+
+def test_local_clustering_matches_bruteforce(spark):
+    from citegraph_spark.operators.graph import local_clustering
+
+    raw = _raw_edges(spark)
+    by_src = collections.defaultdict(set)
+    for a, b in raw:
+        by_src[a].add(b)
+    und = {
+        (x, y)
+        for nbrs in by_src.values()
+        for x, y in itertools.combinations(sorted(nbrs), 2)
+    }
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if (min(x, y), max(x, y)) in und
+        )
+        expected[v] = (d, 2.0 * t / (d * (d - 1)))
+
+    out = local_clustering(
+        co_citation(fixture_citations(spark)), top_k=10**6
+    ).collect()
+    got = {r["node"]: (r["degree"], r["cc"]) for r in out}
+    assert set(got) == set(expected)
+    for v, (d, cc) in expected.items():
+        assert got[v][0] == d, f"degree mismatch at {v}"
+        assert abs(got[v][1] - cc) <= 5e-7, f"cc mismatch at {v}"
+    # returned order is (cc desc, node asc)
+    keys = [(-r["cc"], r["node"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_local_clustering_hand_graph(spark):
+    from citegraph_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1, cc(3)=1/3,
+    # node 4 has degree 1 -> excluded
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a int, b int"
+    )
+    got = {
+        r["node"]: (r["degree"], r["cc"])
+        for r in local_clustering(und).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (3, round(1 / 3, 6))}
