@@ -7,6 +7,7 @@ from . import events_queries  # noqa: E402,F401
 from . import graph_fixture_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
+from . import storage_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import tpch_rest  # noqa: E402,F401
 

@@ -1,0 +1,267 @@
+"""Storage-layout query registrations: partitioned/z-ordered/upserted
+parquet, ORC and JSON-lines round-trips.
+
+These certify the WRITE paths in `sources/sinks.py` end-to-end (the same
+way `csv_sink_roundtrip` certifies S8/S9, reference
+DataFrameSaver.scala:8-25): each query writes through the sink under
+test, reads the files back, and returns rows a DuckDB oracle recomputes
+from the ORIGINAL table — a dropped partition, re-typed column, lost
+merge, or wrong z-key bit math hash-mismatches.
+
+Scale notes are on the sinks themselves (sinks.py); the layout-dependent
+EFFECTS (partition pruning, row-group skipping) are asserted on query
+plans in tests/test_sources.py and tests/test_storage_queries.py — an
+oracle can only certify values, not file layout.
+
+All temp output is written under a per-query `tempfile.mkdtemp` and
+removed in `finally`; results are materialized before cleanup (small by
+construction — aggregates or ≤ a few hundred rows).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .entry_queries import register
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin rows driver-side so the backing temp files can be deleted."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+@register(
+    "parquet_partitioned_roundtrip",
+    """
+SELECT CAST(month(o_orderdate) AS INT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY 1 ORDER BY 1
+""",
+)
+def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round-trip: write orders partitioned by
+    order year (the layout a 100 TB fact table would use), read the
+    directory back, and aggregate ONE year. The read-back filter prunes
+    to a single partition directory (PartitionFilters in the scan, plan
+    asserted in tests); the oracle recomputes from the raw table, so a
+    row landing in the wrong partition or a partition column losing its
+    value in the directory-encoding round-trip hash-mismatches."""
+    from ..sources.sinks import save_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = tempfile.mkdtemp(prefix="parquet_part_rt_")
+    try:
+        save_parquet(orders, f"{out}/orders", partition_by=["o_year"])
+        back = spark.read.parquet(f"{out}/orders").filter(F.col("o_year") == 1995)
+        res = (
+            back.groupBy(F.month("o_orderdate").alias("month"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("month")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "parquet_upsert_merge",
+    """
+WITH updates AS (
+  SELECT s_suppkey, round(s_acctbal + 100.0, 2) AS s_acctbal, 2 AS version
+  FROM supplier WHERE s_suppkey % 3 = 0
+)
+SELECT s.s_suppkey,
+       round(coalesce(u.s_acctbal, s.s_acctbal), 2) AS s_acctbal,
+       CAST(coalesce(u.version, 1) AS INT) AS version
+FROM supplier s LEFT JOIN updates u USING (s_suppkey)
+ORDER BY s_suppkey
+""",
+)
+def parquet_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE round-trip (sinks.upsert_parquet): seed a
+    keyed snapshot at version 1, upsert a higher-version batch touching
+    every third key, read the merged table back. The oracle states merge
+    semantics declaratively (LEFT JOIN + coalesce), so a lost update,
+    duplicated key, or wrong version-precedence hash-mismatches. The
+    sink's dedup is a single max_by-struct shuffle — no window sort —
+    which is what keeps MERGE viable per-partition at 100 TB."""
+    from ..sources.sinks import upsert_parquet
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    base = supplier.select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        supplier.filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            "s_suppkey",
+            F.round(F.col("s_acctbal") + 100.0, 2).alias("s_acctbal"),
+            F.lit(2).alias("version"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="parquet_upsert_")
+    try:
+        path = f"{out}/supplier_state"
+        upsert_parquet(spark, base, path, ["s_suppkey"], "version")
+        upsert_parquet(spark, updates, path, ["s_suppkey"], "version")
+        res = (
+            spark.read.parquet(path)
+            .select(
+                "s_suppkey",
+                F.round("s_acctbal", 2).alias("s_acctbal"),
+                F.col("version").cast("int").alias("version"),
+            )
+            .orderBy("s_suppkey")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_ZBITS = 8
+
+# DuckDB bit-interleave replay of sinks.zorder_key(bits=8): the z-key is
+# a sum of disjoint bit contributions, so arithmetic + replaces bit-or.
+_ZKEY_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+
+@register(
+    "parquet_zorder_roundtrip",
+    f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 256 AS x, l_suppkey % 256 AS y
+  FROM lineitem
+),
+keyed AS (SELECT *, CAST({_ZKEY_SQL} AS BIGINT) AS zkey FROM pts)
+SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, zkey
+FROM keyed
+WHERE x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15
+ORDER BY zkey, l_orderkey, l_linenumber
+""",
+)
+def parquet_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip: key lineitem points by the Morton
+    interleave of two bounded dims (sinks.zorder_key), write
+    range-partitioned + sorted by zkey (sinks.save_sorted_parquet), read
+    back, and select a 2-D square. The oracle replays the interleave
+    bit-for-bit in SQL, certifying the key math; the LAYOUT payoff (the
+    square touches few files / row groups because z-sorting gives both
+    dims locality) is asserted on file min/max stats in
+    tests/test_sources.py — 100 TB scans prune on exactly those stats."""
+    from ..sources.sinks import save_sorted_parquet, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        (F.col("l_partkey") % 256).cast("long").alias("x"),
+        (F.col("l_suppkey") % 256).cast("long").alias("y"),
+    )
+    keyed = li.withColumn("zkey", zorder_key(F.col("x"), F.col("y"), bits=_ZBITS))
+    out = tempfile.mkdtemp(prefix="parquet_zorder_")
+    try:
+        save_sorted_parquet(keyed, f"{out}/li_z", ["zkey"], target_partitions=8)
+        back = spark.read.parquet(f"{out}/li_z")
+        res = (
+            back.filter(F.col("x").between(0, 15) & F.col("y").between(0, 15))
+            .select("l_orderkey", "l_linenumber", "x", "y", "zkey")
+            .orderBy("zkey", "l_orderkey", "l_linenumber")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "orc_sink_roundtrip",
+    """
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3 ORDER BY n_nationkey
+""",
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: write customer to ORC (Spark's other
+    first-class columnar format — same predicate-pushdown and
+    column-pruning contract as parquet), read it back, join to nation
+    and aggregate. The oracle recomputes from the original parquet, so
+    any type coercion or value drift through the ORC encode/decode
+    hash-mismatches (DECIMAL/DATE round-tripping is where ORC writers
+    historically diverged)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        customer.write.mode("overwrite").orc(f"{out}/customer")
+        back = spark.read.orc(f"{out}/customer")
+        res = (
+            nation.join(back, back.c_nationkey == nation.n_nationkey)
+            .groupBy("n_nationkey", "n_name", "n_regionkey")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+            .orderBy("n_nationkey")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "json_sink_roundtrip",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(min(o_orderdate) AS VARCHAR) AS first_date
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip: write open orders as
+    newline-delimited JSON, read back with the ORIGINAL schema applied
+    (schema-on-read — the 100 TB contract for semi-structured landing
+    zones is an explicit schema, never inference, which costs a full
+    extra pass), then aggregate. DATE and DECIMAL-ish DOUBLE columns
+    cross the text encoding; the oracle recomputes from parquet, so any
+    lossy serialization hash-mismatches."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    out = tempfile.mkdtemp(prefix="json_rt_")
+    try:
+        orders.write.mode("overwrite").json(f"{out}/orders")
+        back = spark.read.schema(orders.schema).json(f"{out}/orders")
+        res = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.min("o_orderdate").cast("string").alias("first_date"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
