@@ -3,6 +3,7 @@ from . import entry_queries
 # Importing these modules registers their queries into
 # entry_queries.QUERIES / ORACLES.
 from . import analytics_queries  # noqa: E402,F401
+from . import cleaning_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import graph_fixture_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
