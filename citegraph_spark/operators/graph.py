@@ -1265,3 +1265,96 @@ def local_clustering(und_edges: DataFrame, top_k: int = 100) -> DataFrame:
         .orderBy(F.desc("cc"), "node")
         .limit(top_k)
     )
+
+
+def harmonic_centrality(
+    bidir: DataFrame,
+    max_d: int = 20,
+    local_threshold: int = 2000,
+) -> DataFrame:
+    """Exact harmonic centrality sum_{v != u} 1/d(u, v) over an
+    undirected edge list given with BOTH orientations (columns s, d).
+
+    Same two-tier shape as `connected_pairs_by_distance`: at or below
+    `local_threshold` directed edges the whole graph is BFS'd
+    driver-local (the distributed loop's ~6 jobs/round are pure overhead
+    on a fixture-sized graph); above it, a simultaneous multi-source BFS
+    runs distributed — the frontier carries (src, node) pairs, each
+    round is one join + one fused dedup/anti shuffle, with frontier
+    partitioning pinned to the cluster's parallelism so round-over-round
+    unions don't inflate the task count.
+
+    Exact all-pairs state is O(n^2); that is inherent to EXACT harmonic
+    centrality. The 100 TB answer is the HyperBall harmonic estimator
+    (Boldi-Vigna 2013) over the same register state as
+    `functions/sketches.py` — this operator is the exact small-scale oracle
+    for it, like exact hop-plot vs graph_hyperball.
+    """
+    spark = bidir.sparkSession
+    n_edges = bidir.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        from collections import defaultdict, deque
+
+        adj: dict = defaultdict(set)
+        for r in bidir.collect():
+            if r[0] != r[1]:
+                adj[r[0]].add(r[1])
+        rows = []
+        for s in adj:
+            dist = {s: 0}
+            dq = deque([s])
+            h = 0.0
+            while dq:
+                u = dq.popleft()
+                if dist[u] >= max_d:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        dq.append(v)
+                        h += 1.0 / dist[v]
+            rows.append((s, round(h, 6)))
+        return spark.createDataFrame(
+            sorted(rows), "id int, harmonic double"
+        ).orderBy("id")
+
+    par = spark.sparkContext.defaultParallelism
+    edges = bidir.repartition(par, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges.select(F.col("s").alias("id")).distinct()
+    seen = (
+        nodes.select(
+            F.col("id").alias("src"), F.col("id").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+        .repartition(par, "src", "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = seen
+    for d in range(1, max_d + 1):
+        cand = (
+            frontier.join(edges, frontier.node == edges.s)
+            .select("src", F.col("d").alias("node"), F.lit(d).alias("dist"))
+        )
+        # dedup + seen-subtraction fused into one shuffle (tag-and-group,
+        # same trick as connected_pairs_by_distance)
+        nxt = (
+            cand.select("src", "node", F.lit(0).alias("_seen"))
+            .unionByName(seen.select("src", "node", F.lit(1).alias("_seen")))
+            .groupBy("src", "node")
+            .agg(F.max("_seen").alias("_seen"))
+            .filter(F.col("_seen") == 0)
+            .select("src", "node", F.lit(d).alias("dist"))
+            .repartition(par, "src", "node")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    edges.unpersist()
+    return (
+        seen.filter(F.col("dist") > 0)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
+        .orderBy("id")
+    )
