@@ -135,3 +135,31 @@ def test_dedup_incremental_no_cartesian(spark):
     p = plan_text(QUERIES["dedup_incremental"](spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_filter_prunes_without_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.plans.relational_queries import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    build = orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    true_keys = {r["key"] for r in build.collect()}
+    words = build_bloom_words(build)
+
+    total = lineitem.count()
+    cand = lineitem.filter(bloom_might_contain(words, "l_orderkey"))
+    n_cand = cand.count()
+    # prunes: the bitmap must reject the bulk of non-matching rows
+    assert n_cand < total * 0.5
+    # no false negatives: every truly-matching row survives the filter
+    true_rows = lineitem.filter(F.col("l_orderkey").isin(true_keys)).count()
+    survivors = cand.filter(F.col("l_orderkey").isin(true_keys)).count()
+    assert survivors == true_rows
