@@ -94,7 +94,13 @@ _R3_CHEAP_FIRST = [
     # new this round — the last reference operator (S8/S9 CSV sink)
     # without a driver row; cheap (25-row roundtrip), so it leads
     "csv_sink_roundtrip",
+    # round-3 additions, ranked at measured sf0.01 oracle-check cost
+    "tokenize_to_ids", "json_sink_roundtrip", "orc_sink_roundtrip",
+    "graph_random_walks", "parquet_zorder_roundtrip",
     "q7_volume_shipping", "sql_api_region_revenue",
+    "dedup_boilerplate_lines", "text_html_strip", "parquet_upsert_merge",
+    "text_pii_redact", "parquet_partitioned_roundtrip",
+    "bloom_semi_join_revenue", "fixture_harmonic_centrality",
     # round-2 late additions, 0.6-1.4 s each at sf0.01 — ranked at
     # their measured-cost positions among the cheap TPC-H shapes
     "salted_join_event_nations", "events_sliding_window",

@@ -92,6 +92,14 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "doc_novelty_trigrams",
     "doc_lm_surprisal",
+    "text_html_strip",
+    "text_pii_redact",
+    "dedup_boilerplate_lines",
+    "tokenize_to_ids",
+    "bloom_semi_join_revenue",
+    "graph_random_walks",
+    "parquet_partitioned_roundtrip",
+    "parquet_zorder_roundtrip",
 ]
 
 
