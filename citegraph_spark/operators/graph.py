@@ -1326,7 +1326,6 @@ def harmonic_centrality(
             F.col("id").alias("src"), F.col("id").alias("node"),
             F.lit(0).alias("dist"),
         )
-        .repartition(par, "src", "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     frontier = seen
@@ -1344,7 +1343,6 @@ def harmonic_centrality(
             .agg(F.max("_seen").alias("_seen"))
             .filter(F.col("_seen") == 0)
             .select("src", "node", F.lit(d).alias("dist"))
-            .repartition(par, "src", "node")
             .localCheckpoint()
         )
         if nxt.isEmpty():
@@ -1357,4 +1355,154 @@ def harmonic_centrality(
         .groupBy(F.col("src").alias("id"))
         .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
         .orderBy("id")
+    )
+
+
+def betweenness_sampled(
+    bidir: DataFrame,
+    source_mod: int | None = None,
+    max_d: int = 20,
+    local_threshold: int = 2000,
+) -> DataFrame:
+    """Betweenness centrality by Brandes' algorithm (Brandes 2001) over
+    an undirected edge list given with BOTH orientations (columns s, d),
+    restricted to source nodes with `id % source_mod == 0` (None = all
+    sources = exact betweenness) and shortest paths of length <= max_d
+    (k-bounded betweenness). Scores sum the pair-dependency
+    sigma_st(v)/sigma_st over ORDERED (s, t) pairs — no /2 halving — so
+    sampled and exact runs share one definition.
+
+    Two-tier like `connected_pairs_by_distance`: driver-local Brandes
+    below `local_threshold` edges; above it, the standard distributed
+    formulation — a forward multi-source BFS accumulating per-(src,node)
+    shortest-path counts sigma (one join + one sum-aggregate per level),
+    then a backward sweep over levels accumulating dependencies delta
+    (one join per level, walking depth max..1). Per-source state is one
+    row per reached (src, node): with S sampled sources the working set
+    is O(S * n) — the reason sampling exists (Brandes-Pich 2007); exact
+    all-sources runs are a fixture/subgraph tool.
+    """
+    spark = bidir.sparkSession
+    n_edges = bidir.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        from collections import defaultdict, deque
+
+        adj: dict = defaultdict(set)
+        for r in bidir.collect():
+            if r[0] != r[1]:
+                adj[r[0]].add(r[1])
+        bc: dict = defaultdict(float)
+        sources = [
+            s for s in adj if source_mod is None or s % source_mod == 0
+        ]
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = []
+            preds = defaultdict(list)
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                order.append(u)
+                if dist[u] >= max_d:
+                    continue
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        dq.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] = sigma.get(v, 0.0) + sigma[u]
+                        preds[v].append(u)
+            delta = defaultdict(float)
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+            for v, val in delta.items():
+                if v != s:
+                    bc[v] += val
+        rows = sorted((int(v), round(val, 6)) for v, val in bc.items() if val > 0)
+        return spark.createDataFrame(rows, "node int, bc double").orderBy("node")
+
+    par = spark.sparkContext.defaultParallelism
+    edges = bidir.filter(F.col("s") != F.col("d")).repartition(
+        par, "s"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    srcs = edges.select(F.col("s").alias("id")).distinct()
+    if source_mod is not None:
+        srcs = srcs.filter(F.col("id") % source_mod == 0)
+
+    # forward: levels[d] = (src, node, sigma) at shortest distance d
+    levels: list[DataFrame] = [
+        srcs.select(
+            F.col("id").alias("src"), F.col("id").alias("node"),
+            F.lit(1.0).alias("sigma"),
+        ).localCheckpoint()
+    ]
+    seen = levels[0].select("src", "node")
+    for _d in range(1, max_d + 1):
+        cand = (
+            levels[-1].join(edges, levels[-1].node == edges.s)
+            .select("src", F.col("d").alias("node"), "sigma")
+        )
+        # sigma sums over all predecessors; fuse dedup-vs-seen into the
+        # same aggregate with a tag column (visited rows poison the group)
+        nxt = (
+            cand.select("src", "node", "sigma", F.lit(0).alias("_seen"))
+            .unionByName(
+                seen.select(
+                    "src", "node", F.lit(0.0).alias("sigma"),
+                    F.lit(1).alias("_seen"),
+                )
+            )
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"), F.max("_seen").alias("_seen"))
+            .filter(F.col("_seen") == 0)
+            .select("src", "node", "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("src", "node")).localCheckpoint()
+
+    # backward: delta over levels deep -> shallow; contribution of w to
+    # predecessor v is (sigma_v / sigma_w) * (1 + delta_w)
+    bc_parts: list[DataFrame] = []
+    delta = None  # (src, node, delta) for the level below the current one
+    for d in range(len(levels) - 2, -1, -1):
+        below = levels[d + 1]
+        if delta is not None:
+            below = below.join(delta, ["src", "node"], "left").select(
+                "src", "node", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        else:
+            below = below.select("src", "node", "sigma", F.lit(0.0).alias("delta"))
+        w_side = below.select(
+            "src", F.col("node").alias("w"),
+            ((1.0 + F.col("delta")) / F.col("sigma")).alias("w_term"),
+        )
+        v_side = levels[d].select("src", F.col("node").alias("v"), "sigma")
+        contrib = (
+            v_side.join(edges, v_side.v == edges.s)
+            .select("src", "v", "sigma", F.col("d").alias("w"))
+            .join(w_side, ["src", "w"])
+            .groupBy("src", F.col("v").alias("node"))
+            .agg(F.sum(F.col("sigma") * F.col("w_term")).alias("delta"))
+            .localCheckpoint()
+        )
+        delta = contrib
+        bc_parts.append(contrib.filter(F.col("node") != F.col("src")))
+
+    edges.unpersist()
+    if not bc_parts:
+        return spark.createDataFrame([], "node int, bc double")
+    allc = bc_parts[0]
+    for p in bc_parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(F.col("node").cast("int").alias("node"))
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+        .filter(F.col("bc") > 0)
+        .orderBy("node")
     )

@@ -93,3 +93,63 @@ def test_harmonic_centrality_both_paths_match_bruteforce(spark):
     for k, v in expected.items():
         assert abs(dist[k] - v) < 1e-6
     assert set(dist) == set(expected)
+
+
+def _bidir_df(spark, pairs):
+    fwd = spark.createDataFrame(pairs, "s int, d int")
+    rev = fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    return fwd.union(rev).distinct()
+
+
+def test_betweenness_known_graphs(spark):
+    from citegraph_spark.operators.graph import betweenness_sampled
+
+    # path graph 1-2-3-4: ordered-pair bc(2) = bc(3) = 4
+    path = _bidir_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r["node"]: r["bc"] for r in betweenness_sampled(path).collect()}
+    assert got == {2: 4.0, 3: 4.0}
+
+    # star K_{1,3} center 0: all 6 ordered leaf pairs route through it
+    star = _bidir_df(spark, [(0, 1), (0, 2), (0, 3)])
+    got = {r["node"]: r["bc"] for r in betweenness_sampled(star).collect()}
+    assert got == {0: 6.0}
+
+    # cycle of 4: two equal shortest paths between opposite corners ->
+    # each intermediate node gets 1/2 per ordered opposite pair = 1.0
+    cyc = _bidir_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {r["node"]: r["bc"] for r in betweenness_sampled(cyc).collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_betweenness_distributed_matches_local(spark):
+    from citegraph_spark.operators.graph import betweenness_sampled
+
+    fix = fixture_citations(spark).filter(F.col("from") != F.col("to"))
+    bidir = (
+        fix.select(F.col("from").alias("s"), F.col("to").alias("d"))
+        .union(fix.select(F.col("to").alias("s"), F.col("from").alias("d")))
+        .distinct()
+    )
+    local = {r["node"]: r["bc"] for r in betweenness_sampled(bidir).collect()}
+    dist = {
+        r["node"]: r["bc"]
+        for r in betweenness_sampled(bidir, local_threshold=0).collect()
+    }
+    assert set(local) == set(dist)
+    for k, v in local.items():
+        assert abs(dist[k] - v) < 1e-6
+
+    # bounded depth + sampled sources agree between paths too
+    loc_b = {
+        r["node"]: r["bc"]
+        for r in betweenness_sampled(bidir, source_mod=2, max_d=2).collect()
+    }
+    dis_b = {
+        r["node"]: r["bc"]
+        for r in betweenness_sampled(
+            bidir, source_mod=2, max_d=2, local_threshold=0
+        ).collect()
+    }
+    assert set(loc_b) == set(dis_b)
+    for k, v in loc_b.items():
+        assert abs(dis_b[k] - v) < 1e-6
