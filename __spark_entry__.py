@@ -102,6 +102,7 @@ _R3_CHEAP_FIRST = [
     "text_pii_redact", "parquet_partitioned_roundtrip",
     "bloom_semi_join_revenue", "fixture_harmonic_centrality",
     "graph_betweenness_sampled", "fixture_betweenness",
+    "skyline_parts", "bucketed_join_roundtrip",
     # round-2 late additions, 0.6-1.4 s each at sf0.01 — ranked at
     # their measured-cost positions among the cheap TPC-H shapes
     "salted_join_event_nations", "events_sliding_window",

@@ -400,3 +400,69 @@ def edit_distance_pairs(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .orderBy("a", "b")
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skyline (Pareto frontier) for two minimize-dimensions: rows not
+    dominated by any other row (other.x <= x AND other.y <= y with at
+    least one strict). Borzsony/Kossmann/Stocker (ICDE 2001) semantics;
+    duplicate (x, y) points are mutually non-dominating and all kept.
+
+    2-D skylines reduce to a sort + running-min: a point survives iff
+    its y is strictly below the minimum y of every strictly-smaller x.
+    Done distributed with the `global_cumsum` machinery — ONE
+    aggregation to a per-distinct-x table (min y per x), a
+    range-repartition of that table on x, an intra-partition running
+    min, and a collected per-partition prefix (tiny: one value per
+    partition) for the cross-partition offsets — no single-partition
+    global sort anywhere; the fact table is touched by exactly one
+    aggregate and one semi-join back."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    g = df.groupBy(F.col(x_col).alias("_x")).agg(F.min(y_col).alias("_my"))
+    ranged = (
+        g.repartitionByRange(n_parts, F.col("_x"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run
+    )
+    mins = sorted(
+        (r["_pid"], r["m"])
+        for r in ranged.groupBy("_pid").agg(F.min("_my").alias("m")).collect()
+    )
+    offsets: dict[int, float] = {}
+    acc = None
+    for pid, m in mins:
+        offsets[pid] = acc  # min over all PRECEDING partitions (exclusive)
+        if m is not None:
+            acc = m if acc is None else min(acc, m)
+    present = [kv for kv in offsets.items() if kv[1] is not None]
+    if present:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid_off in present for x in pid_off]
+        )
+        cross_prev = offset_map[F.col("_pid")]
+    else:
+        cross_prev = F.lit(None).cast("double")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = F.least(F.min("_my").over(w), cross_prev)
+    sky_keys = (
+        ranged.withColumn("_prev", prev_min)
+        .filter(F.col("_prev").isNull() | (F.col("_my") < F.col("_prev")))
+        .select("_x", "_my")
+    )
+    return df.join(
+        sky_keys,
+        (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_my")),
+        "left_semi",
+    )

@@ -1269,3 +1269,40 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "skyline_parts",
+    """
+SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
+       CAST(p.p_size AS INT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+ORDER BY price, size, p.p_partkey
+""",
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts minimizing (retail price,
+    size): no other part is at-most-equal on both dims and strictly
+    better on one. The oracle states dominance from first principles
+    (NOT EXISTS); the operator (operators/relational.py skyline_2d)
+    computes it with one per-distinct-price aggregate, a distributed
+    running min over price (global_cumsum machinery — range partitions
+    + collected per-partition prefix, no global sort), and a semi-join
+    back — the O(n log n) sort-based 2-D skyline, distributed."""
+    from ..operators.relational import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        skyline_2d(part, "p_retailprice", "p_size")
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .orderBy("price", "size", "p_partkey")
+    )

@@ -265,3 +265,66 @@ def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, res)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "bucketed_join_roundtrip",
+    """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join round-trip: write lineitem and orders
+    bucketed+sorted on the join key (8 buckets), join the bucketed
+    tables with broadcast disabled, and aggregate. The query SELF-ASSERTS
+    the layout payoff — it raises if the join plan contains an Exchange —
+    so the sweep certifies both values (oracle: plain join-agg on the
+    originals) and the shuffle-free physical plan. Bucketing is THE
+    repeatedly-joined-fact-table layout at 100 TB: the shuffle is paid
+    once at write, every subsequent join on the key is exchange-free."""
+    import contextlib
+    import io
+    import uuid
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    out = tempfile.mkdtemp(prefix="bucketed_join_")
+    tag = uuid.uuid4().hex[:8]
+    t_li, t_o = f"bj_li_{tag}", f"bj_o_{tag}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name, df, key in ((t_li, li, "l_orderkey"), (t_o, o, "o_orderkey")):
+            (
+                df.write.mode("overwrite")
+                .option("path", f"{out}/{name}")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t_li).join(
+            spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        if "Exchange" in buf.getvalue():
+            raise RuntimeError("bucketed join planned a shuffle Exchange")
+        res = (
+            j.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return _materialize(spark, res)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in (t_li, t_o):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(out, ignore_errors=True)

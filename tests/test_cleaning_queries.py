@@ -92,3 +92,20 @@ def test_tokenize_to_ids_matches_bruteforce_vocab(spark):
         assert r["n_oov"] == sum(t not in vocab for t in toks)
         oov_total += r["n_oov"]
     assert oov_total > 0  # 31-token corpus vs 20-entry vocab -> real OOV
+
+
+def test_skyline_parts_bruteforce_dominance(spark):
+    pts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    ]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+        )
+    expected = sorted(k for k, *_ in [p for p in pts if not dominated(p)])
+    got = sorted(
+        r["p_partkey"] for r in QUERIES["skyline_parts"](spark, SF_DIR).collect()
+    )
+    assert got == expected and got

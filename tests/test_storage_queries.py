@@ -127,3 +127,20 @@ def test_orc_and_json_roundtrips_match_parquet_direct(spark):
     assert {
         r["o_orderpriority"]: (r["n"], r["revenue"], r["first_date"]) for r in js
     } == direct
+
+
+def test_bucketed_join_roundtrip_matches_direct(spark):
+    rows = QUERIES["bucketed_join_roundtrip"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    direct = {
+        r["o_orderstatus"]: (r["n"], r["q"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+        )
+        .collect()
+    }
+    # the query raises internally if the bucketed join planned an Exchange
+    assert {r["o_orderstatus"]: (r["n_items"], r["total_qty"]) for r in rows} == direct
