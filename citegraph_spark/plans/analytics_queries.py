@@ -568,3 +568,91 @@ def file_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "events_anomaly_iqr",
+    """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont("value", 0.25) AS q1,
+         quantile_cont("value", 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, round(e."value", 4) AS value,
+       CASE WHEN e."value" < q1 - 1.5 * (q3 - q1) THEN 'low' ELSE 'high' END
+         AS side
+FROM events e JOIN q USING (event_type)
+WHERE e."value" < q1 - 1.5 * (q3 - q1) OR e."value" > q3 + 1.5 * (q3 - q1)
+ORDER BY e.event_id
+""",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR (Tukey-fence) outlier detection: exact quartiles in
+    one grouped percentile pass, the tiny per-type bounds table broadcast
+    back onto the fact scan, outliers filtered with pure comparisons —
+    same two-scan + broadcast shape as winsorized_prices; at 100 TB swap
+    `percentile` for `approx_percentile` without changing the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.when(F.col("value") < lo, "low").otherwise("high").alias("side"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM d), 6) AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM d GROUP BY digit ORDER BY digit
+""",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: observed leading-digit frequencies next
+    to the log10(1 + 1/d) expectation. One aggregation over an
+    integer-truncated leading digit plus a broadcast scalar total; the
+    comparison column is a constant expression. (The synthetic TPC-H
+    uniform prices deliberately FAIL Benford — the point of the check is
+    the comparison, not conformance.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        # floor() explicitly: DuckDB CAST(DOUBLE AS BIGINT) rounds,
+        # Spark truncates — floor makes both engines agree
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    total = d.count()
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+        )
+        .orderBy("digit")
+    )

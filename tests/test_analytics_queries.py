@@ -254,3 +254,45 @@ def test_sliding_window_matches_bruteforce(tmp_path, spark):
             expected[key][0] += 1
             expected[key][1] += v
     assert got == {k: (n, s) for k, (n, s) in expected.items()}
+
+
+def test_events_anomaly_iqr_bruteforce(spark):
+    import statistics
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    ]
+    by_type = {}
+    for _eid, et, v in ev:
+        by_type.setdefault(et, []).append(v)
+    fences = {}
+    for et, vals in by_type.items():
+        # statistics.quantiles(n=4, method='inclusive') == linear-interp
+        # quartiles, the percentile/quantile_cont definition
+        q1, _q2, q3 = statistics.quantiles(sorted(vals), n=4, method="inclusive")
+        iqr = q3 - q1
+        fences[et] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    expected = {
+        eid: ("low" if v < fences[et][0] else "high")
+        for eid, et, v in ev
+        if v < fences[et][0] or v > fences[et][1]
+    }
+    rows = QUERIES["events_anomaly_iqr"](spark, sf).collect()
+    got = {r["event_id"]: r["side"] for r in rows}
+    assert got == expected
+
+
+def test_benford_distribution_sums_to_one(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["dq_benford_first_digit"](spark, "/root/testdata/sf0.001").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-3
+    import math
+
+    for r in rows:
+        assert abs(r["benford"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
