@@ -103,6 +103,7 @@ _R3_CHEAP_FIRST = [
     "bloom_semi_join_revenue", "fixture_harmonic_centrality",
     "graph_betweenness_sampled", "fixture_betweenness",
     "skyline_parts", "bucketed_join_roundtrip",
+    "dq_benford_first_digit", "events_anomaly_iqr",
     # round-2 late additions, 0.6-1.4 s each at sf0.01 — ranked at
     # their measured-cost positions among the cheap TPC-H shapes
     "salted_join_event_nations", "events_sliding_window",

@@ -26,8 +26,15 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 
@@ -70,6 +77,9 @@ class CitationsDataSource(DataSource):
             self.options["path"], self.options.get("kind", "citations")
         )
 
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return _CitationsWriter(self.options["path"], overwrite)
+
 
 class _CitationsReader(DataSourceReader):
     def __init__(self, path: str, kind: str):
@@ -103,3 +113,55 @@ class _CitationsReader(DataSourceReader):
                         yield int(toks[0]), int(toks[1])
                 except ValueError:
                     continue  # na.drop() equivalent for malformed rows
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    tmp_path: str
+
+
+class _CitationsWriter(DataSourceWriter):
+    """format("citations") sink: each task writes its rows as
+    space-separated `from to` lines into a hidden `_tmp-<taskid>` file,
+    and the driver-side `commit` atomically renames every temp file to a
+    visible `part-NNNNN.txt` (hidden-prefix files are skipped by the
+    reader, so a concurrent read never sees a half-written file). `abort`
+    deletes the temps — the standard two-phase task-commit protocol,
+    Python-side.
+
+    Targets a SHARED filesystem (local mode, NFS, FUSE-mounted object
+    store): tasks and driver must see one namespace for rename-commit to
+    work. On HDFS/S3 proper, Spark's built-in committers (text writer)
+    are the production path; this sink exists to round-trip the
+    reference's citation text format through the same custom format name
+    the reader serves."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _WroteFile:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f"_tmp-{pid}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]} {row[1]}\n")
+        return _WroteFile(tmp)
+
+    def commit(self, messages: Sequence[_WroteFile]) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.txt"))
+
+    def abort(self, messages: Sequence[_WroteFile]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

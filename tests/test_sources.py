@@ -367,3 +367,34 @@ def test_incremental_rollup_refresh_matches_full_recompute(spark, tmp_path):
     assert {k for k in after if k[0] == stale_day} == {
         k for k in expected if k[0] == stale_day
     }
+
+
+def test_citations_datasource_write_read_roundtrip(spark):
+    """Custom DataSource WRITER: df.write.format('citations') emits the
+    reference's text format via the two-phase temp-then-rename commit;
+    reading it back through the same format recovers the rows exactly."""
+    import tempfile as _tf
+
+    from citegraph_spark.sources.citations_datasource import CitationsDataSource
+
+    try:
+        spark.dataSource.register(CitationsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 3)], "from int, to int"
+    ).repartition(3)
+    with _tf.TemporaryDirectory() as d:
+        path = f"{d}/cit"
+        edges.write.format("citations").mode("overwrite").save(path)
+        parts = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(parts) >= 1 and not [
+            f for f in os.listdir(path) if f.startswith("_tmp-")
+        ]
+        back = spark.read.format("citations").load(path)
+        assert sorted((r["from"], r["to"]) for r in back.collect()) == [
+            (2, 1), (3, 1), (4, 2), (5, 3),
+        ]
+        # overwrite replaces, never appends
+        edges.limit(2).write.format("citations").mode("overwrite").save(path)
+        assert spark.read.format("citations").load(path).count() == 2
