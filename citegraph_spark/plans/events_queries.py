@@ -917,3 +917,71 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "events_twap",
+    """
+WITH seq AS (
+  SELECT user_id, "value",
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t_next
+  FROM events
+)
+SELECT user_id,
+       round(sum("value" * (t_next - t)) / sum(t_next - t), 6) AS twap,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM seq WHERE t_next IS NOT NULL AND t_next > t
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the telemetry/
+    finance aggregate where samples hold until the next observation):
+    each reading is weighted by its holding interval via lead(ts), then
+    one grouped sum-ratio. One window sort co-partitioned with the
+    following aggregation (both keyed on user_id — a single shuffle
+    serves both), deterministic tie-break on event_id. Zero-length
+    intervals contribute nothing and are excluded symmetrically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("t_next"),
+    )
+    dt = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull() & (dt > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_incremental_rollup",
+    """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum("value"), 2) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental materialized view: per-micro-batch partial
+    daily rollups appended by foreachBatch (idempotent batch-id
+    partitions), merged at read. The batch-aggregate oracle certifies
+    that the partials merge to EXACTLY the full-history rollup — a
+    dropped batch, doubled replay, or non-mergeable aggregate would
+    hash-mismatch."""
+    from ..streaming.events import run_incremental_rollup_demo
+
+    return run_incremental_rollup_demo(spark, sf_dir)

@@ -328,3 +328,51 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in (t_li, t_o):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "parquet_schema_evolution",
+    """
+WITH unioned AS (
+  SELECT n_nationkey, n_name, NULL AS n_comment_len FROM nation
+  WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT n_nationkey, n_name, CAST(length(n_name) AS INT) AS n_comment_len
+  FROM nation WHERE n_nationkey % 2 = 1
+)
+SELECT n_nationkey, n_name, n_comment_len FROM unioned ORDER BY n_nationkey
+""",
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: two writer generations land in one
+    directory — generation 1 without a column, generation 2 with a new
+    INT column — and `mergeSchema` reconciles them on read, null-filling
+    the old files. This is the 100 TB schema-drift contract: additive
+    columns must be readable across the whole history without rewriting
+    old partitions. (mergeSchema costs a footer read per file, so
+    production tables pin the merged schema in a catalog; the capability
+    under test is the null-fill reconciliation itself.) The oracle
+    states the expected reconciliation as a UNION with explicit NULLs —
+    a type conflict or dropped column hash-mismatches."""
+    nation = load_table(spark, sf_dir, "nation")
+    gen1 = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name"
+    )
+    gen2 = nation.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("int").alias("n_comment_len"),
+    )
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        gen1.write.mode("overwrite").parquet(f"{out}/t/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{out}/t/gen=2")
+        back = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{out}/t")
+            .select("n_nationkey", "n_name", "n_comment_len")
+            .orderBy("n_nationkey")
+        )
+        return _materialize(spark, back)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

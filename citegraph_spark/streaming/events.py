@@ -445,12 +445,20 @@ def run_stream_static_enrich_demo(spark: SparkSession, sf_dir: str) -> DataFrame
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(30)
-    return (
-        spark.read.parquet(f"{out_dir}/enriched")
-        .groupBy("nationkey")
-        .agg(F.count("*").alias("n_events"))
-        .orderBy("nationkey")
-    )
+    try:
+        res = (
+            spark.read.parquet(f"{out_dir}/enriched")
+            .groupBy("nationkey")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy("nationkey")
+        )
+        # materialize before deleting the backing files (same contract
+        # as run_state_inspect_demo's cleanup)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def run_session_window_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,3 +546,56 @@ def run_state_inspect_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(projected.collect(), projected.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_incremental_rollup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from a stream: each
+    micro-batch lands its own PARTIAL daily rollup (count + sum are
+    self-mergeable) as an append-only parquet partition keyed by batch
+    id; the serving query re-aggregates the partials. This is the
+    O(|batch|) maintenance recipe — no day is ever recomputed from
+    history, a replayed batch overwrites its own partition (idempotent),
+    and a compaction job can fold partials at leisure because merge is
+    associative. Returns the merged daily rollup read back from the
+    files the stream wrote, so a batch-SQL oracle certifies partials
+    merge to exactly the full-history aggregate."""
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import daily_event_rollup
+
+    events = _read_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            daily_event_rollup(batch_df)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{out_dir}/rollup_partials")
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    try:
+        res = (
+            spark.read.parquet(f"{out_dir}/rollup_partials")
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.round(F.sum("value_sum"), 2).alias("value_sum"),
+            )
+            .orderBy("day", "event_type")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

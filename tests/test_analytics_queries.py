@@ -296,3 +296,37 @@ def test_benford_distribution_sums_to_one(spark):
 
     for r in rows:
         assert abs(r["benford"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+
+
+def test_events_twap_bruteforce(spark):
+    from collections import defaultdict
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, v in ev:
+        by_user[u].append((ts, eid, v))
+    expected = {}
+    for u, seq in by_user.items():
+        seq.sort()
+        num = den = 0.0
+        n = 0
+        for (t0, _, v), (t1, _, _) in zip(seq, seq[1:]):
+            dt = (t1 - t0).total_seconds() * 1e6
+            if dt > 0:
+                num += v * dt
+                den += dt
+                n += 1
+        if den > 0:
+            expected[u] = (round(num / den, 6), n)
+    rows = QUERIES["events_twap"](spark, sf).collect()
+    got = {r["user_id"]: (r["twap"], r["n_intervals"]) for r in rows}
+    assert set(got) == set(expected)
+    for u, (tw, n) in expected.items():
+        assert got[u][1] == n
+        assert abs(got[u][0] - tw) < 1e-4

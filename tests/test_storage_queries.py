@@ -144,3 +144,13 @@ def test_bucketed_join_roundtrip_matches_direct(spark):
     }
     # the query raises internally if the bucketed join planned an Exchange
     assert {r["o_orderstatus"]: (r["n_items"], r["total_qty"]) for r in rows} == direct
+
+
+def test_schema_evolution_nullfills_old_generation(spark):
+    rows = QUERIES["parquet_schema_evolution"](spark, SF_DIR).collect()
+    assert len(rows) == spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    for r in rows:
+        if r["n_nationkey"] % 2 == 0:
+            assert r["n_comment_len"] is None  # gen-1 files null-filled
+        else:
+            assert r["n_comment_len"] == len(r["n_name"])

@@ -146,3 +146,25 @@ def test_stream_static_enrich_equals_batch_join(spark):
         .collect()
     }
     assert got == expected and got
+
+
+def test_streaming_incremental_rollup_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["streaming_incremental_rollup"](spark, sf).collect()
+    batch = {
+        (r["day"], r["event_type"]): (r["n"], r["v"])
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            F.to_date("ts").cast("string").alias("day"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["value_sum"]) for r in rows
+    }
+    assert got == batch and got
