@@ -225,3 +225,76 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(
         bidir, source_mod=1997, max_d=2, local_threshold=100_000
     )
+
+
+@register(
+    "motif_fanout_top",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+pairs AS (
+  SELECT e1."from" AS a, e1."to" AS b, e2."to" AS c
+  FROM cit e1 JOIN cit e2 ON e1."from" = e2."from"
+  WHERE e1."to" < e2."to"
+)
+SELECT a, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY a
+ORDER BY n_pairs DESC, a LIMIT 20
+""",
+)
+def motif_fanout_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif API over the big graph: the fan-out pattern
+    (a)->(b); (a)->(c) compiled to joins by operators/motif.find_motifs,
+    then an inequality filter (b < c, the caller-side distinctness
+    contract) and a top-20 count — i.e. 'which orders co-reference the
+    most part pairs'. The motif join is ONE self-equi-join keyed on the
+    shared variable; top-k plans as TakeOrderedAndProject."""
+    from ..operators.motif import find_motifs
+
+    edges = _citations(spark, sf_dir).select(
+        F.col("from").alias("src"), F.col("to").alias("dst")
+    )
+    m = find_motifs(edges, "(a)-[]->(b); (a)-[]->(c)")
+    return (
+        m.filter(F.col("b") < F.col("c"))
+        .groupBy("a")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "a")
+        .limit(20)
+    )
+
+
+@register(
+    "fixture_motif_triangles",
+    f"""
+WITH ed AS (SELECT * FROM (VALUES {edges_values_sql()}) e("from", "to")),
+bidir AS (
+  SELECT "from" AS s, "to" AS d FROM ed WHERE "from" <> "to"
+  UNION SELECT "to", "from" FROM ed WHERE "from" <> "to"
+)
+SELECT e1.s AS a, e2.s AS b, e3.s AS c
+FROM bidir e1
+JOIN bidir e2 ON e1.d = e2.s
+JOIN bidir e3 ON e2.d = e3.s AND e3.d = e1.s
+WHERE e1.s < e2.s AND e2.s < e3.s
+ORDER BY a, b, c
+""",
+)
+def fixture_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle motif (a)->(b); (b)->(c); (c)->(a) on the
+    bidirectionalized fixture graph: every undirected triangle appears
+    as all 6 (a,b,c) permutations, and the canonical a<b<c filter keeps
+    exactly one — so the motif API reproduces the fixture's undirected
+    triangle census. Oracle replays the same three joins in SQL."""
+    from ..operators.motif import find_motifs
+
+    edges = fixture_citations(spark).filter(F.col("from") != F.col("to"))
+    bidir = (
+        edges.select(F.col("from").alias("src"), F.col("to").alias("dst"))
+        .union(edges.select(F.col("to").alias("src"), F.col("from").alias("dst")))
+        .distinct()
+    )
+    m = find_motifs(bidir, "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+    return (
+        m.filter((F.col("a") < F.col("b")) & (F.col("b") < F.col("c")))
+        .orderBy("a", "b", "c")
+    )
