@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "parquet_partitioned_roundtrip",
     "parquet_zorder_roundtrip",
+    "skyline_parts",
+    "events_twap",
+    "motif_fanout_top",
+    "bucketed_join_roundtrip",
 ]
 
 

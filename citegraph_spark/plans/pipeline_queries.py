@@ -1116,3 +1116,137 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KMV_K = 64
+_KMV_U = "(('0x' || substring(md5(key), 1, 8))::BIGINT / 4294967296.0)"
+
+
+@register(
+    "kmv_set_ops",
+    f"""
+WITH keys AS (
+  SELECT DISTINCT event_type,
+         CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d')
+           AS key
+  FROM events WHERE event_type IN ('click', 'view')
+),
+u AS (SELECT DISTINCT event_type, {_KMV_U} AS u FROM keys),
+ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM u
+),
+sk AS (
+  SELECT event_type, list(u ORDER BY u) AS sk
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+ab AS (
+  SELECT a.sk AS sk_a, b.sk AS sk_b
+  FROM (SELECT sk FROM sk WHERE event_type = 'click') a,
+       (SELECT sk FROM sk WHERE event_type = 'view') b
+),
+m AS (
+  SELECT sk_a, sk_b,
+         list_slice(list_sort(list_distinct(list_concat(sk_a, sk_b))), 1, {_KMV_K})
+           AS sk_u
+  FROM ab
+),
+est AS (
+  SELECT CAST({_KMV_K} AS INT) AS k,
+         round(({_KMV_K} - 1) / sk_a[{_KMV_K}], 6) AS est_a,
+         round(({_KMV_K} - 1) / sk_b[{_KMV_K}], 6) AS est_b,
+         round(({_KMV_K} - 1) / sk_u[{_KMV_K}], 6) AS est_union,
+         round(
+           len(list_filter(sk_u, x -> list_contains(sk_a, x) AND list_contains(sk_b, x)))
+           * 1.0 / {_KMV_K} * (({_KMV_K} - 1) / sk_u[{_KMV_K}]), 6)
+           AS est_intersect
+  FROM m
+),
+exact AS (
+  SELECT
+    CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN key END) AS BIGINT)
+      AS exact_a,
+    CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN key END) AS BIGINT)
+      AS exact_b,
+    CAST(count(DISTINCT key) AS BIGINT) AS exact_union
+  FROM keys
+)
+SELECT k, est_a, est_b, est_union, est_intersect, exact_a, exact_b, exact_union
+FROM est, exact
+""",
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with SET OPERATIONS — the
+    capability HLL lacks: besides cardinality, KMV sketches support
+    union (merge the minima, keep k smallest) and INTERSECTION
+    estimation (Beyer et al., SIGMOD'07: rho = |K ∩ A ∩ B| / k over the
+    union sketch K, est = rho * est_union). Elements are 'active
+    user-days' per event type; the hash is the engine-portable
+    md5-uniform (exactly conv(md5)/2^32 in both engines), so estimates
+    are bit-deterministic and the oracle replays them to 6 dp alongside
+    the exact counts.
+
+    Scale shape: one DISTINCT on (type, key), one per-type top-k (in
+    production a mergeable per-partition k-smallest aggregate; here a
+    window rank over the already-distinct values), then all set math on
+    <= 2k-element ARRAYS with higher-order functions — the sketches are
+    O(k) forever, so union/intersect over any number of 100 TB
+    partitions costs array ops on broadcast-size state."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    keys = ev.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("key"),
+    ).distinct()
+    u = keys.select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5("key"), 1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    sk = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("u")).alias("sk"))
+    )
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("sk_a"))
+    b = sk.filter(F.col("event_type") == "view").select(F.col("sk").alias("sk_b"))
+    m = a.crossJoin(b).withColumn(  # 1x1 — broadcast-of-one-row pattern
+        "sk_u",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, _KMV_K
+        ),
+    )
+    kth = lambda c: F.element_at(c, _KMV_K)  # noqa: E731
+    est_u = (_KMV_K - 1) / kth(F.col("sk_u"))
+    inter = F.size(
+        F.filter(
+            "sk_u",
+            lambda x: F.array_contains("sk_a", x) & F.array_contains("sk_b", x),
+        )
+    )
+    est = m.select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        F.round((_KMV_K - 1) / kth(F.col("sk_a")), 6).alias("est_a"),
+        F.round((_KMV_K - 1) / kth(F.col("sk_b")), 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(inter / F.lit(float(_KMV_K)) * est_u, 6).alias("est_intersect"),
+    )
+    exact = keys.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("key"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("key"))
+        ).alias("exact_b"),
+        F.countDistinct("key").alias("exact_union"),
+    )
+    return est.crossJoin(exact)

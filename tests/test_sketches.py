@@ -117,3 +117,19 @@ def test_misra_gries_merge_rule():
     s = _mg_merge(s, {"c": 2, "d": 1}, 2)
     # counts: a3 b2 c2 d1 -> 3rd largest = 2 -> a1 survives; b,c drop to 0, d negative
     assert s == {"a": 1}
+
+
+def test_kmv_set_ops_estimates_within_bound(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    r = QUERIES["kmv_set_ops"](spark, "/root/testdata/sf0.01").collect()[0]
+    k = r["k"]
+    bound = 3.0 / (k ** 0.5)  # ~3 sigma for KMV relative error 1/sqrt(k)
+    assert abs(r["est_a"] - r["exact_a"]) / r["exact_a"] < bound
+    assert abs(r["est_b"] - r["exact_b"]) / r["exact_b"] < bound
+    assert abs(r["est_union"] - r["exact_union"]) / r["exact_union"] < bound
+    # inclusion-exclusion sanity: est_intersect ~= est_a + est_b - est_union
+    ie = r["est_a"] + r["est_b"] - r["est_union"]
+    assert abs(r["est_intersect"] - ie) / max(ie, 1.0) < 2 * bound
+    # intersection bounded by its parts
+    assert r["est_intersect"] <= min(r["est_a"], r["est_b"]) * (1 + bound)
