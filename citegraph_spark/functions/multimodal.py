@@ -212,3 +212,71 @@ def sample_frames(binary_df: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono int16 PCM samples as a RIFF/WAVE payload — struct
+    only, no audio libraries (the WAV container is 44 bytes of header
+    around raw little-endian PCM)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE payload to (mono int16 samples, sample_rate).
+    REAL chunk-walking decode (fmt may be preceded/followed by LIST etc.);
+    PCM16 mono only — compressed audio (MP3/AAC) would need a codec
+    library, absent here, and raises NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 mono WAV decodes natively; compressed "
+                    "audio requires codec libraries not in this container"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def audio_stats(payload: bytes) -> dict:
+    """Exact integer/rational audio statistics from a WAV payload:
+    n_samples, sample_rate, peak (max |v|), zcr (count of >=0 / <0 class
+    flips), and rms computed from an EXACT integer sum of squares (so
+    two engines replaying the math bit-agree; int16^2 sums stay far
+    inside float64's 2^53 integer range for any realistic clip)."""
+    samples, rate = decode_wav(payload)
+    v = samples.astype(np.int64)
+    n = int(v.size)
+    if n == 0:
+        return {"n_samples": 0, "rate": rate, "peak": 0, "zcr": 0, "rms": 0.0}
+    nonneg = v >= 0
+    zcr = int((nonneg[1:] != nonneg[:-1]).sum())
+    sum_sq = int((v * v).sum())
+    return {
+        "n_samples": n,
+        "rate": rate,
+        "peak": int(np.abs(v).max()),
+        "zcr": zcr,
+        "rms": float(sum_sq / n) ** 0.5,
+    }

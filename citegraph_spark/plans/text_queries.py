@@ -785,3 +785,68 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "multimodal_audio",
+    """
+WITH s AS (
+  SELECT doc_id, i, (ord(substr(text, i, 1)) - 100) * 256 AS v
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+),
+f AS (
+  SELECT doc_id, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(8000 AS INT) AS rate,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(count(*) FILTER (WHERE pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)))
+            AS INT) AS zcr,
+       round(sqrt(sum(v * v) * 1.0 / count(*)), 6) AS rms
+FROM f GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality round-trip: synthesize a deterministic PCM16 clip
+    from each doc's bytes (sample = (byte - 100) * 256 at 8 kHz), encode
+    it as a REAL RIFF/WAVE container, then decode it back with the
+    chunk-walking WAV parser and emit exact-integer audio statistics
+    (peak, zero-crossing count) plus an RMS computed from an exact
+    integer sum of squares. The oracle replays sample construction and
+    statistics straight from the text bytes, so a header mis-write,
+    chunk misparse, or sample-order corruption anywhere in
+    encode_wav/decode_wav hash-mismatches. Arrow-batched mapInPandas,
+    one encode+decode per row, no shuffle before the final sort."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import numpy as np
+
+        from ..functions.multimodal import audio_stats, encode_wav
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_samples": [], "rate": [],
+                "peak": [], "zcr": [], "rms": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = (b.astype(np.int64) - 100) * 256
+                st = audio_stats(encode_wav(samples.astype(np.int16), 8000))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(st["n_samples"])
+                out["rate"].append(st["rate"])
+                out["peak"].append(st["peak"])
+                out["zcr"].append(st["zcr"])
+                out["rms"].append(round(st["rms"], 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id bigint, n_samples int, rate int, peak int, zcr int, rms double",
+    ).orderBy("doc_id")

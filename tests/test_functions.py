@@ -413,3 +413,41 @@ def test_feature_fallback_on_truncated_bmp():
         f = multimodal._feature(payload)
         assert f == multimodal._fake_feature(payload)
         assert len(f) == multimodal.FEATURE_DIM
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from citegraph_spark.functions.multimodal import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 5000, -5000, 32767, -32768, 1], dtype=np.int16)
+    back, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and (back == s).all()
+
+    # chunk walking: an extra LIST chunk before fmt must be skipped
+    w = encode_wav(s, 8000)
+    body = w[12:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    w2 = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    back2, rate2 = decode_wav(w2)
+    assert rate2 == 8000 and (back2 == s).all()
+
+    st = audio_stats(w)
+    assert st["peak"] == 32768 and st["n_samples"] == 6
+    # sign-class flips: 0(+),5000(+),-5000(-),32767(+),-32768(-),1(+) -> 4
+    assert st["zcr"] == 4
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX1234WAVE")
+    # stereo rejected as not-implemented, not silently mangled
+    stereo = bytearray(encode_wav(s, 8000))
+    struct.pack_into("<H", stereo, 22, 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
