@@ -107,6 +107,7 @@ _R3_CHEAP_FIRST = [
     "events_twap", "parquet_schema_evolution",
     "streaming_incremental_rollup",
     "motif_fanout_top", "fixture_motif_triangles", "kmv_set_ops", "multimodal_audio",
+    "dq_psi_drift", "feature_hashing", "label_knn_agreement",
     # round-2 late additions, 0.6-1.4 s each at sf0.01 — ranked at
     # their measured-cost positions among the cheap TPC-H shapes
     "salted_join_event_nations", "events_sliding_window",

@@ -1250,3 +1250,190 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("key").alias("exact_union"),
     )
     return est.crossJoin(exact)
+
+
+@register(
+    "label_knn_agreement",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+     n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+     pairs AS (
+       SELECT a.vec_id, a.label AS label, b.label AS nb_label,
+              round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 6) AS cosine,
+              b.vec_id AS neighbor_id
+       FROM n a JOIN n b ON a.vec_id <> b.vec_id
+     ),
+     ranked AS (
+       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+       FROM pairs
+     )
+SELECT vec_id, CAST(label AS INT) AS label,
+       CAST(count(*) FILTER (WHERE nb_label = label) AS INT) AS n_same,
+       round(count(*) FILTER (WHERE nb_label = label) / 5.0, 2) AS agreement
+FROM ranked WHERE rank <= 5
+GROUP BY vec_id, label ORDER BY vec_id
+""",
+)
+def label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement scoring (the Confident-Learning-style label
+    NOISE screen for training data): for each embedding, the fraction of
+    its 5 nearest cosine neighbors sharing its label — low agreement
+    flags probable mislabels for review before training. Reuses the
+    hash-verified brute-force top-k (broadcast-corpus matmul); the
+    label joins are broadcasts of the (vec_id, label) projection. At
+    corpus scale the top-k swaps for the IVF/LSH path; the scoring join
+    is unchanged."""
+    from ..functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = similarity.cosine_topk_bruteforce(emb, k=5)
+    lab = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    nb_lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("nb_label"),
+    )
+    joined = nn.join(F.broadcast(lab), "vec_id").join(
+        F.broadcast(nb_lab), "neighbor_id"
+    )
+    return (
+        joined.groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("nb_label") == F.col("label")).cast("int"))
+            .cast("int")
+            .alias("n_same")
+        )
+        .select(
+            "vec_id", "label", "n_same",
+            F.round(F.col("n_same") / 5.0, 2).alias("agreement"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_PSI_BUCKETS = 10
+_PSI_LO, _PSI_HI = 0.0, 400000.0
+
+
+@register(
+    "dq_psi_drift",
+    f"""
+WITH b AS (
+  SELECT CASE WHEN year(o_orderdate) = 1994 THEN 'ref' ELSE 'cur' END AS side,
+         least({_PSI_BUCKETS} - 1,
+               greatest(0, CAST(floor((o_totalprice - {_PSI_LO})
+                 / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BUCKETS})) AS INT)))
+           AS bucket
+  FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+),
+g AS (SELECT side, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT side, sum(n) AS total FROM g GROUP BY 1),
+p AS (
+  SELECT bucket,
+         greatest(coalesce(max(CASE WHEN side = 'ref' THEN n * 1.0 / total END), 0), 0.0005) AS p_ref,
+         greatest(coalesce(max(CASE WHEN side = 'cur' THEN n * 1.0 / total END), 0), 0.0005) AS p_cur
+  FROM g JOIN t USING (side) GROUP BY bucket
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM p ORDER BY bucket
+""",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and current
+    window (1994 vs 1995 orders over fixed price buckets) — the
+    standard distribution-drift monitor for ML feature pipelines:
+    psi = sum((p_cur - p_ref) * ln(p_cur / p_ref)), with the usual
+    0.0005 floor so empty buckets don't produce infinities. FIXED bucket
+    edges (not data-dependent quantiles) keep the check one aggregation
+    with no extra pass; per-bucket terms are emitted so a drifted bucket
+    is attributable."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1994, 1995)
+    )
+    width = (_PSI_HI - _PSI_LO) / _PSI_BUCKETS
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - _PSI_LO) / width).cast("int"),
+        ),
+    )
+    side = F.when(F.year("o_orderdate") == 1994, "ref").otherwise("cur")
+    g = o.select(side.alias("side"), bucket.alias("bucket")).groupBy(
+        "side", "bucket"
+    ).agg(F.count("*").alias("n"))
+    t = g.groupBy("side").agg(F.sum("n").alias("total"))
+    p = (
+        g.join(t, "side")
+        .groupBy("bucket")
+        .agg(
+            F.greatest(
+                F.coalesce(
+                    F.max(F.when(F.col("side") == "ref", F.col("n") / F.col("total"))),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0005),
+            ).alias("p_ref"),
+            F.greatest(
+                F.coalesce(
+                    F.max(F.when(F.col("side") == "cur", F.col("n") / F.col("total"))),
+                    F.lit(0.0),
+                ),
+                F.lit(0.0005),
+            ).alias("p_cur"),
+        )
+    )
+    return p.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+_FH_DIM = 32
+
+
+@register(
+    "feature_hashing",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % {_FH_DIM} AS INT)
+           AS slot
+  FROM tok
+),
+c AS (SELECT doc_id, slot, CAST(count(*) AS INT) AS n FROM h GROUP BY 1, 2)
+SELECT doc_id, slot, n FROM c ORDER BY doc_id, slot
+""",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick', Weinberger et al. ICML'09):
+    tokens map to a FIXED {_FH_DIM}-slot space via the engine-portable
+    md5 hash — no vocabulary pass, no vocabulary broadcast, memory O(dim)
+    regardless of corpus size, which is why hashed features are the
+    default for 100 TB text. Output is the sparse (doc, slot, count)
+    representation; collisions are part of the contract (and exactly
+    reproduced by the oracle, since both engines hash identically)."""
+    from ..functions import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    slot = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _FH_DIM
+    ).cast("int")
+    return (
+        tok.select("doc_id", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count("*").cast("int").alias("n"))
+        .orderBy("doc_id", "slot")
+    )

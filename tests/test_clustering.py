@@ -102,3 +102,54 @@ def test_pq_codes_shape_and_determinism(spark, emb):
     codes = _pq_encode_matrix(mat, books1)
     assert codes.shape == (100, 16) and codes.dtype == np.uint8
     assert codes.max() < 16
+
+
+def test_label_knn_agreement_properties(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["label_knn_agreement"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_same"] <= 5
+        assert abs(r["agreement"] - round(r["n_same"] / 5.0, 2)) < 1e-9
+    # the synthetic labels are UNCORRELATED with the embeddings
+    # (verified: same-label and cross-label mean cosine are equal), so a
+    # correct noise screen must report agreement AT the random baseline
+    # sum(p_i^2) — that calibration is the property under test; informative
+    # labels would push it far above
+    from collections import Counter
+
+    mean_agree = sum(r["agreement"] for r in rows) / len(rows)
+    freq = Counter(r["label"] for r in rows)
+    baseline = sum((c / len(rows)) ** 2 for c in freq.values())
+    assert abs(mean_agree - baseline) < 0.05
+
+
+def test_psi_terms_nonnegative_and_bounded(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["dq_psi_drift"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        # (p-q)ln(p/q) >= 0 for all p,q > 0 — PSI terms are individually
+        # nonnegative by construction
+        assert r["psi_term"] >= 0
+        assert 0 < r["p_ref"] <= 1 and 0 < r["p_cur"] <= 1
+
+
+def test_feature_hashing_preserves_token_mass(spark):
+    import re
+    from collections import Counter
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["feature_hashing"](spark, sf).collect()
+    mass = Counter()
+    for r in rows:
+        assert 0 <= r["slot"] < 32
+        mass[r["doc_id"]] += r["n"]
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    for d in docs:
+        n_tokens = len([t for t in re.split(r"[^a-z0-9]+", d["text"].lower()) if t])
+        assert mass[d["doc_id"]] == n_tokens
