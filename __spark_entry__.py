@@ -86,30 +86,19 @@ _R2_CHECKED = [
 # driver-canonicalizable (scalarized feature vectors + DuckDB oracles).
 _RECHECK_FIRST = ["multimodal_features", "multimodal_frames"]
 
-# Cheap-first ordering of the not-yet-checked entries (measured at
-# sf0.01, tools/oracle_check.py full-sweep timings): under a time-budget
-# sweep this maximizes the number of entries that receive a row before
-# the budget runs out. Names absent from this list keep registry order.
+# Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2
+# backlog (dedup/similarity family, remaining TPC-H shapes, G9/G10
+# fixture anchors) has waited two sweep windows and fills the round-3
+# 50-entry window; entries added in round 3 queue AFTER it (they are all
+# locally hash-verified and will rotate into round 4's window). Within
+# each block, cheap-first by measured sf0.01 oracle-check cost so a
+# time-budgeted sweep certifies the most entries.
 _R3_CHEAP_FIRST = [
-    # new this round — the last reference operator (S8/S9 CSV sink)
-    # without a driver row; cheap (25-row roundtrip), so it leads
+    # the last reference operator (S8/S9 CSV sink) without a driver row;
+    # cheap (25-row roundtrip), so it leads
     "csv_sink_roundtrip",
-    # round-3 additions, ranked at measured sf0.01 oracle-check cost
-    "tokenize_to_ids", "json_sink_roundtrip", "orc_sink_roundtrip",
-    "graph_random_walks", "parquet_zorder_roundtrip",
+    # rounds-1/2 backlog, cheap-first
     "q7_volume_shipping", "sql_api_region_revenue",
-    "dedup_boilerplate_lines", "text_html_strip", "parquet_upsert_merge",
-    "text_pii_redact", "parquet_partitioned_roundtrip",
-    "bloom_semi_join_revenue", "fixture_harmonic_centrality",
-    "graph_betweenness_sampled", "fixture_betweenness",
-    "skyline_parts", "bucketed_join_roundtrip",
-    "dq_benford_first_digit", "events_anomaly_iqr",
-    "events_twap", "parquet_schema_evolution",
-    "streaming_incremental_rollup",
-    "motif_fanout_top", "fixture_motif_triangles", "kmv_set_ops", "multimodal_audio",
-    "dq_psi_drift", "feature_hashing", "label_knn_agreement",
-    # round-2 late additions, 0.6-1.4 s each at sf0.01 — ranked at
-    # their measured-cost positions among the cheap TPC-H shapes
     "salted_join_event_nations", "events_sliding_window",
     "graph_clustering_coefficient",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
@@ -126,12 +115,23 @@ _R3_CHEAP_FIRST = [
     "contamination_check", "dedup_clusters", "fixture_effective_diameter",
     "fixture_hopplot", "dedup_prefix_filter", "similarity_ivf_trained",
     "kmeans_embeddings", "dedup_edit_distance",
-    # round-2 additions, measured at sf0.01 (cheap ones interleave fine
-    # at the tail of the unchecked group)
     "shuffle_shard_stats", "events_variant_props", "dedup_incremental",
     "doc_novelty_trigrams", "pack_sequences", "events_session_window",
     "doc_lm_surprisal", "streaming_state_inspect",
     "streaming_session_window",
+    # round-3 additions (all locally hash-verified), cheap-first —
+    # measured at sf0.01 with per-process warmup included
+    "tokenize_to_ids", "json_sink_roundtrip", "orc_sink_roundtrip",
+    "dq_psi_drift", "graph_random_walks", "parquet_zorder_roundtrip",
+    "dedup_boilerplate_lines", "text_html_strip", "parquet_upsert_merge",
+    "text_pii_redact", "fixture_motif_triangles",
+    "dq_benford_first_digit", "skyline_parts", "parquet_schema_evolution",
+    "events_twap", "motif_fanout_top", "kmv_set_ops",
+    "fixture_harmonic_centrality", "multimodal_audio", "feature_hashing",
+    "events_anomaly_iqr", "fixture_betweenness",
+    "streaming_incremental_rollup", "bucketed_join_roundtrip",
+    "graph_betweenness_sampled", "bloom_semi_join_revenue",
+    "parquet_partitioned_roundtrip", "label_knn_agreement",
 ]
 
 
