@@ -132,6 +132,7 @@ _R3_CHEAP_FIRST = [
     "streaming_incremental_rollup", "bucketed_join_roundtrip",
     "graph_betweenness_sampled", "bloom_semi_join_revenue",
     "parquet_partitioned_roundtrip", "label_knn_agreement",
+    "events_decayed_counts", "customer_rfm_segments",
 ]
 
 

@@ -8,6 +8,8 @@ streaming/events.py and are asserted equal in tests.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -985,3 +987,49 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_incremental_rollup_demo
 
     return run_incremental_rollup_demo(spark, sf_dir)
+
+
+@register(
+    "events_decayed_counts",
+    """
+WITH mx AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+w AS (
+  SELECT event_type,
+         exp(-(ln(2) / 24.0) * ((tmax - epoch_us(ts)) / 3600000000.0)) AS wt,
+         "value"
+  FROM events, mx
+)
+SELECT event_type,
+       round(sum(wt), 6) AS decayed_count,
+       round(sum(wt * "value"), 6) AS decayed_value,
+       CAST(count(*) AS BIGINT) AS raw_count
+FROM w GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed aggregates (24 h half-life) anchored at
+    the corpus max event time — the recency-weighted counter behind
+    trending/decayed-popularity features. The decay weight is a pure
+    per-row expression once the scalar anchor is broadcast (one tiny
+    aggregate + a literal join), so the whole computation is one scan +
+    one hash aggregate; crucially the aggregate stays MERGEABLE (decayed
+    sums add), unlike sliding-window recency counts which need the raw
+    events retained."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max(t).alias("tmax"))
+    lam = math.log(2) / 24.0
+    w = ev.crossJoin(F.broadcast(mx)).select(  # 1-row broadcast anchor
+        "event_type",
+        F.exp(-lam * ((F.col("tmax") - t) / 3_600_000_000.0)).alias("wt"),
+        "value",
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.round(F.sum("wt"), 6).alias("decayed_count"),
+            F.round(F.sum(F.col("wt") * F.col("value")), 6).alias("decayed_value"),
+            F.count("*").alias("raw_count"),
+        )
+        .orderBy("event_type")
+    )

@@ -1306,3 +1306,76 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "size", "p_partkey")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', max(o_orderdate), (SELECT dmax FROM mx)) AS INT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS INT) AS r,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary, r, f, m,
+       CASE WHEN r = 1 AND f = 1 THEN 'champion'
+            WHEN r = 4 AND f >= 3 THEN 'at_risk'
+            WHEN f = 1 THEN 'loyal'
+            WHEN r = 1 THEN 'recent'
+            ELSE 'regular' END AS segment
+FROM scored ORDER BY custkey
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles with
+    deterministic key tie-breaks, then rule-based segments) — the
+    classic customer-analytics shape: one grouped aggregate over the
+    fact table, three ntile windows over the ALREADY-AGGREGATED
+    per-customer table (cardinality = customers, not orders — the
+    windows never see the fact table), and a broadcast scalar anchor
+    for recency. Quartile 1 = best in every dimension. If the customer
+    table itself outgrows one window partition (1e9+ customers), each
+    ntile swaps for the distributed `global_rank` machinery
+    (operators/relational.py) bucketed into quartiles — same outputs,
+    no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("dmax", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy("recency_days", "custkey")).cast("int")
+    f = F.ntile(4).over(
+        Window.orderBy(F.desc("frequency"), "custkey")
+    ).cast("int")
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "custkey")).cast("int")
+    scored = base.select("*", r.alias("r"), f.alias("f"), m.alias("m"))
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
+        .when((F.col("r") == 4) & (F.col("f") >= 3), "at_risk")
+        .when(F.col("f") == 1, "loyal")
+        .when(F.col("r") == 1, "recent")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("custkey")

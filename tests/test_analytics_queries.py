@@ -330,3 +330,32 @@ def test_events_twap_bruteforce(spark):
     for u, (tw, n) in expected.items():
         assert got[u][1] == n
         assert abs(got[u][0] - tw) < 1e-4
+
+
+def test_rfm_quartiles_and_decay_monotonicity(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["customer_rfm_segments"](spark, sf).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey"
+    ).distinct().count()
+    for dim in ("r", "f", "m"):
+        counts = {}
+        for r in rows:
+            counts[r[dim]] = counts.get(r[dim], 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1  # ntile balance
+    # best-recency quartile really is more recent than the worst
+    r1 = [r["recency_days"] for r in rows if r["r"] == 1]
+    r4 = [r["recency_days"] for r in rows if r["r"] == 4]
+    assert max(r1) <= min(r4)
+
+    dec = {
+        r["event_type"]: r
+        for r in QUERIES["events_decayed_counts"](spark, sf).collect()
+    }
+    for et, r in dec.items():
+        # decayed count is bounded by the raw count and strictly positive
+        assert 0 < r["decayed_count"] <= r["raw_count"]
