@@ -56,21 +56,23 @@ _R1_CHECKED = [
 # canonicalizer chokes on array<float> output) — they are deliberately
 # NOT listed here so the round-3 sweep re-checks them now that their
 # outputs are scalarized.
-# Round-4 note: approx_distinct_parts / approx_percentile_prices were
-# rows-only in r2 but NOW carry full oracles (in-query error-bound
-# certificates) — pull them forward next rotation to upgrade their rows.
+# approx_distinct_parts / approx_percentile_prices /
+# sketch_mergeable_distinct were rows-only in r2 but NOW carry full
+# oracles (in-query error-bound certificates), so they are deliberately
+# OMITTED from this list: the sweep re-checks them near the head and
+# upgrades their rows-only records to hash-verified ones.
 _R2_CHECKED = [
     "unpivot_part_measures", "text_fingerprint", "text_token_count",
     "heavy_hitters_exact", "multimodal_meta", "q6_forecast_revenue",
     "split_train_test", "sample_stratified", "sample_weighted",
     "distinct_flag_status", "filter_project_pushdown",
-    "scalar_functions_showcase", "sketch_mergeable_distinct",
+    "scalar_functions_showcase",
     "text_quality", "dedup_exact", "text_rolling_hash",
     "events_transitions", "orders_above_customer_avg",
     "q1_pricing_summary", "rollup_returns", "pivot_status_by_flag",
     "semi_join_active_parts", "union_nation_keys",
-    "approx_distinct_parts", "cube_flag_status",
-    "intersect_customer_nations", "approx_percentile_prices",
+    "cube_flag_status",
+    "intersect_customer_nations",
     "q4_order_priority", "q14_promo_revenue", "q19_disjunctive_filter",
     "outer_join_nation_presence", "text_stats", "text_lang_id",
     "bpe_top_merges", "q17_small_quantity_revenue",
@@ -97,6 +99,9 @@ _R3_CHEAP_FIRST = [
     # the last reference operator (S8/S9 CSV sink) without a driver row;
     # cheap (25-row roundtrip), so it leads
     "csv_sink_roundtrip",
+    # rows-only in r2, now fully oracled — re-certify with hash rows
+    "approx_distinct_parts", "approx_percentile_prices",
+    "sketch_mergeable_distinct",
     # rounds-1/2 backlog, cheap-first
     "q7_volume_shipping", "sql_api_region_revenue",
     "salted_join_event_nations", "events_sliding_window",

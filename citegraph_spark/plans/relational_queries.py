@@ -952,7 +952,12 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_mergeable_distinct",
-)  # rows-only: Datasketches HLL binary sketches are engine-specific
+    """
+SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS merged_within_3pct
+FROM customer
+""",
+)
 def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE cardinality sketches (Apache Datasketches HLL): one
     sketch per nation over customer keys, then `hll_union_agg` merges the
@@ -961,14 +966,26 @@ def sketch_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day sketch rows once, answer rollup cardinality queries from the
     sketch table at interactive cost (a distinct-count over any nation
     subset is a union of kilobyte sketches, not a re-scan + key shuffle).
-    Rows-only check; tests assert per-nation and merged estimates within
-    HLL error bounds of exact."""
+    The binary sketches are engine-specific, so the hashable output is
+    the exact count plus an in-query certificate that the MERGED
+    estimate lands within 3% of it (lgk=14 -> rsd ~0.8%, so 3% is
+    >3 sigma); tests additionally bound each per-nation estimate.
+    Production at scale runs the sketch path alone — the exact column
+    is the verification harness, not the plan."""
     c = load_table(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey", 14).alias("sk")
     )
-    return per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_customers")
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx")
+    )
+    exact = c.agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    return exact.crossJoin(F.broadcast(merged)).select(  # 1x1 scalar join
+        "exact_customers",
+        (
+            F.abs(F.col("approx") - F.col("exact_customers"))
+            <= 0.03 * F.col("exact_customers")
+        ).alias("merged_within_3pct"),
     )
 
 
