@@ -80,7 +80,7 @@ _R2_CHECKED = [
     "q22_global_sales_opportunity", "loader_normalize_ids",
     "q3_unshipped_revenue", "window_rank_lag",
     "except_all_supplier_flags", "q10_returned_items",
-    "heavy_hitters_mg", "events_gap_fill", "multi_join_region_revenue",
+    "events_gap_fill", "multi_join_region_revenue",
     "q18_large_orders",
 ]
 
@@ -101,7 +101,7 @@ _R3_CHEAP_FIRST = [
     "csv_sink_roundtrip",
     # rows-only in r2, now fully oracled — re-certify with hash rows
     "approx_distinct_parts", "approx_percentile_prices",
-    "sketch_mergeable_distinct",
+    "sketch_mergeable_distinct", "heavy_hitters_mg",
     # rounds-1/2 backlog, cheap-first
     "q7_volume_shipping", "sql_api_region_revenue",
     "salted_join_event_nations", "events_sliding_window",
@@ -138,6 +138,7 @@ _R3_CHEAP_FIRST = [
     "graph_betweenness_sampled", "bloom_semi_join_revenue",
     "parquet_partitioned_roundtrip", "label_knn_agreement",
     "events_decayed_counts", "customer_rfm_segments",
+    "similarity_recall_gate",
 ]
 
 

@@ -321,12 +321,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs).orderBy("doc_id")
 
 
-@register("dedup_simhash_pairs")  # rows-only: banded candidate generation
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+     h AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT AS BIGINT) AS v
+           FROM t),
+     votes AS (SELECT doc_id, {_simhash_votes_sql()} FROM h GROUP BY doc_id),
+     sh AS (SELECT doc_id, {_simhash_value_sql()} AS simhash FROM votes)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY a, b
+""",
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 of 32 bits) via 8-bit banded
-    candidates. Rows-only check: the banding join is the non-SQL part."""
+    candidates. Fully oracled: banding is LOSSLESS here (pigeonhole —
+    3 differing bits across 4 disjoint 8-bit chunks leave >= 1 chunk
+    equal), so the banded result must equal the oracle's brute-force
+    all-pairs Hamming scan exactly; a hash match certifies both the
+    signature math and that banding dropped no pair."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs)
+    return dedup.simhash_near_pairs(docs).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 @register(
@@ -351,16 +372,50 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("heavy_hitters_mg")  # rows-only: estimates are partition-order-dependent
+@register(
+    "heavy_hitters_mg",
+    f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+     c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+     n AS (SELECT sum(cnt) AS total FROM c)
+SELECT tok, CAST(cnt AS BIGINT) AS true_cnt,
+       TRUE AS in_mg_summary, TRUE AS mg_bound_ok
+FROM c, n WHERE cnt > total / 65.0
+ORDER BY true_cnt DESC, tok
+""",
+)
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries mergeable heavy-hitters sketch (k=64 counters/partition,
-    two-level merge): single-pass bounded-memory top-20 token estimate.
-    Rows-only check; the est <= true <= est + N/(k+1) bound and the
-    guaranteed-presence of every token with freq > N/(k+1) are asserted
-    in tests."""
+    """Misra-Gries mergeable heavy-hitters sketch (k=64 counters per
+    partition, two-level merge): single-pass bounded-memory heavy-hitter
+    estimates. The raw summary is partition-order-dependent, so the
+    HASHABLE output is the deterministic certificate MG guarantees:
+    every token with true frequency > N/(k+1) (an exact, deterministic
+    set) must appear in the summary (`in_mg_summary`) with
+    est <= true <= est + N/(k+1) (`mg_bound_ok`). A broken merge or a
+    dropped guaranteed hitter flips a boolean and hash-mismatches; the
+    full est-vs-true bound over ALL reported tokens stays asserted in
+    tests."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
-    return frequency.misra_gries_topn(toks, col="tok", k=64, topn=20)
+    mg = frequency.misra_gries_topn(toks, col="tok", k=64, topn=64)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    total = toks.count()
+    slack = total / 65.0
+    guaranteed = exact.filter(F.col("true_cnt") > slack)
+    joined = guaranteed.join(mg, "tok", "left")
+    return (
+        joined.select(
+            "tok",
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").isNotNull().alias("in_mg_summary"),
+            (
+                F.col("est_cnt").isNotNull()
+                & (F.col("est_cnt") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est_cnt") + slack)
+            ).alias("mg_bound_ok"),
+        )
+        .orderBy(F.desc("true_cnt"), "tok")
+    )
 
 
 @register(
@@ -850,3 +905,67 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id bigint, n_samples int, rate int, peak int, zcr int, rms double",
     ).orderBy("doc_id")
+
+
+@register(
+    "similarity_recall_gate",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+       TRUE AS ivf_trained_recall_ok, TRUE AS pq_recall_ok
+FROM embeddings
+""",
+)
+def similarity_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable recall certificate for the whole ANN family: each
+    approximate index (random-hyperplane LSH, IVF, k-means-trained IVF,
+    product quantization) must place the brute-force top-1 neighbor in
+    its top-3 for at least the threshold fraction of queries (0.3/0.3/
+    0.3/0.5 — the same floors the unit tests enforce, chosen for this
+    isotropic random corpus where ANN recall is intrinsically hard; real
+    clustered embeddings sit far higher). All four methods and the
+    brute-force baseline are deterministic, so the booleans are stable;
+    a recall regression in any index flips its column and
+    hash-mismatches. The companion similarity_* entries keep returning
+    the actual neighbor lists (rows-only by design)."""
+    from ..functions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf1 = similarity.cosine_topk_bruteforce(emb, k=1).select(
+        "vec_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    cents, _ = clustering.kmeans_fit(emb, k=16, max_iter=4)
+    methods = {
+        "lsh": (similarity.lsh_ann_topk(emb, k=3), 0.3),
+        "ivf": (similarity.ivf_topk(emb, k=3), 0.3),
+        "ivf_trained": (
+            similarity.ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents),
+            0.3,
+        ),
+        "pq": (similarity.pq_topk(emb, k=3), 0.5),
+    }
+    n_queries = bf1.count()
+    flags = {}
+    for name, (ann, thr) in methods.items():
+        hits = (
+            bf1.join(
+                ann.select("vec_id", F.col("neighbor_id").alias("ann_neighbor")),
+                ["vec_id"],
+                "left",
+            )
+            .filter(F.col("ann_neighbor") == F.col("bf_neighbor"))
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        flags[name] = hits / n_queries >= thr
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                flags["lsh"], flags["ivf"], flags["ivf_trained"], flags["pq"],
+            )
+        ],
+        "n_queries bigint, lsh_recall_ok boolean, ivf_recall_ok boolean, "
+        "ivf_trained_recall_ok boolean, pq_recall_ok boolean",
+    )
