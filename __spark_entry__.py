@@ -138,7 +138,7 @@ _R3_CHEAP_FIRST = [
     "graph_betweenness_sampled", "bloom_semi_join_revenue",
     "parquet_partitioned_roundtrip", "label_knn_agreement",
     "events_decayed_counts", "customer_rfm_segments",
-    "similarity_recall_gate",
+    "kmeans_quality_gate", "similarity_recall_gate",
 ]
 
 

@@ -1437,3 +1437,44 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("int").alias("n"))
         .orderBy("doc_id", "slot")
     )
+
+
+@register(
+    "kmeans_quality_gate",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       TRUE AS all_assigned, TRUE AS cells_within_k,
+       TRUE AS inertia_decreased
+FROM embeddings
+""",
+)
+def kmeans_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable convergence certificate for the Lloyd's k-means
+    implementation (whose per-cluster summary stays rows-only by
+    design): every point assigned exactly once, no more than k cells
+    used, and 8 iterations strictly reduce total inertia vs the seeded
+    1-iteration fit. All three properties are deterministic (the
+    assignment argmin is a pure function of the data); a broken partial
+    -sum merge, lost point, or diverging update flips a boolean and
+    hash-mismatches."""
+    from ..functions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_points = emb.count()
+
+    def inertia(max_iter: int) -> tuple[float, int, int]:
+        _, assign = clustering.kmeans_fit(emb, k=10, max_iter=max_iter)
+        row = assign.agg(
+            F.sum("sq_dist").alias("i"),
+            F.count("*").alias("n"),
+            F.countDistinct("cell").alias("c"),
+        ).first()
+        return float(row["i"]), int(row["n"]), int(row["c"])
+
+    i1, n1, _ = inertia(1)
+    i8, n8, c8 = inertia(8)
+    return spark.createDataFrame(
+        [(n_points, n1 == n_points and n8 == n_points, c8 <= 10, i8 < i1)],
+        "n_points bigint, all_assigned boolean, cells_within_k boolean, "
+        "inertia_decreased boolean",
+    )
