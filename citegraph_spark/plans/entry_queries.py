@@ -878,3 +878,54 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     und = co_citation(_citations(spark, sf_dir))
     return local_clustering(und, top_k=100)
+
+
+@register(
+    "hyperball_accuracy_gate",
+    f"""
+WITH cit AS ({_CIT_SQL}),
+bidir AS (
+  SELECT "from" AS s, "to" AS d FROM cit WHERE "from" <> "to"
+  UNION SELECT "to", "from" FROM cit WHERE "from" <> "to"
+),
+d1 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM bidir),
+d2 AS (
+  SELECT DISTINCT least(x.s, e.d) AS a, greatest(x.s, e.d) AS b
+  FROM bidir x JOIN bidir e ON x.d = e.s
+  WHERE x.s <> e.d
+)
+SELECT CAST((SELECT count(*) FROM d1) AS BIGINT) AS exact_d1,
+       CAST((SELECT count(*) FROM (SELECT * FROM d1 UNION SELECT * FROM d2))
+            AS BIGINT) AS exact_d2,
+       TRUE AS d1_within_10pct, TRUE AS d2_within_10pct
+""",
+)
+def hyperball_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for HyperBall (whose raw
+    estimates stay rows-only — HLL register contents are
+    engine-specific): the estimated connected-pair counts at depths 1
+    and 2 must land within 10% of the EXACT counts, which the oracle
+    recomputes independently with plain distinct-pair SQL. p=6 registers
+    give ~13% theoretical rsd per node but per-node errors cancel in the
+    global sum (measured ~1% at sf0.1, BASELINE.md) — 10% is a >5-sigma
+    gate on the aggregate. Both sides are deterministic, so the booleans
+    are stable; a register-merge or union bug flips one and
+    hash-mismatches."""
+    from ..functions.sketches import hyperball_hopplot
+    from ..operators.graph import bidirectional, hop_plot
+
+    edges = bidirectional(_citations(spark, sf_dir))
+    exact = {r.d: r.pairs for r in hop_plot(edges, max_d=2, strict_stop=False)}
+    est = dict(
+        hyperball_hopplot(
+            bidirectional(_citations(spark, sf_dir), dedup=False), p=6, max_d=2
+        )
+    )
+    ok = {
+        d: abs(est.get(d, 0.0) - exact[d]) <= 0.10 * exact[d] for d in (1, 2)
+    }
+    return spark.createDataFrame(
+        [(int(exact[1]), int(exact[2]), bool(ok[1]), bool(ok[2]))],
+        "exact_d1 bigint, exact_d2 bigint, d1_within_10pct boolean, "
+        "d2_within_10pct boolean",
+    )
