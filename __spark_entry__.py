@@ -139,6 +139,7 @@ _R3_CHEAP_FIRST = [
     "parquet_partitioned_roundtrip", "label_knn_agreement",
     "events_decayed_counts", "customer_rfm_segments",
     "kmeans_quality_gate", "similarity_recall_gate",
+    "graph_temporal_reachability", "cdc_apply_changes", "basket_lift_top",
     "hyperball_accuracy_gate", "scc_partition_gate",
 ]
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fixtures import edges_values_sql, fixture_citations
+from ..sources.tables import load_table
 from .entry_queries import _CIT_SQL, _citations, register
 
 _WALK_STEPS = 3
@@ -388,4 +389,77 @@ def scc_partition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(nodes), dist_partition == ref_partition)],
         "n_nodes bigint, partitions_match_tarjan boolean",
+    )
+
+
+@register(
+    "graph_temporal_reachability",
+    """
+WITH te AS (
+  SELECT CAST(l_orderkey AS INT) AS src, CAST(l_partkey AS INT) AS dst,
+         CAST(l_shipdate AS DATE) AS t
+  FROM lineitem
+),
+starts AS (SELECT DISTINCT src FROM te WHERE src % 997 = 0),
+hop1 AS (
+  SELECT DISTINCT s.src AS start, e.dst AS node, e.t
+  FROM starts s JOIN te e ON e.src = s.src
+),
+hop2 AS (
+  SELECT DISTINCT h.start, e2.dst AS node
+  FROM hop1 h JOIN te e2 ON e2.src = h.node AND e2.t >= h.t
+)
+SELECT s.src AS start,
+       CAST((SELECT count(DISTINCT node) FROM hop1 h1 WHERE h1.start = s.src)
+            AS BIGINT) AS reach_1,
+       CAST((SELECT count(*) FROM (
+              SELECT node FROM hop2 h2 WHERE h2.start = s.src
+              UNION SELECT node FROM hop1 h1 WHERE h1.start = s.src)) AS BIGINT)
+         AS reach_2
+FROM starts s ORDER BY start
+""",
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability (temporal-network semantics, Holme &
+    Saramäki 2012): a 2-hop path a->b->c counts only if the second
+    edge's timestamp is >= the first's — static reachability overcounts
+    because it ignores that influence cannot flow backwards in time.
+    Edge times come from l_shipdate; starts are the deterministic hash
+    sample id % 997 == 0.
+
+    Shape: hop-1 is one equi-join; hop-2 is an equi-join on the node PLUS
+    the non-equi time predicate, which Spark evaluates as a post-join
+    filter on the hash join (NOT a nested-loop — the equi key carries
+    the join). Distinct-per-hop keeps frontier rows unique before the
+    next expansion, exactly like the static BFS, with (start, node,
+    min-arrival-time) as state; at depth > 2 the earliest-arrival
+    frontier generalizes (keep min t per (start, node))."""
+    te = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("src"),
+        F.col("l_partkey").cast("int").alias("dst"),
+        F.col("l_shipdate").cast("date").alias("t"),
+    )
+    starts = te.filter(F.col("src") % 997 == 0).select("src").distinct()
+    hop1 = (
+        starts.join(te, "src")
+        .select(F.col("src").alias("start"), F.col("dst").alias("node"), "t")
+        .distinct()
+    )
+    e2 = te.select(
+        F.col("src").alias("node"), F.col("dst").alias("node2"),
+        F.col("t").alias("t2"),
+    )
+    hop2 = (
+        hop1.join(e2, "node")
+        .filter(F.col("t2") >= F.col("t"))
+        .select("start", F.col("node2").alias("node"))
+        .distinct()
+    )
+    r1 = hop1.groupBy("start").agg(F.countDistinct("node").alias("reach_1"))
+    both = hop1.select("start", "node").union(hop2).distinct()
+    r2 = both.groupBy("start").agg(F.count("*").alias("reach_2"))
+    return (
+        r1.join(r2, "start")
+        .select("start", "reach_1", "reach_2")
+        .orderBy("start")
     )

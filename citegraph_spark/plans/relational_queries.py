@@ -1396,3 +1396,143 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg).orderBy("custkey")
+
+
+@register(
+    "cdc_apply_changes",
+    """
+WITH changes AS (
+  SELECT s_suppkey AS key,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'D'
+              WHEN s_suppkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+         CASE WHEN s_suppkey % 3 = 0 AND s_suppkey % 7 <> 0
+              THEN round(s_acctbal + 500.0, 2) ELSE round(s_acctbal, 2) END
+           AS acctbal,
+         2 AS version
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+snapshot AS (
+  SELECT s_suppkey AS key, round(s_acctbal, 2) AS acctbal, 1 AS version
+  FROM supplier
+)
+SELECT s.key,
+       round(coalesce(c.acctbal, s.acctbal), 2) AS acctbal,
+       CAST(coalesce(c.version, 1) AS INT) AS version
+FROM snapshot s LEFT JOIN changes c USING (key)
+WHERE c.op IS NULL OR c.op <> 'D'
+ORDER BY s.key
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES (MERGE with deletes — the semantics
+    upsert_parquet lacks): a deterministic change batch over even
+    supplier keys carries inserts, updates (+500), and DELETES (keys
+    divisible by 7); applying it to the version-1 snapshot keeps the
+    latest surviving row per key and removes tombstoned keys entirely.
+    Implemented as ONE shuffle: union snapshot + changes tagged by
+    (version, priority), max_by-struct per key picks the winner, then a
+    tombstone filter — no window sort, no per-op passes, which is what
+    keeps CDC replay O(|snapshot| + |changes|) per partition at 100 TB
+    (and composes with dynamic partition overwrite for the write-back).
+    The oracle states the same semantics declaratively (LEFT JOIN +
+    coalesce + anti-delete filter)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    snapshot = supplier.select(
+        F.col("s_suppkey").alias("key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    even = supplier.filter(F.col("s_suppkey") % 2 == 0)
+    op = (
+        F.when(F.col("s_suppkey") % 7 == 0, "D")
+        .when(F.col("s_suppkey") % 3 == 0, "U")
+        .otherwise("I")
+    )
+    changes = even.select(
+        F.col("s_suppkey").alias("key"),
+        F.when(
+            (F.col("s_suppkey") % 3 == 0) & (F.col("s_suppkey") % 7 != 0),
+            F.round(F.col("s_acctbal") + 500.0, 2),
+        ).otherwise(F.round("s_acctbal", 2)).alias("acctbal"),
+        F.lit(2).alias("version"),
+        op.alias("op"),
+    )
+    merged = (
+        snapshot.unionByName(changes)
+        .groupBy("key")
+        .agg(F.max(F.struct("version", "op", "acctbal")).alias("_top"))
+        .select(
+            "key",
+            F.round(F.col("_top.acctbal"), 2).alias("acctbal"),
+            F.col("_top.version").cast("int").alias("version"),
+            F.col("_top.op").alias("op"),
+        )
+    )
+    return merged.filter(F.col("op") != "D").drop("op").orderBy("key")
+
+
+@register(
+    "basket_lift_top",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey % 50 AS item FROM lineitem
+),
+n AS (SELECT count(DISTINCT ord) AS n_orders FROM items),
+supp AS (SELECT item, count(*) AS s FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS x, b.item AS y, count(*) AS s_xy
+  FROM items a JOIN items b ON a.ord = b.ord AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT x, y, CAST(s_xy AS BIGINT) AS support,
+       round(s_xy * 1.0 * n_orders / (sa.s * sb.s), 6) AS lift
+FROM pairs JOIN supp sa ON sa.item = x JOIN supp sb ON sb.item = y, n
+WHERE s_xy >= 5
+ORDER BY lift DESC, x, y LIMIT 25
+""",
+)
+def basket_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (association-rule mining's
+    scoring core): item-group pairs co-purchased in the same order,
+    scored by lift = P(x,y) / (P(x)P(y)) and thresholded on support
+    first — the support floor is what keeps the pair space tractable at
+    scale (classic Apriori pruning: a pair can't be frequent if either
+    item isn't). Items are 50-bucketed part keys so pair support clears the
+    floor at every test scale. One self-join on the order key, two broadcast
+    joins against the (tiny, aggregated) per-item support table, top-k
+    as TakeOrderedAndProject."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ord"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .distinct()
+    )
+    n_orders = items.select("ord").distinct().count()
+    supp = items.groupBy("item").agg(F.count("*").alias("s"))
+    b = items.select(F.col("ord").alias("ord"), F.col("item").alias("y"))
+    pairs = (
+        items.join(b, "ord")
+        .filter(F.col("item") < F.col("y"))
+        .groupBy(F.col("item").alias("x"), "y")
+        .agg(F.count("*").alias("s_xy"))
+        .filter(F.col("s_xy") >= 5)
+    )
+    sa = supp.select(F.col("item").alias("x"), F.col("s").alias("s_x"))
+    sb = supp.select(F.col("item").alias("y"), F.col("s").alias("s_y"))
+    return (
+        pairs.join(F.broadcast(sa), "x")
+        .join(F.broadcast(sb), "y")
+        .select(
+            "x", "y",
+            F.col("s_xy").alias("support"),
+            F.round(
+                F.col("s_xy") * F.lit(float(n_orders)) / (F.col("s_x") * F.col("s_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(25)
+    )

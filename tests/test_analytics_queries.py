@@ -359,3 +359,64 @@ def test_rfm_quartiles_and_decay_monotonicity(spark):
     for et, r in dec.items():
         # decayed count is bounded by the raw count and strictly positive
         assert 0 < r["decayed_count"] <= r["raw_count"]
+
+
+def test_cdc_apply_and_temporal_reachability(spark):
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sup = {
+        r["s_suppkey"]: round(r["s_acctbal"], 2)
+        for r in spark.read.parquet(f"{sf}/supplier.parquet").collect()
+    }
+    rows = {r["key"]: r for r in QUERIES["cdc_apply_changes"](spark, sf).collect()}
+    for k, bal in sup.items():
+        if k % 2 == 0 and k % 7 == 0:
+            assert k not in rows  # deleted
+        elif k % 2 == 0 and k % 3 == 0:
+            assert rows[k]["version"] == 2
+            assert abs(rows[k]["acctbal"] - round(bal + 500.0, 2)) < 1e-6
+        elif k % 2 == 0:
+            assert rows[k]["version"] == 2
+            assert abs(rows[k]["acctbal"] - bal) < 1e-6
+        else:
+            assert rows[k]["version"] == 1
+
+    tr = QUERIES["graph_temporal_reachability"](spark, sf).collect()
+    for r in tr:
+        # time-respecting reach is monotone in depth and bounded by
+        # static reach (checked structurally: reach_2 >= reach_1)
+        assert r["reach_2"] >= r["reach_1"] > 0
+
+
+def test_basket_lift_matches_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"] % 50)
+    n = len(baskets)
+    supp = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for it in items:
+            supp[it] += 1
+        for x, y in combinations(sorted(items), 2):
+            pair[(x, y)] += 1
+    scored = [
+        (round(c * n / (supp[x] * supp[y]), 6), x, y, c)
+        for (x, y), c in pair.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(x, y, c, l) for l, x, y, c in scored[:25]]
+    got = [
+        (r["x"], r["y"], r["support"], r["lift"])
+        for r in QUERIES["basket_lift_top"](spark, sf).collect()
+    ]
+    assert got == want and got

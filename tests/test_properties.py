@@ -150,3 +150,71 @@ def test_global_cumsum_property(spark, vals):
         acc += v
         want.add((i, acc))
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30
+    )
+)
+@SET
+def test_skyline_2d_property(spark, pts):
+    from citegraph_spark.operators.relational import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid int, x double, y int")
+    got = sorted(r["pid"] for r in skyline_2d(df, "x", "y").collect())
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in rows
+        )
+
+    want = sorted(pid for pid, *_ in [p for p in rows if not dominated(p)])
+    assert got == want
+
+
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_zorder_key_property(spark, coords):
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.sources.sinks import zorder_key
+
+    df = spark.createDataFrame(coords, "x long, y long").withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"), bits=8)
+    )
+
+    def interleave(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in df.collect():
+        assert r["z"] == interleave(r["x"], r["y"])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=25
+    )
+)
+@SET
+def test_motif_reciprocal_property(spark, edges):
+    from citegraph_spark.operators.motif import find_motifs
+
+    df = spark.createDataFrame(edges, "src int, dst int").distinct()
+    es = set(edges)
+    got = {(r["a"], r["b"]) for r in
+           find_motifs(df, "(a)-[]->(b); (b)-[]->(a)").collect()}
+    want = {(a, b) for a, b in es if (b, a) in es}
+    assert got == want
