@@ -104,6 +104,18 @@ BENCH_QUERIES = [
     "events_twap",
     "motif_fanout_top",
     "bucketed_join_roundtrip",
+    "kmv_set_ops",
+    "multimodal_audio",
+    "feature_hashing",
+    "dq_psi_drift",
+    "cdc_apply_changes",
+    "basket_lift_top",
+    "graph_temporal_reachability",
+    "events_decayed_counts",
+    "customer_rfm_segments",
+    "events_ewma",
+    "text_accent_fold",
+    "dq_benford_first_digit",
 ]
 
 

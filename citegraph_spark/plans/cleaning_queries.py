@@ -315,3 +315,49 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ACC_FROM = "áéíóúàèìòùâêîôûäëïöüñçåøæ"
+_ACC_TO = "aeiouaeiouaeiouaeiouncaoa"
+
+
+@register(
+    "text_accent_fold",
+    f"""
+WITH raw AS (
+  SELECT doc_id,
+         translate(text, 'aeiou', 'áéíóú') AS accented
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(accented) AS INT) AS n_chars,
+       CAST(length(accented) - length(regexp_replace(accented, '[{_ACC_FROM}]', '', 'g'))
+            AS INT) AS n_accented,
+       translate(accented, '{_ACC_FROM}', '{_ACC_TO}') AS folded
+FROM raw ORDER BY doc_id
+""",
+)
+def text_accent_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent/diacritic folding (the unicode-normalization step of text
+    cleaning): vowels are deterministically accented first (so the fold
+    is exercised on real diacritics, not vacuously), then folded back
+    through an explicit translate map — the engine-portable subset of
+    NFKD+strip-combining (a full normalizer needs the unicodedata
+    tables; the translate map covers the Latin-1 diacritics that
+    dominate web text). Pure per-row translate/regexp — map-only at any
+    scale. The oracle replays accenting, counting, and folding
+    identically; folded == the lowercase original by construction, which
+    the test asserts."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", F.translate("text", "aeiou", "áéíóú").alias("accented")
+    )
+    return raw.select(
+        "doc_id",
+        F.length("accented").cast("int").alias("n_chars"),
+        (
+            F.length("accented")
+            - F.length(F.regexp_replace("accented", f"[{_ACC_FROM}]", ""))
+        ).cast("int").alias("n_accented"),
+        F.translate("accented", _ACC_FROM, _ACC_TO).alias("folded"),
+    ).orderBy("doc_id")

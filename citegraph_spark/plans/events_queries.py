@@ -1033,3 +1033,58 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_WIN = 20
+
+
+@register(
+    "events_ewma",
+    f"""
+WITH seq AS (
+  SELECT event_id, user_id, "value",
+         list("value") OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_WIN - 1} PRECEDING AND CURRENT ROW
+         ) AS w
+  FROM events
+)
+SELECT event_id,
+       round(
+         list_reduce(w, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc),
+         6
+       ) AS ewma
+FROM seq ORDER BY event_id
+""",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over a bounded
+    20-sample window: the window collects the trailing values as an
+    ARRAY, and the recurrence s = alpha*x + (1-alpha)*s folds over it
+    with a higher-order aggregate — both the collection and the fold are
+    JVM-side, no UDF. Bounding the window is what makes EWMA
+    window-expressible at all (the unbounded recurrence is inherently
+    sequential); 20 samples at alpha=0.3 carries (1-alpha)^20 ~ 0.0008
+    of older mass, below the 6-dp rounding. The fold order (oldest
+    first) is stated identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WIN - 1), 0)
+    )
+    seq = ev.select(
+        "event_id", F.collect_list("value").over(w).alias("w")
+    )
+    return seq.select(
+        "event_id",
+        F.round(
+            F.aggregate(
+                F.expr("slice(w, 2, size(w) - 1)"),
+                F.element_at("w", 1),
+                lambda acc, x: _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    ).orderBy("event_id")

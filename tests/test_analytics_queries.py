@@ -420,3 +420,32 @@ def test_basket_lift_matches_bruteforce(spark):
         for r in QUERIES["basket_lift_top"](spark, sf).collect()
     ]
     assert got == want and got
+
+
+def test_ewma_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, v in ev:
+        by_user[u].append((ts, eid, v))
+    expected = {}
+    for u, seq in by_user.items():
+        seq.sort()
+        vals = [v for _, _, v in seq]
+        for i, (_, eid, _) in enumerate(seq):
+            w = vals[max(0, i - 19) : i + 1]
+            s = w[0]
+            for x in w[1:]:
+                s = 0.3 * x + 0.7 * s
+            expected[eid] = round(s, 6)
+    got = {r["event_id"]: r["ewma"] for r in QUERIES["events_ewma"](spark, sf).collect()}
+    assert set(got) == set(expected)
+    for eid, v in expected.items():
+        assert abs(got[eid] - v) < 1e-5

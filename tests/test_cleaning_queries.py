@@ -109,3 +109,13 @@ def test_skyline_parts_bruteforce_dominance(spark):
         r["p_partkey"] for r in QUERIES["skyline_parts"](spark, SF_DIR).collect()
     )
     assert got == expected and got
+
+
+def test_accent_fold_roundtrip(spark):
+    rows = QUERIES["text_accent_fold"](spark, SF_DIR).collect()
+    docs = _docs(spark)
+    for r in rows:
+        text, _ = docs[r["doc_id"]]
+        assert r["folded"] == text  # folding recovers the original
+        assert r["n_accented"] == sum(text.count(c) for c in "aeiou")
+        assert r["n_chars"] == len(text)
