@@ -140,7 +140,7 @@ _R3_CHEAP_FIRST = [
     "events_decayed_counts", "customer_rfm_segments",
     "kmeans_quality_gate", "similarity_recall_gate",
     "graph_temporal_reachability", "cdc_apply_changes", "basket_lift_top",
-    "events_ewma", "text_accent_fold",
+    "events_ewma", "text_accent_fold", "streaming_windowed_append",
     "hyperball_accuracy_gate", "scc_partition_gate",
 ]
 

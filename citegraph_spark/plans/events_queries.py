@@ -1088,3 +1088,37 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     ).orderBy("event_id")
+
+
+@register(
+    "streaming_windowed_append",
+    """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, event_type,
+         count(*) AS n, round(sum("value"), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, n, value_sum
+FROM w, mx
+WHERE ws + INTERVAL '15 minutes' <= m - INTERVAL '30 minutes'
+ORDER BY 1, 2
+""",
+)
+def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark semantics as a hashable result: the events
+    replay as two chronological files (maxFilesPerTrigger=1), and the
+    memory sink receives ONLY the windows the advancing watermark
+    finalized — i.e. exactly the windows whose end is at or before
+    max(event time) - 30 min, which the oracle states declaratively.
+    This certifies late-data eviction end-to-end: a window emitted
+    twice, a watermark that failed to advance between batches, or an
+    unfinalized window leaking into the sink all hash-mismatch. (The
+    final open windows stay IN STATE by design — append mode's
+    exactly-once emission contract.)"""
+    from ..streaming.events import run_windowed_append_demo
+
+    return run_windowed_append_demo(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )

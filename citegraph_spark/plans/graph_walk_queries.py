@@ -335,6 +335,16 @@ def scc_partition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("from") % 4 == 0) & (F.col("to") % 4 == 0))
         .select(F.col("from").alias("src"), F.col("to").alias("dst"))
     )
+    # fail-fast driver-size guard (same contract as the similarity
+    # broadcast budget): the reference Tarjan run is driver-local, so
+    # past ~500k induced edges the caller must tighten the induction
+    # modulus instead of silently collecting gigabytes
+    n_induced = edges.limit(500_001).count()
+    if n_induced > 500_000:
+        raise ValueError(
+            "scc_partition_gate: induced subgraph exceeds 500k edges; "
+            "raise the induction modulus for this data scale"
+        )
     got = defaultdict(set)
     for r in strongly_connected_components(edges).collect():
         got[r["scc"]].add(r["node"])

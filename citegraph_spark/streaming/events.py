@@ -208,7 +208,15 @@ def run_windowed_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(30)
-    return spark.table(name)
+    try:
+        res = spark.table(name)
+        # materialize before deleting the replay files (same cleanup
+        # contract as the other foreachBatch/statestore demos)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _session_state_fn(
