@@ -142,6 +142,10 @@ _R3_CHEAP_FIRST = [
     "graph_temporal_reachability", "cdc_apply_changes", "basket_lift_top",
     "events_ewma", "text_accent_fold", "streaming_windowed_append",
     "hyperball_accuracy_gate", "scc_partition_gate",
+    # round-3 late additions (statistical-audit family), cheap-first
+    "regression_price_on_qty", "events_cusum_changepoint",
+    "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
+    "chi2_flag_status",
 ]
 
 

@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "events_ewma",
     "text_accent_fold",
     "dq_benford_first_digit",
+    "chi2_flag_status",
+    "corr_lineitem_measures",
+    "regression_price_on_qty",
+    "events_autocorr",
+    "mad_outlier_prices",
+    "events_cusum_changepoint",
 ]
 
 

@@ -7,6 +7,7 @@ from . import cleaning_queries  # noqa: E402,F401
 from . import events_queries  # noqa: E402,F401
 from . import graph_fixture_queries  # noqa: E402,F401
 from . import graph_walk_queries  # noqa: E402,F401
+from . import mlstats_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import storage_queries  # noqa: E402,F401

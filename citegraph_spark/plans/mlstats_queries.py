@@ -1,0 +1,296 @@
+"""Statistical-analytics extensions: the numeric-audit layer a training
+-data pipeline runs before trusting a corpus (reference scope analogue:
+the degree-distribution / hop-plot statistics of Analytics.scala, here
+generalized to tabular measures).
+
+Every query is pure JVM column expressions — no Python UDFs — and every
+oracle replays the identical math in DuckDB SQL so the driver hash gate
+certifies values, not just shapes. Scale notes per query: the only
+window sorts run over per-DAY aggregates (bounded by calendar span, not
+row count), and every scalar statistic is a one-row broadcast, never a
+driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .entry_queries import register
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (returnflag x linestatus)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "chi2_flag_status",
+    """
+WITH obs AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(o) AS n FROM obs),
+rt AS (SELECT rf, sum(o) AS r FROM obs GROUP BY rf),
+ct AS (SELECT ls, sum(o) AS c FROM obs GROUP BY ls)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum(power(o - r * c / n, 2) / (r * c / n)), 4) AS chi2
+FROM obs JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN tot
+""",
+)
+def chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of the
+    l_returnflag x l_linestatus contingency table. Three tiny aggregates
+    (cell counts, row totals, column totals) broadcast-joined back onto
+    the cell table — the expensive part is ONE groupBy over the fact
+    table; everything after operates on a handful of rows. At 100 TB the
+    contingency table is still |rf|x|ls| rows, so the plan is scan +
+    one shuffle regardless of data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count("*").cast("double").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rt = obs.groupBy("rf").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("ls").agg(F.sum("o").alias("c"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("o") - e, F.lit(2)) / e), 4).alias("chi2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation (tidy output)
+# --------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+]
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{x}' AS x_col, '{y}' AS y_col, "
+    f"round(corr({x}, {y}), 6) AS pearson_r FROM lineitem"
+    for x, y in _CORR_PAIRS
+) + "\nORDER BY x_col, y_col"
+
+
+@register("corr_lineitem_measures", _CORR_ORACLE)
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tidy pairwise Pearson correlation of the lineitem numeric
+    measures — the feature-redundancy screen run before model training.
+    All four coefficients come out of ONE aggregate over one scan
+    (Catalyst collapses the four corr() co-moment updates into a single
+    partial-aggregate pass), then a stack() to tidy rows. Zero joins,
+    zero Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(x, y), 6).alias(f"c{i}")
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    ]
+    wide = li.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (x_col, y_col, pearson_r)".format(
+        n=len(_CORR_PAIRS),
+        args=", ".join(
+            f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(_CORR_PAIRS)
+        ),
+    )
+    return wide.select(F.expr(stack_expr)).orderBy("x_col", "y_col")
+
+
+# --------------------------------------------------------------------------
+# OLS simple regression per group (price ~ quantity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "regression_price_on_qty",
+    """
+SELECT l_returnflag AS rf,
+       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY rf ORDER BY rf
+""",
+)
+def regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (extendedprice ~ quantity) from closed-form
+    moments: slope = cov_pop(x,y)/var_pop(x), intercept = E[y]-b*E[x],
+    r2 = corr^2 — all five moments computed in ONE hash aggregate per
+    group (map-side combinable, one shuffle on l_returnflag). This is
+    the moment-sketch formulation that makes linear regression a
+    constant-state streaming aggregate at any scale; DuckDB's
+    regr_slope/regr_intercept/regr_r2 are the oracle for the same
+    closed form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.round(slope, 2).alias("slope"),
+            F.round(F.avg(y) - slope * F.avg(x), 2).alias("intercept"),
+            F.round(F.pow(F.corr(x, y), F.lit(2)), 6).alias("r2"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("rf")
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+_ACF_ORACLE = (
+    "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c "
+    "FROM events GROUP BY 1)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag_days, round(corr(a.c, b.c), 6) AS acf "
+        f"FROM daily a JOIN daily b ON b.d = a.d + INTERVAL {k} DAY"
+        for k in _ACF_LAGS
+    )
+    + "\nORDER BY lag_days"
+)
+
+
+@register("events_autocorr", _ACF_ORACLE)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1-3, computed as Pearson corr between the series and its k-shifted
+    self via an equi-join on date arithmetic — NOT a single-partition
+    window. The raw-event scan reduces to one row per day before any
+    join, so the lag joins run over a calendar-bounded series (a few
+    hundred rows at any data scale) and broadcast automatically."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    parts = []
+    for k in _ACF_LAGS:
+        b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+        parts.append(
+            daily.join(b, F.col("d2") == F.date_add(F.col("d"), k))
+            .agg(
+                F.lit(k).alias("lag_days"),
+                F.round(F.corr("c", "c2"), 6).alias("acf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("lag_days")
+
+
+# --------------------------------------------------------------------------
+# Robust outliers: median / MAD z-score
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_prices",
+    """
+WITH xs AS (SELECT l_extendedprice AS x FROM lineitem),
+m AS (SELECT quantile_cont(x, 0.5) AS med FROM xs),
+d AS (SELECT x, med FROM xs CROSS JOIN m),
+s AS (SELECT med, quantile_cont(abs(x - med), 0.5) AS mad FROM d GROUP BY med)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE abs(0.6745 * (x - med) / mad) > 3.5)
+            AS BIGINT) AS n_outliers,
+       round(any_value(med), 2) AS med,
+       round(any_value(mad), 2) AS mad
+FROM xs CROSS JOIN s
+""",
+)
+def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen on l_extendedprice — the
+    outlier detector that, unlike mean/stddev z-scores, is not itself
+    corrupted by the outliers it hunts. Two exact-percentile aggregates
+    (median, then median absolute deviation) each reduce to one row and
+    broadcast back; the flagging pass is a stateless filter. Exact
+    percentile at 100 TB is the one genuinely rank-based step — swap
+    F.percentile for percentile_approx at a documented error bound when
+    the column no longer fits the sort budget (same contract as
+    approx_percentile_prices)."""
+    xdf = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    med = xdf.agg(F.percentile("x", F.lit(0.5)).alias("med"))
+    dev = xdf.crossJoin(F.broadcast(med))
+    stats = dev.groupBy("med").agg(
+        F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    z = F.abs(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"))
+    return xdf.crossJoin(F.broadcast(stats)).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.round(F.first("med"), 2).alias("med"),
+        F.round(F.first("mad"), 2).alias("mad"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint on the daily event-count series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+m AS (SELECT avg(c) AS mu FROM daily),
+cs AS (
+  SELECT d, sum(c - mu) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN m
+)
+SELECT d AS change_day, round(abs(cusum), 4) AS max_dev
+FROM cs ORDER BY abs(cusum) DESC, d LIMIT 1
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954): the day where the
+    cumulative deviation of the daily count from its global mean peaks
+    — the classic level-shift locator for monitoring ingest pipelines.
+    The cumulative window runs over the per-day aggregate (calendar-
+    bounded, tiny), never the raw events, so the unpartitioned ordered
+    window is safe at any data scale; the raw scan contributes exactly
+    one groupBy shuffle."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    mu = daily.agg(F.avg("c").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cs = daily.crossJoin(F.broadcast(mu)).withColumn(
+        "cusum", F.sum(F.col("c") - F.col("mu")).over(w)
+    )
+    return (
+        cs.select(
+            F.col("d").alias("change_day"),
+            F.round(F.abs("cusum"), 4).alias("max_dev"),
+            F.abs("cusum").alias("_k"),
+        )
+        .orderBy(F.desc("_k"), "change_day")
+        .limit(1)
+        .drop("_k")
+    )

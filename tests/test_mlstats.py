@@ -1,0 +1,101 @@
+"""Unit tests for the statistical-audit family (mlstats_queries):
+each query's value is re-derived independently in pandas/numpy from the
+raw sf0.001 parquet and compared after the query's own rounding.
+Parity at sf0.01 is separately covered by the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from citegraph_spark.plans.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _li() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_chi2_matches_manual_formula(spark):
+    row = QUERIES["chi2_flag_status"](spark, SF).collect()[0]
+    li = _li()
+    obs = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    n = obs.sum()
+    r = obs.groupby(level=0).sum()
+    c = obs.groupby(level=1).sum()
+    chi2 = 0.0
+    for (rf, ls), o in obs.items():
+        e = r[rf] * c[ls] / n
+        chi2 += (o - e) ** 2 / e
+    assert row["n_cells"] == len(obs)
+    assert abs(row["chi2"] - chi2) < 1e-3
+
+
+def test_corr_pairs_match_pandas(spark):
+    rows = {
+        (r["x_col"], r["y_col"]): r["pearson_r"]
+        for r in QUERIES["corr_lineitem_measures"](spark, SF).collect()
+    }
+    li = _li()
+    for (x, y), got in rows.items():
+        want = li[x].astype(float).corr(li[y].astype(float))
+        assert abs(got - want) < 1e-5, (x, y)
+
+
+def test_regression_matches_polyfit(spark):
+    rows = QUERIES["regression_price_on_qty"](spark, SF).collect()
+    li = _li()
+    for r in rows:
+        g = li[li.l_returnflag == r["rf"]]
+        x = g.l_quantity.astype(float).to_numpy()
+        y = g.l_extendedprice.astype(float).to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r["slope"] - slope) < 0.02
+        assert abs(r["intercept"] - intercept) < 0.02
+        assert abs(r["r2"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-5
+        assert r["n"] == len(g)
+
+
+def test_autocorr_matches_pandas_shift_corr(spark):
+    rows = {
+        r["lag_days"]: r["acf"]
+        for r in QUERIES["events_autocorr"](spark, SF).collect()
+    }
+    ev = _events()
+    daily = ev.groupby(ev.ts.dt.date).size().astype(float)
+    # join-on-date semantics: pair (d, d+k) only when both days exist
+    idx = pd.Index(daily.index)
+    for k, got in rows.items():
+        shifted_dates = [d + pd.Timedelta(days=int(k)) for d in idx]
+        mask = [s in set(idx) for s in shifted_dates]
+        a = daily[np.array(mask)]
+        b = daily[[s for s, m in zip(shifted_dates, mask) if m]]
+        want = np.corrcoef(a.to_numpy(), b.to_numpy())[0, 1]
+        assert abs(got - want) < 1e-5, k
+
+
+def test_mad_outliers_match_numpy(spark):
+    row = QUERIES["mad_outlier_prices"](spark, SF).collect()[0]
+    x = _li().l_extendedprice.astype(float).to_numpy()
+    med = np.percentile(x, 50, method="linear")
+    mad = np.percentile(np.abs(x - med), 50, method="linear")
+    z = np.abs(0.6745 * (x - med) / mad)
+    assert row["n_rows"] == len(x)
+    assert row["n_outliers"] == int((z > 3.5).sum())
+    assert abs(row["med"] - med) < 0.01
+    assert abs(row["mad"] - mad) < 0.01
+
+
+def test_cusum_changepoint_matches_pandas(spark):
+    row = QUERIES["events_cusum_changepoint"](spark, SF).collect()[0]
+    ev = _events()
+    daily = ev.groupby(ev.ts.dt.date).size().astype(float).sort_index()
+    dev = (daily - daily.mean()).cumsum().abs()
+    best = dev[dev == dev.max()].index.min()  # ties -> earliest day
+    assert row["change_day"] == best
+    assert abs(row["max_dev"] - dev.max()) < 1e-3
