@@ -1,0 +1,205 @@
+"""Distributed minimum spanning forest — Borůvka's algorithm as pure
+DataFrame rounds.
+
+Why Borůvka and not Prim/Kruskal: Prim grows one frontier (inherently
+sequential) and Kruskal needs a global edge sort plus a sequential
+union-find; Borůvka is the classic parallel formulation — every
+component picks its minimum outgoing edge simultaneously, components
+merge, and the component count at least halves per round, so the round
+count is O(log V) regardless of data size. Each round costs two hash
+joins (attach component labels to edge endpoints), one map-side-
+combinable `min_by` aggregate (the per-component minimum edge), and a
+POINTER-DOUBLING pass over the CHOSEN-edge graph only (exactly one
+pointer per component, geometrically shrinking) — never over the full
+edge set. Pointer doubling, not hash-min propagation: the chosen edges
+form a pseudo-forest whose only cycles are 2-cycles on each cluster's
+minimum edge (strict total order), so breaking the 2-cycle at its
+smaller endpoint yields a rooted forest and parent = parent[parent]
+reaches every root in O(log depth) join rounds — hash-min would need
+O(depth) rounds on the chain-shaped clusters Borůvka actually makes.
+
+Tie-safety: edges are ranked by the total order (weight, a, b) on
+canonical endpoints a<b, which makes every comparison strict, so the
+chosen edge set is cycle-free and the forest is the unique MSF under
+that order (the standard distinct-weight reduction). A driver-side
+Kruskal under the SAME order must therefore produce the IDENTICAL edge
+set — the property the gate query and the unit tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Borůvka MSF over an undirected weighted graph.
+
+    edges: (src, dst, weight) — interpreted undirected; parallel edges
+    and both orientations are collapsed to canonical a<b with the
+    minimum weight; self-loops dropped. Returns (a, b, weight): the
+    unique minimum spanning forest under the (weight, a, b) total
+    order, one component per connected component of the input.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("weight").alias("weight"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        ec = (
+            e.join(
+                comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if ec.limit(1).count() == 0:
+            ec.unpersist()
+            break
+
+        # each component nominates its minimum outgoing edge under the
+        # strict (weight, a, b) order; min_by is a hash aggregate, so
+        # this is one shuffle on the component id, no window sort
+        cand = ec.select(
+            F.col("ca").alias("comp"),
+            F.col("cb").alias("other"),
+            "a", "b", "weight",
+        ).unionByName(
+            ec.select(
+                F.col("cb").alias("comp"),
+                F.col("ca").alias("other"),
+                "a", "b", "weight",
+            )
+        )
+        chosen = (
+            cand.groupBy("comp")
+            .agg(
+                F.min_by(
+                    F.struct("a", "b", "weight", "other"),
+                    F.struct("weight", "a", "b"),
+                ).alias("e")
+            )
+            .select("comp", "e.a", "e.b", "e.weight", "e.other")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        picked = chosen.select("a", "b", "weight").distinct()
+        forest = picked if forest is None else forest.unionByName(picked)
+        forest = forest.localCheckpoint(eager=True)
+
+        # merge components along the chosen pointers (comp -> other).
+        # Every comp with a cross edge has exactly one pointer; mutual
+        # pointers (the cluster's minimum edge, both sides picked it)
+        # are the only cycles — break them at the smaller id to root
+        # the forest, then pointer-double to the roots.
+        p = chosen.select("comp", "other")
+        # initial pointer = grandparent (skips a level for free); a comp
+        # whose raw pointer cycles back onto itself is on its cluster's
+        # minimum edge — root it at the smaller endpoint. Jumping past a
+        # root onto its 2-cycle partner is harmless: the partner's own
+        # pointer resolves to the root on the next doubling.
+        parent = (
+            p.alias("x")
+            .join(p.alias("y"), F.col("x.other") == F.col("y.comp"))
+            .select(
+                F.col("x.comp").alias("comp"),
+                F.when(
+                    F.col("y.other") == F.col("x.comp"),
+                    F.least(F.col("x.comp"), F.col("x.other")),
+                )
+                .otherwise(F.col("y.other"))
+                .alias("parent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        jumps = 0
+        while True:
+            jumped = (
+                parent.alias("x")
+                .join(
+                    parent.select(
+                        F.col("comp").alias("parent"),
+                        F.col("parent").alias("grand"),
+                    ),
+                    "parent",
+                )
+                .select("comp", F.col("grand").alias("parent"))
+                .localCheckpoint(eager=True)
+            )
+            jumps += 1
+            # depth halves per doubling — checking convergence every
+            # other jump halves the count-job overhead
+            if jumps % 2 == 0 or jumps >= 30:
+                changed = (
+                    jumped.alias("n")
+                    .join(parent.alias("o"), "comp")
+                    .filter(F.col("n.parent") != F.col("o.parent"))
+                    .count()
+                )
+                if changed == 0:
+                    parent = jumped
+                    break
+            parent = jumped
+        comp = (
+            comp.join(parent.withColumnRenamed("comp", "_c"),
+                      F.col("comp") == F.col("_c"), "left")
+            .select(
+                "node",
+                F.coalesce("parent", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ec.unpersist()
+        chosen.unpersist()
+
+    e.unpersist()
+    if forest is None:
+        return edges.sparkSession.createDataFrame(
+            [], "a long, b long, weight double"
+        )
+    return forest
+
+
+def kruskal_reference(pairs: list[tuple]) -> set[tuple]:
+    """Driver-side Kruskal under the same (weight, a, b) total order —
+    the correctness reference for the gate query and tests. Input:
+    (a, b, weight) canonical tuples; returns the MSF edge set."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out = set()
+    for a, b, w in sorted(pairs, key=lambda t: (t[2], t[0], t[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out

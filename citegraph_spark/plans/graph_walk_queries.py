@@ -473,3 +473,75 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("start", "reach_1", "reach_2")
         .orderBy("start")
     )
+
+
+@register(
+    "graph_mst_gate",
+    """
+SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       TRUE AS forest_matches_kruskal
+FROM (SELECT "from" AS node FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to"
+      UNION ALL
+      SELECT "to" FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to")
+""",
+)
+def graph_mst_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable correctness gate for the distributed Borůvka
+    minimum-spanning-forest operator (same contract as
+    scc_partition_gate): on the hash-induced subgraph (both endpoints
+    % 4 == 0) with deterministic integer weights
+    w(a,b) = (a*31 + b*17) % 997 + 1 on canonical a<b pairs, the
+    distributed MSF edge set must EQUAL a driver-side Kruskal run under
+    the identical (weight, a, b) total order — edge-set equality, not
+    just total weight, because the strict order makes the MSF unique.
+    The % 4 induction keeps the reference run driver-sized at any sweep
+    SF while the distributed path runs the full Borůvka rounds."""
+    from ..operators.mst import kruskal_reference, minimum_spanning_forest
+
+    raw = (
+        _citations(spark, sf_dir)
+        .filter(
+            (F.col("from") % 4 == 0)
+            & (F.col("to") % 4 == 0)
+            & (F.col("from") != F.col("to"))
+        )
+        .select(
+            F.least("from", "to").alias("a"),
+            F.greatest("from", "to").alias("b"),
+        )
+        .distinct()
+        .withColumn(
+            "weight",
+            ((F.col("a") * 31 + F.col("b") * 17) % 997 + 1).cast("double"),
+        )
+    )
+    n_induced = raw.limit(500_001).count()
+    if n_induced > 500_000:
+        raise ValueError(
+            "graph_mst_gate: induced subgraph exceeds 500k edges; "
+            "raise the induction modulus for this data scale"
+        )
+    edges = raw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "weight"
+    )
+    got = {
+        (r["a"], r["b"], r["weight"])
+        for r in minimum_spanning_forest(edges).collect()
+    }
+    ref = kruskal_reference(
+        [(r["a"], r["b"], r["weight"]) for r in raw.collect()]
+    )
+    n_nodes = (
+        raw.select(F.col("a").alias("n"))
+        .unionByName(raw.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_nodes, got == ref)],
+        "n_nodes long, forest_matches_kruskal boolean",
+    )

@@ -1,0 +1,71 @@
+"""Borůvka minimum-spanning-forest: distributed result vs driver-side
+Kruskal under the identical (weight, a, b) total order — edge-set
+equality (the strict order makes the MSF unique), plus structural
+invariants on disconnected and tied-weight inputs."""
+
+from __future__ import annotations
+
+import random
+
+from citegraph_spark.operators.mst import kruskal_reference, minimum_spanning_forest
+
+
+def _msf(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    return {
+        (r["a"], r["b"], r["weight"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+
+
+def _canon(pairs):
+    best = {}
+    for s, d, w in pairs:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        best[(a, b)] = min(best.get((a, b), float("inf")), w)
+    return [(a, b, w) for (a, b), w in best.items()]
+
+
+def test_mst_simple_triangle(spark):
+    # triangle 1-2-3 with a heavy edge: MST drops the heavy one
+    got = _msf(spark, [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 9.0)])
+    assert got == {(1, 2, 1.0), (2, 3, 2.0)}
+
+
+def test_mst_disconnected_forest(spark):
+    pairs = [(1, 2, 3.0), (2, 3, 1.0), (10, 11, 5.0), (11, 12, 4.0), (10, 12, 6.0)]
+    got = _msf(spark, pairs)
+    assert got == {(1, 2, 3.0), (2, 3, 1.0), (10, 11, 5.0), (11, 12, 4.0)}
+    # forest edge count = n_nodes - n_components
+    assert len(got) == 6 - 2
+
+
+def test_mst_duplicate_weights_tiebreak(spark):
+    # every edge weight identical: the (weight, a, b) order must still
+    # yield the unique lexicographic-Kruskal forest, never a cycle
+    pairs = [(a, b, 1.0) for a in range(1, 6) for b in range(a + 1, 6)]
+    got = _msf(spark, pairs)
+    assert got == kruskal_reference(_canon(pairs))
+    assert len(got) == 4
+
+
+def test_mst_random_graphs_match_kruskal(spark):
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        pairs = []
+        for _ in range(120):
+            s, d = rng.randrange(n), rng.randrange(n)
+            # integer weights with many collisions exercise the tiebreak
+            pairs.append((s, d, float(rng.randrange(10))))
+        got = _msf(spark, pairs)
+        assert got == kruskal_reference(_canon(pairs)), seed
+
+
+def test_mst_parallel_edges_and_self_loops(spark):
+    pairs = [(1, 1, 0.5), (1, 2, 7.0), (2, 1, 3.0), (1, 2, 5.0), (2, 3, 1.0)]
+    got = _msf(spark, pairs)
+    # parallel (1,2) edges collapse to min weight 3.0; self-loop dropped
+    assert got == {(1, 2, 3.0), (2, 3, 1.0)}
