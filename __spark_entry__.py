@@ -146,7 +146,7 @@ _R3_CHEAP_FIRST = [
     "regression_price_on_qty", "events_cusum_changepoint",
     "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
     "chi2_flag_status",
-    "logreg_train_gate",
+    "logreg_train_gate", "coreset_kcenter",
     # iterative Borůvka MSF gate — heaviest of the late additions, last
     "graph_mst_gate",
 ]

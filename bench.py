@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "mad_outlier_prices",
     "events_cusum_changepoint",
     "logreg_train_gate",
+    "coreset_kcenter",
     "graph_mst_gate",
 ]
 

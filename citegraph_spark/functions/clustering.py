@@ -176,3 +176,65 @@ def kmeans_summary(
         )
         .orderBy("cell")
     )
+
+
+def kcenter_greedy(
+    df,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+):
+    """Gonzalez (1985) greedy k-center — the classic coreset-selection /
+    diversity-sampling primitive for training-data curation: pick the
+    point farthest from everything selected so far, k times. The
+    selected set 2-approximates the optimal k-center radius.
+
+    Fully distributed and fully deterministic: the running min-distance
+    column is updated against ONLY the newest center each round
+    (least(mind, dist-to-new-center)), so each of the k rounds is one
+    scan + one max_by aggregate — O(k·n·d) work, O(d) driver traffic
+    per round, no pairwise matrix anywhere. Ties broken by smallest id,
+    distances accumulated in float64 so the DuckDB oracle (unrolled
+    CTEs over list_distance) reproduces values bit-comparably.
+
+    Returns the SELECTED rows as a list of (rank, id, radius) tuples
+    where radius is the point's min-distance to the previously selected
+    set at selection time (the greedy max-min radius sequence, weakly
+    decreasing); rank 1 is the deterministic seed (smallest id).
+    """
+    from pyspark.sql import functions as F
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v")
+    ).persist()
+
+    first = base.orderBy("_id").limit(1).collect()[0]
+    out = [(1, first["_id"], 0.0)]
+    center = first["_v"]
+
+    cur = base.withColumn("_mind", F.lit(float("inf")))
+    for rank in range(2, k + 1):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        cur = cur.withColumn("_mind", F.least(F.col("_mind"), d))
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        # farthest-first: max mind, ties to the smallest id
+        best = cur.agg(
+            F.max_by(
+                F.struct("_id", "_v", "_mind"),
+                F.struct(F.col("_mind"), -F.col("_id")),
+            ).alias("b")
+        ).select("b.*").collect()[0]
+        out.append((rank, best["_id"], float(best["_mind"])))
+        center = best["_v"]
+    base.unpersist()
+    return out

@@ -374,3 +374,69 @@ def logreg_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_iters int, loss_decreased boolean, "
         "grad_norm_shrunk boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Coreset selection: greedy k-center (farthest-first traversal)
+# --------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "m1 AS (SELECT e.vec_id, e.v, "
+        "list_distance(e.v, (SELECT v FROM c1)) AS mind FROM e)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, v, mind FROM m{i - 1} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, least(m.mind, "
+                f"list_distance(m.v, (SELECT v FROM c{i}))) AS mind "
+                f"FROM m{i - 1} m)"
+            )
+    sel = [
+        "SELECT 1 AS center_rank, (SELECT vec_id FROM c1) AS vec_id, "
+        "0.0 AS radius"
+    ] + [
+        f"SELECT {i}, (SELECT vec_id FROM c{i}), "
+        f"(SELECT round(mind, 6) FROM c{i})"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(sel)
+        + "\nORDER BY center_rank"
+    )
+
+
+@register("coreset_kcenter", _kcenter_oracle(_KCENTER_K))
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-driven coreset selection over the embedding corpus:
+    greedy k-center / farthest-first traversal (Gonzalez 1985), the
+    standard primitive for picking a maximally-spread training subset.
+    Output is the selection trajectory — (rank, chosen vector, its
+    max-min radius at selection time); the radius sequence is weakly
+    decreasing and 2-approximates the optimal k-center radius. The
+    DuckDB oracle replays the identical greedy unrolled as k CTE steps,
+    certifying every chosen id AND radius value. See kcenter_greedy for
+    the per-round scan + max_by distributed shape."""
+    from ..functions.clustering import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = kcenter_greedy(emb, _KCENTER_K)
+    return (
+        spark.createDataFrame(
+            sel, "center_rank int, vec_id long, radius double"
+        )
+        .select(
+            "center_rank", "vec_id", F.round("radius", 6).alias("radius")
+        )
+        .orderBy("center_rank")
+    )

@@ -131,3 +131,25 @@ def test_logreg_gate_and_weights_match_numpy(spark):
         w -= 1.5 * grad
     assert row["n_rows"] == len(y)
     assert last[0] < first[0] and last[1] < 0.5 * first[1]
+
+
+def test_kcenter_greedy_matches_numpy(spark):
+    rows = QUERIES["coreset_kcenter"](spark, SF).collect()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    chosen = [0]  # smallest vec_id (sorted)
+    mind = np.linalg.norm(V - V[0], axis=1)
+    want = [(1, int(ids[0]), 0.0)]
+    for rank in range(2, 9):
+        # farthest-first with ties to the smallest id (stable argmax)
+        i = int(np.argmax(mind))
+        want.append((rank, int(ids[i]), round(float(mind[i]), 6)))
+        mind = np.minimum(mind, np.linalg.norm(V - V[i], axis=1))
+        chosen.append(i)
+    got = [(r["center_rank"], r["vec_id"], r["radius"]) for r in rows]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert abs(g - w) < 1e-5
