@@ -147,8 +147,8 @@ _R3_CHEAP_FIRST = [
     "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
     "chi2_flag_status",
     "logreg_train_gate", "coreset_kcenter",
-    # iterative Borůvka MSF gate — heaviest of the late additions, last
-    "graph_mst_gate",
+    # iterative gates — heaviest of the late additions, last
+    "graph_mst_gate", "graph_mis_gate",
 ]
 
 

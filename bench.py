@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "logreg_train_gate",
     "coreset_kcenter",
     "graph_mst_gate",
+    "graph_mis_gate",
 ]
 
 

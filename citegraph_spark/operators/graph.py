@@ -1506,3 +1506,79 @@ def betweenness_sampled(
         .filter(F.col("bc") > 0)
         .orderBy("node")
     )
+
+
+def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby 1986) as pure
+    DataFrame rounds: each round every still-active node draws a
+    deterministic priority md5(node|round); a node enters the MIS iff
+    its priority is strictly below every active neighbor's (md5 on
+    distinct node ids cannot tie, so two adjacent nodes never both
+    enter), then winners and their neighbors deactivate. Expected
+    O(log n) rounds; per round one join + one map-side-combinable min
+    aggregate over the SURVIVING edge set, which shrinks geometrically
+    — never a re-scan of the original graph.
+
+    Determinism is the point of the md5 priorities: the exact same MIS
+    falls out of a driver-side replay, which is what graph_mis_gate
+    certifies. edges: (src, dst), treated undirected, self-loops
+    dropped. Returns (node,) — the MIS members among edge endpoints
+    (callers with isolated vertices add them directly: they are always
+    in the MIS)."""
+    base = edges.filter(F.col("src") != F.col("dst"))
+    adj = (
+        base.select("src", "dst")
+        .unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    active = adj.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    cur = adj
+    mis: DataFrame | None = None
+
+    for r in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        pri = active.withColumn(
+            "p", F.md5(F.concat_ws("|", F.col("node").cast("string"), F.lit(str(r))))
+        )
+        nbr_min = (
+            cur.join(
+                pri.select(F.col("node").alias("dst"), F.col("p").alias("pd")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("pd").alias("np"))
+        )
+        sel = (
+            pri.join(nbr_min, "node", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis = sel if mis is None else mis.unionByName(sel)
+        removed = (
+            sel.unionByName(
+                cur.join(sel.withColumnRenamed("node", "src"), "src").select(
+                    F.col("dst").alias("node")
+                )
+            )
+            .distinct()
+        )
+        active = active.join(removed, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        cur = (
+            cur.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    adj.unpersist()
+    if mis is None:
+        return edges.sparkSession.createDataFrame([], "node long")
+    return mis

@@ -545,3 +545,108 @@ def graph_mst_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_nodes, got == ref)],
         "n_nodes long, forest_matches_kruskal boolean",
     )
+
+
+@register(
+    "graph_mis_gate",
+    """
+SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       TRUE AS mis_matches_replay,
+       TRUE AS is_independent,
+       TRUE AS is_maximal
+FROM (SELECT "from" AS node FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to"
+      UNION ALL
+      SELECT "to" FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to")
+""",
+)
+def graph_mis_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-certificate gate for distributed Luby MIS on the
+    hash-induced subgraph: (1) the distributed MIS equals a driver-side
+    replay of the identical md5-priority rounds (possible only because
+    the algorithm is deterministic by construction); (2) independence
+    — no surviving edge has both endpoints in the MIS — and
+    (3) maximality — every non-member has a member neighbor — are
+    checked DISTRIBUTED, so at full scale the replay clause can be
+    dropped and the structural certificates still hold on their own."""
+    import hashlib
+    from collections import defaultdict
+
+    from ..operators.graph import maximal_independent_set
+
+    raw = (
+        _citations(spark, sf_dir)
+        .filter(
+            (F.col("from") % 4 == 0)
+            & (F.col("to") % 4 == 0)
+            & (F.col("from") != F.col("to"))
+        )
+        .select(F.col("from").alias("src"), F.col("to").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_induced = raw.limit(500_001).count()
+    if n_induced > 500_000:
+        raise ValueError(
+            "graph_mis_gate: induced subgraph exceeds 500k edges; "
+            "raise the induction modulus for this data scale"
+        )
+    mis_df = maximal_independent_set(raw).persist()
+    got = {r["node"] for r in mis_df.collect()}
+
+    # driver replay of the same deterministic rounds
+    pairs = [(r["src"], r["dst"]) for r in raw.collect()]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    active = set(adj)
+    ref: set = set()
+    rnd = 0
+    while active and rnd < 40:
+        p = {
+            v: hashlib.md5(f"{v}|{rnd}".encode()).hexdigest() for v in active
+        }
+        sel = {
+            v
+            for v in active
+            if all(p[v] < p[u] for u in adj[v] if u in active)
+        }
+        ref |= sel
+        rem = set(sel)
+        for v in sel:
+            rem |= adj[v] & active
+        active -= rem
+        rnd += 1
+
+    # distributed structural certificates
+    bidir = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    both_in = (
+        bidir.join(mis_df.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(mis_df.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .count()
+    )
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    covered = (
+        bidir.join(mis_df.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    uncovered = (
+        nodes.join(mis_df, "node", "left_anti")
+        .join(covered, "node", "left_anti")
+        .count()
+    )
+    n_nodes = nodes.count()
+    raw.unpersist()
+    mis_df.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, got == ref, both_in == 0, uncovered == 0)],
+        "n_nodes long, mis_matches_replay boolean, "
+        "is_independent boolean, is_maximal boolean",
+    )

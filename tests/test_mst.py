@@ -69,3 +69,46 @@ def test_mst_parallel_edges_and_self_loops(spark):
     got = _msf(spark, pairs)
     # parallel (1,2) edges collapse to min weight 3.0; self-loop dropped
     assert got == {(1, 2, 3.0), (2, 3, 1.0)}
+
+
+def _mis(spark, pairs):
+    from citegraph_spark.operators.graph import maximal_independent_set
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r["node"] for r in maximal_independent_set(df).collect()}
+
+
+def _check_mis(pairs, mis):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independent: no edge inside; maximal: every outsider has a member nbr
+    assert all(not (a in mis and b in mis) for a, b in pairs if a != b)
+    assert all(v in mis or adj[v] & mis for v in adj)
+
+
+def test_mis_path_and_star(spark):
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    mis = _mis(spark, path)
+    _check_mis(path, mis)
+    star = [(0, i) for i in range(1, 8)]
+    mis = _mis(spark, star)
+    _check_mis(star, mis)
+    # star: either the hub alone or all leaves
+    assert mis == {0} or mis == set(range(1, 8))
+
+
+def test_mis_random_graphs_valid_and_deterministic(spark):
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(70)
+        ]
+        m1 = _mis(spark, pairs)
+        _check_mis(pairs, m1)
+        assert m1 == _mis(spark, pairs)  # deterministic by construction
