@@ -146,7 +146,7 @@ _R3_CHEAP_FIRST = [
     "regression_price_on_qty", "events_cusum_changepoint",
     "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
     "chi2_flag_status",
-    "logreg_train_gate", "coreset_kcenter",
+    "logreg_train_gate", "coreset_kcenter", "pca_power_gate",
     # iterative gates — heaviest of the late additions, last
     "graph_mst_gate", "graph_mis_gate",
 ]

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "logreg_train_gate",
     "coreset_kcenter",
+    "pca_power_gate",
     "graph_mst_gate",
     "graph_mis_gate",
 ]

@@ -238,3 +238,67 @@ def kcenter_greedy(
         center = best["_v"]
     base.unpersist()
     return out
+
+
+def pca_power_top1(
+    df,
+    vec_col: str = "embedding",
+    n_iters: int = 12,
+):
+    """Top principal component by power iteration where every step is
+    ONE JVM-side aggregate pass over the cached corpus — no Python in
+    the row path and no materialized covariance matrix. Uses the moment
+    identity sum((x-mu)((x-mu)·v)) = s - t*mu with s_j = sum(dot*x_j)
+    and t = sum(dot), so each iteration is d+1 map-side-combinable sums
+    (O(d) driver traffic, O(n·d) work) — the same shape at 100 TB.
+    Start vector: the coordinate axis of maximum variance
+    (deterministic, never orthogonal to the top component in practice).
+
+    Returns (n_rows, eigenvalue_trajectory, eigenvector, residual) where
+    residual = ||C v - lambda v|| / lambda at the final step.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(v.alias("_v")).persist()
+    d = len(base.first()["_v"])
+
+    stats = base.agg(
+        F.count("*").alias("n"),
+        *[F.avg(F.col("_v")[j]).alias(f"m{j}") for j in range(d)],
+        *[F.var_pop(F.col("_v")[j]).alias(f"s{j}") for j in range(d)],
+    ).collect()[0]
+    n = stats["n"]
+    mu = [stats[f"m{j}"] for j in range(d)]
+    var = [stats[f"s{j}"] for j in range(d)]
+    vec = [0.0] * d
+    vec[max(range(d), key=lambda j: var[j])] = 1.0
+
+    lams = []
+    resid = float("inf")
+    for _ in range(n_iters):
+        lit_v = F.array(*[F.lit(x) for x in vec])
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), lit_v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = base.agg(
+            F.sum(dot).alias("t"),
+            *[F.sum(dot * F.col("_v")[j]).alias(f"s{j}") for j in range(d)],
+        ).collect()[0]
+        t = row["t"]
+        cv = [(row[f"s{j}"] - t * mu[j]) / n for j in range(d)]
+        lam = sum(cv[j] * vec[j] for j in range(d))  # Rayleigh quotient
+        lams.append(lam)
+        # residual ||C v - lam v|| / lam BEFORE renormalizing
+        resid = math.sqrt(
+            sum((cv[j] - lam * vec[j]) ** 2 for j in range(d))
+        ) / abs(lam)
+        nrm = math.sqrt(sum(x * x for x in cv))
+        vec = [x / nrm for x in cv]
+
+    base.unpersist()
+    return n, lams, vec, resid

@@ -440,3 +440,38 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("center_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA: top principal component by distributed power iteration
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pca_power_gate",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(12 AS INT) AS n_iters,
+       TRUE AS rayleigh_increased,
+       TRUE AS residual_below_tol
+FROM embeddings
+""",
+)
+def pca_power_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (see pca_power_top1: one d+1-sum JVM aggregate per
+    step via the s - t*mu moment identity — no covariance matrix, no
+    Python row path). The gate certifies optimization behavior robust
+    to float noise: the Rayleigh quotient rose over the 12 steps and
+    the final relative residual ||Cv - lam*v||/lam is below 0.1; exact
+    trajectory parity (same start vector, same step count) is pinned to
+    a numpy reference in the unit test."""
+    from ..functions.clustering import pca_power_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, lams, _vec, resid = pca_power_top1(emb, n_iters=12)
+    return spark.createDataFrame(
+        [(n, 12, bool(lams[-1] > lams[0]), bool(resid < 0.1))],
+        "n_rows long, n_iters int, rayleigh_increased boolean, "
+        "residual_below_tol boolean",
+    )

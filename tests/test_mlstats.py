@@ -153,3 +153,30 @@ def test_kcenter_greedy_matches_numpy(spark):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     for (_, _, g), (_, _, w) in zip(got, want):
         assert abs(g - w) < 1e-5
+
+
+def test_pca_power_trajectory_matches_numpy(spark):
+    from citegraph_spark.functions.clustering import pca_power_top1
+    from citegraph_spark.sources.tables import load_table
+
+    n, lams, vec, resid = pca_power_top1(
+        load_table(spark, SF, "embeddings"), n_iters=12
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    assert n == len(X)
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / len(X)
+    v = np.zeros(64)
+    v[int(np.argmax(np.var(X, axis=0)))] = 1.0
+    ref_lams = []
+    for _ in range(12):
+        cv = C @ v
+        ref_lams.append(float(v @ cv))
+        v = cv / np.linalg.norm(cv)
+    for g, w in zip(lams, ref_lams):
+        assert abs(g - w) < 1e-9
+    # final vector parity (same trajectory -> same vector)
+    assert np.abs(np.array(vec) - v).max() < 1e-9
+    # Rayleigh ascent + bounded residual (the gate's certificates)
+    assert lams[-1] > lams[0] and resid < 0.1
