@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "logreg_train_gate",
     "coreset_kcenter",
     "pca_power_gate",
+    "dq_key_skew",
+    "text_js_divergence",
     "graph_mst_gate",
     "graph_mis_gate",
 ]

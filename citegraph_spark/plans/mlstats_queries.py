@@ -475,3 +475,163 @@ def pca_power_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_iters int, rayleigh_increased boolean, "
         "residual_below_tol boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew audit (the shuffle-health check behind salting decisions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_key_skew",
+    """
+WITH counts AS (
+  SELECT l_partkey AS k, CAST(count(*) AS DOUBLE) AS c
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT sum(c) AS s, count(*) AS nk, max(c) AS mx,
+         quantile_cont(c, 0.99) AS p99, quantile_cont(c, 0.5) AS med
+  FROM counts
+),
+top10 AS (
+  SELECT sum(c) AS t
+  FROM (SELECT c FROM counts ORDER BY c DESC, k LIMIT 10)
+)
+SELECT CAST(nk AS BIGINT) AS n_keys, CAST(mx AS BIGINT) AS max_cnt,
+       round(p99 / med, 6) AS p99_over_median,
+       round(t / s, 6) AS top10_share
+FROM tot CROSS JOIN top10
+""",
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew audit for l_partkey — the measurement that
+    decides whether a key needs salting or AQE skew handling BEFORE the
+    big join runs. Deliberately avoids a global rank: max, exact p99 /
+    median over the per-key count table, and a top-10 share via
+    TakeOrderedAndProject — no single-partition window anywhere, so the
+    audit itself scales to the key cardinalities where it matters."""
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("s"),
+        F.count("*").alias("nk"),
+        F.max("c").alias("mx"),
+        F.percentile("c", F.lit(0.99)).alias("p99"),
+        F.percentile("c", F.lit(0.5)).alias("med"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("c"), "k")
+        .limit(10)
+        .agg(F.sum("c").alias("t"))
+    )
+    return tot.crossJoin(top10).select(
+        F.col("nk").cast("bigint").alias("n_keys"),
+        F.col("mx").cast("bigint").alias("max_cnt"),
+        F.round(F.col("p99") / F.col("med"), 6).alias("p99_over_median"),
+        F.round(F.col("t") / F.col("s"), 6).alias("top10_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus token divergence (Jensen-Shannon between top-2 languages)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_js_divergence",
+    """
+WITH langs AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+pick AS (
+  SELECT lang, row_number() OVER (ORDER BY c DESC, lang) AS rn FROM langs
+),
+tokens AS (
+  SELECT p.rn, unnest(string_split(d.text, ' ')) AS tok
+  FROM documents d JOIN pick p ON d.lang = p.lang AND p.rn <= 2
+),
+tf AS (
+  SELECT rn, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM tokens WHERE tok <> '' GROUP BY 1, 2
+),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tf),
+n AS (SELECT rn, sum(c) AS n FROM tf GROUP BY rn),
+joined AS (
+  SELECT coalesce(a.tok, b.tok) AS tok,
+         coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+  FROM (SELECT tok, c FROM tf WHERE rn = 1) a
+  FULL OUTER JOIN (SELECT tok, c FROM tf WHERE rn = 2) b USING (tok)
+),
+dist AS (
+  SELECT (ca + 1) / ((SELECT n FROM n WHERE rn = 1) + v) AS p,
+         (cb + 1) / ((SELECT n FROM n WHERE rn = 2) + v) AS q
+  FROM joined CROSS JOIN vocab
+)
+SELECT (SELECT lang FROM pick WHERE rn = 1) AS lang_a,
+       (SELECT lang FROM pick WHERE rn = 2) AS lang_b,
+       round(-sum(p * ln(p)), 6) AS entropy_a,
+       round(-sum(q * ln(q)), 6) AS entropy_b,
+       round(0.5 * sum(p * ln(p / ((p + q) / 2)))
+           + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js_divergence
+FROM dist
+""",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    the corpus's two largest languages (add-1 smoothing over the union
+    vocabulary, so both distributions are strictly positive and JS is
+    finite) plus each side's token entropy — the domain-mix / corpus-
+    drift comparison a data pipeline runs when deciding mixing weights.
+    One explode + one groupBy per side over the token space; the final
+    divergence is a single aggregate over the joined vocabulary, and
+    the only window orders the handful of language rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pick = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("c"), "lang")),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("lang", "rn")
+    )
+    tokens = (
+        docs.join(F.broadcast(pick), "lang")
+        .select("rn", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = tokens.groupBy("rn", "tok").agg(F.count("*").cast("double").alias("c"))
+    vocab = tf.agg(F.countDistinct("tok").alias("v"))
+    n = tf.groupBy("rn").agg(F.sum("c").alias("n"))
+    a = tf.filter(F.col("rn") == 1).select("tok", F.col("c").alias("ca"))
+    b = tf.filter(F.col("rn") == 2).select("tok", F.col("c").alias("cb"))
+    na = n.filter(F.col("rn") == 1).select(F.col("n").alias("na"))
+    nb = n.filter(F.col("rn") == 2).select(F.col("n").alias("nb"))
+    joined = (
+        a.join(b, "tok", "full_outer")
+        .na.fill({"ca": 0.0, "cb": 0.0})
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    p = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    m = (p + q) / 2
+    agg = joined.agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy_a"),
+        F.round(-F.sum(q * F.log(q)), 6).alias("entropy_b"),
+        F.round(
+            0.5 * F.sum(p * F.log(p / m)) + 0.5 * F.sum(q * F.log(q / m)), 6
+        ).alias("js_divergence"),
+    )
+    names = pick.orderBy("rn").collect()
+    return agg.select(
+        F.lit(names[0]["lang"]).alias("lang_a"),
+        F.lit(names[1]["lang"]).alias("lang_b"),
+        "entropy_a", "entropy_b", "js_divergence",
+    )

@@ -180,3 +180,49 @@ def test_pca_power_trajectory_matches_numpy(spark):
     assert np.abs(np.array(vec) - v).max() < 1e-9
     # Rayleigh ascent + bounded residual (the gate's certificates)
     assert lams[-1] > lams[0] and resid < 0.1
+
+
+def test_key_skew_matches_numpy(spark):
+    row = QUERIES["dq_key_skew"](spark, SF).collect()[0]
+    li = _li()
+    counts = li.groupby("l_partkey").size().astype(float).to_numpy()
+    assert row["n_keys"] == len(counts)
+    assert row["max_cnt"] == int(counts.max())
+    p99 = np.percentile(counts, 99, method="linear")
+    med = np.percentile(counts, 50, method="linear")
+    assert abs(row["p99_over_median"] - p99 / med) < 1e-5
+    top10 = np.sort(counts)[-10:].sum()
+    assert abs(row["top10_share"] - top10 / counts.sum()) < 1e-5
+
+
+def test_js_divergence_matches_python(spark):
+    import math
+    from collections import Counter
+
+    row = QUERIES["text_js_divergence"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sizes = docs.groupby("lang").size().sort_index()
+    ranked = sizes.sort_values(ascending=False, kind="stable")
+    # ties broken by lang asc: sort by (-count, lang)
+    order = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    la, lb = order[0][0], order[1][0]
+    assert (row["lang_a"], row["lang_b"]) == (la, lb)
+    ca = Counter(
+        t for s in docs[docs.lang == la].text for t in s.split(" ") if t
+    )
+    cb = Counter(
+        t for s in docs[docs.lang == lb].text for t in s.split(" ") if t
+    )
+    vocab = set(ca) | set(cb)
+    v, na, nb = len(vocab), sum(ca.values()), sum(cb.values())
+    ea = eb = js = 0.0
+    for t in vocab:
+        p = (ca[t] + 1) / (na + v)
+        q = (cb[t] + 1) / (nb + v)
+        m = (p + q) / 2
+        ea -= p * math.log(p)
+        eb -= q * math.log(q)
+        js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    assert abs(row["entropy_a"] - ea) < 1e-5
+    assert abs(row["entropy_b"] - eb) < 1e-5
+    assert abs(row["js_divergence"] - js) < 1e-5
