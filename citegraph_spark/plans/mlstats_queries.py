@@ -49,9 +49,17 @@ def chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     contingency table is still |rf|x|ls| rows, so the plan is scan +
     one shuffle regardless of data size."""
     li = load_table(spark, sf_dir, "lineitem")
-    obs = li.groupBy(
-        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
-    ).agg(F.count("*").cast("double").alias("o"))
+    obs = (
+        li.groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+        # persist barrier: obs feeds four branches (cells + three
+        # marginals); without it Catalyst re-expands the subtree and the
+        # fact table is scanned and shuffled four times
+        .persist()
+    )
     tot = obs.agg(F.sum("o").alias("n"))
     rt = obs.groupBy("rf").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("ls").agg(F.sum("o").alias("c"))
@@ -178,6 +186,8 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count("*").cast("double").alias("c"))
+        # persist barrier: one raw-event scan total, not one per lag
+        .persist()
     )
     parts = []
     for k in _ACF_LAGS:
@@ -225,8 +235,12 @@ def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.percentile for percentile_approx at a documented error bound when
     the column no longer fits the sort budget (same contract as
     approx_percentile_prices)."""
-    xdf = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("x")
+    xdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        # persist barrier: the median, MAD, and flagging passes each
+        # need the column — cache it once instead of re-scanning
+        .persist()
     )
     med = xdf.agg(F.percentile("x", F.lit(0.5)).alias("med"))
     dev = xdf.crossJoin(F.broadcast(med))
@@ -276,6 +290,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count("*").cast("double").alias("c"))
+        .persist()  # scanned by both the mean and the cumsum branch
     )
     from pyspark.sql import Window
 
@@ -515,6 +530,7 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("k"))
         .agg(F.count("*").cast("double").alias("c"))
+        .persist()  # feeds both the moment pass and the top-10 pass
     )
     tot = counts.agg(
         F.sum("c").alias("s"),
@@ -605,7 +621,13 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rn", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    tf = tokens.groupBy("rn", "tok").agg(F.count("*").cast("double").alias("c"))
+    tf = (
+        tokens.groupBy("rn", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+        # persist barrier: tf feeds vocab, per-side totals, and both
+        # distribution sides — one explode+shuffle, not four
+        .persist()
+    )
     vocab = tf.agg(F.countDistinct("tok").alias("v"))
     n = tf.groupBy("rn").agg(F.sum("c").alias("n"))
     a = tf.filter(F.col("rn") == 1).select("tok", F.col("c").alias("ca"))
