@@ -147,7 +147,8 @@ _R3_CHEAP_FIRST = [
     "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
     "chi2_flag_status",
     "logreg_train_gate", "coreset_kcenter", "pca_power_gate",
-    "dq_key_skew", "text_js_divergence",
+    "dq_key_skew", "text_js_divergence", "ab_welch_ttest",
+    "events_kaplan_meier",
     # iterative gates — heaviest of the late additions, last
     "graph_mst_gate", "graph_mis_gate",
 ]

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "pca_power_gate",
     "dq_key_skew",
     "text_js_divergence",
+    "ab_welch_ttest",
+    "events_kaplan_meier",
     "graph_mst_gate",
     "graph_mis_gate",
 ]

@@ -657,3 +657,223 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(names[1]["lang"]).alias("lang_b"),
         "entropy_a", "entropy_b", "js_divergence",
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's two-sample t-test (unequal variances)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ab_welch_ttest",
+    """
+WITH pick AS (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type)
+         AS rn
+  FROM events GROUP BY event_type
+),
+g AS (
+  SELECT p.rn, avg(e.value) AS m, var_samp(e.value) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events e JOIN pick p ON e.event_type = p.event_type AND p.rn <= 2
+  GROUP BY p.rn
+),
+w AS (
+  SELECT a.m AS ma, b.m AS mb, a.s2 / a.n AS va, b.s2 / b.n AS vb,
+         a.n AS na, b.n AS nb
+  FROM (SELECT * FROM g WHERE rn = 1) a, (SELECT * FROM g WHERE rn = 2) b
+)
+SELECT (SELECT event_type FROM pick WHERE rn = 1) AS type_a,
+       (SELECT event_type FROM pick WHERE rn = 2) AS type_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+       round(power(va + vb, 2) /
+             (power(va, 2) / (na - 1) + power(vb, 2) / (nb - 1)), 4)
+         AS welch_dof
+FROM w
+""",
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the two most
+    frequent event types — the A/B significance primitive. All inputs
+    (mean, sample variance, count per arm) come from ONE hash aggregate
+    over the fact table (one shuffle on event_type); the t statistic
+    and Welch-Satterthwaite degrees of freedom are scalar arithmetic on
+    the two aggregate rows. Constant state per arm — the identical plan
+    at any event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pick = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "event_type"))
+        )
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "rn")
+    )
+    g = (
+        ev.join(F.broadcast(pick), "event_type")
+        .groupBy("rn")
+        .agg(
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("s2"),
+            F.count("*").cast("double").alias("n"),
+        )
+        .persist()
+    )
+    a = g.filter(F.col("rn") == 1).select(
+        F.col("m").alias("ma"), (F.col("s2") / F.col("n")).alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = g.filter(F.col("rn") == 2).select(
+        F.col("m").alias("mb"), (F.col("s2") / F.col("n")).alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    names = pick.orderBy("rn").collect()
+    va, vb = F.col("va"), F.col("vb")
+    return a.crossJoin(b).select(
+        F.lit(names[0]["event_type"]).alias("type_a"),
+        F.lit(names[1]["event_type"]).alias("type_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(va + vb), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(va + vb, F.lit(2))
+            / (
+                F.pow(va, F.lit(2)) / (F.col("na") - 1)
+                + F.pow(vb, F.lit(2)) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("welch_dof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (time between a user's first two events)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_kaplan_meier",
+    """
+WITH ranked AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+mx AS (SELECT max(ts) AS mts FROM events),
+durs AS (
+  SELECT f.user_id,
+         CASE WHEN s.ts IS NOT NULL
+              THEN CAST(floor(epoch(s.ts - f.ts) / 60) AS BIGINT)
+              ELSE CAST(floor(epoch(mx.mts - f.ts) / 60) AS BIGINT)
+         END AS t,
+         CASE WHEN s.ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM (SELECT user_id, ts FROM ranked WHERE rn = 1) f
+  LEFT JOIN (SELECT user_id, ts FROM ranked WHERE rn = 2) s
+    USING (user_id) CROSS JOIN mx
+),
+hist AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS c, CAST(sum(observed) AS DOUBLE) AS d
+  FROM durs GROUP BY t
+),
+km AS (
+  SELECT t, d,
+         sum(c) OVER (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_risk
+  FROM hist
+),
+curve AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(1 - d / n_risk))
+             OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s
+  FROM km WHERE d > 0 AND d < n_risk
+)
+SELECT t AS t_minutes, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events, round(s, 6) AS survival
+FROM curve ORDER BY t LIMIT 15
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of the time (whole minutes)
+    between a user's first and second event; users who never produce a
+    second event are right-censored at the corpus horizon — the classic
+    churn/time-to-activation curve. Scale shape: durations reduce to
+    one row per user (one shuffle), then to a duration HISTOGRAM, so
+    the at-risk counts are a reverse cumulative sum and the survival
+    product an exp-of-cumulative-log over the bounded distinct-minute
+    axis — never a window over raw events. Terminal point (d = n_risk,
+    survival 0) excluded so the log-product stays finite in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    f = ranked.filter(F.col("rn") == 1).select("user_id", F.col("ts").alias("t1"))
+    s = ranked.filter(F.col("rn") == 2).select("user_id", F.col("ts").alias("t2"))
+    mx = ev.agg(F.max("ts").alias("mts"))
+    durs = (
+        f.join(s, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.floor(
+                    (F.unix_timestamp("t2") - F.unix_timestamp("t1")) / 60
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_timestamp("mts") - F.unix_timestamp("t1")) / 60
+                )
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    hist = durs.groupBy("t").agg(
+        F.count("*").cast("double").alias("c"),
+        F.sum("observed").cast("double").alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = hist.select(
+        "t", "d", F.sum("c").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        km.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk"))).over(
+                    w_asc
+                )
+            ),
+        )
+    )
+    return (
+        curve.select(
+            F.col("t").alias("t_minutes"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_events"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("t_minutes")
+        .limit(15)
+    )

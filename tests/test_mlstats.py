@@ -226,3 +226,56 @@ def test_js_divergence_matches_python(spark):
     assert abs(row["entropy_a"] - ea) < 1e-5
     assert abs(row["entropy_b"] - eb) < 1e-5
     assert abs(row["js_divergence"] - js) < 1e-5
+
+
+def test_welch_ttest_matches_numpy(spark):
+    row = QUERIES["ab_welch_ttest"](spark, SF).collect()[0]
+    ev = _events()
+    sizes = ev.groupby("event_type").size()
+    order = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    ta, tb = order[0][0], order[1][0]
+    assert (row["type_a"], row["type_b"]) == (ta, tb)
+    a = ev[ev.event_type == ta].value.to_numpy()
+    b = ev[ev.event_type == tb].value.to_numpy()
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["welch_dof"] - dof) < 1e-3
+    assert abs(row["mean_a"] - a.mean()) < 1e-5
+
+
+def test_kaplan_meier_matches_manual(spark):
+    rows = QUERIES["events_kaplan_meier"](spark, SF).collect()
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    mts = ev.ts.max()
+    durs = []
+    for _, g in ev.groupby("user_id"):
+        t1 = g.ts.iloc[0]
+        if len(g) >= 2:
+            durs.append((int((g.ts.iloc[1] - t1).total_seconds() // 60), 1))
+        else:
+            durs.append((int((mts - t1).total_seconds() // 60), 0))
+    import collections
+
+    hist = collections.defaultdict(lambda: [0, 0])
+    for t, obs in durs:
+        hist[t][0] += 1
+        hist[t][1] += obs
+    s = 1.0
+    want = []
+    n_risk = len(durs)
+    for t in sorted(hist):
+        c, d = hist[t]
+        if d > 0 and d < n_risk:
+            s *= 1 - d / n_risk
+            want.append((t, n_risk, d, round(s, 6)))
+        n_risk -= c
+    want = want[:15]
+    got = [
+        (r["t_minutes"], r["n_risk"], r["d_events"], r["survival"])
+        for r in rows
+    ]
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-5
