@@ -148,7 +148,7 @@ _R3_CHEAP_FIRST = [
     "chi2_flag_status",
     "logreg_train_gate", "coreset_kcenter", "pca_power_gate",
     "dq_key_skew", "text_js_divergence", "ab_welch_ttest",
-    "events_kaplan_meier",
+    "events_kaplan_meier", "ab_mann_whitney",
     # iterative gates — heaviest of the late additions, last
     "graph_mst_gate", "graph_mis_gate",
 ]

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "text_js_divergence",
     "ab_welch_ttest",
     "events_kaplan_meier",
+    "ab_mann_whitney",
     "graph_mst_gate",
     "graph_mis_gate",
 ]

@@ -36,7 +36,10 @@ tot AS (SELECT sum(o) AS n FROM obs),
 rt AS (SELECT rf, sum(o) AS r FROM obs GROUP BY rf),
 ct AS (SELECT ls, sum(o) AS c FROM obs GROUP BY ls)
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
-       round(sum(power(o - r * c / n, 2) / (r * c / n)), 4) AS chi2
+       round(sum(power(o - r * c / n, 2) / (r * c / n)), 4) AS chi2,
+       round(sqrt(sum(power(o - r * c / n, 2) / (r * c / n)) /
+             (any_value(n) * least(count(DISTINCT rf) - 1,
+                                   count(DISTINCT ls) - 1))), 6) AS cramers_v
 FROM obs JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN tot
 """,
 )
@@ -71,6 +74,19 @@ def chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_cells"),
             F.round(F.sum(F.pow(F.col("o") - e, F.lit(2)) / e), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.pow(F.col("o") - e, F.lit(2)) / e)
+                    / (
+                        F.first("n")
+                        * F.least(
+                            F.countDistinct("rf") - 1,
+                            F.countDistinct("ls") - 1,
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
         )
     )
 
@@ -876,4 +892,111 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_minutes")
         .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test via midranks from the value histogram
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ab_mann_whitney",
+    """
+WITH pick AS (
+  SELECT event_type, row_number() OVER (ORDER BY count(*) DESC, event_type)
+         AS rn
+  FROM events GROUP BY event_type
+),
+vals AS (
+  SELECT p.rn, e.value AS v
+  FROM events e JOIN pick p ON e.event_type = p.event_type AND p.rn <= 2
+),
+hist AS (
+  SELECT v, CAST(count(*) AS DOUBLE) AS c,
+         CAST(count(*) FILTER (WHERE rn = 1) AS DOUBLE) AS ca
+  FROM vals GROUP BY v
+),
+mr AS (
+  SELECT v, c, ca,
+         coalesce(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2 AS midrank
+  FROM hist
+),
+agg AS (
+  SELECT sum(ca * midrank) AS ra, sum(ca) AS na, sum(c) - sum(ca) AS nb,
+         sum(c) AS n, sum(power(c, 3) - c) AS ties
+  FROM mr
+)
+SELECT (SELECT event_type FROM pick WHERE rn = 1) AS type_a,
+       (SELECT event_type FROM pick WHERE rn = 2) AS type_b,
+       round(ra - na * (na + 1) / 2, 4) AS u_stat,
+       round((ra - na * (na + 1) / 2 - na * nb / 2) /
+             sqrt(na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))), 6)
+         AS z_score
+FROM agg
+""",
+)
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two most frequent
+    event types, with the tie-corrected normal approximation — the
+    nonparametric counterpart to ab_welch_ttest. Midranks come from the
+    VALUE HISTOGRAM (cumulative count + (c+1)/2), never from ranking
+    raw rows: the only ordered window runs over distinct values, which
+    is how a rank test stays feasible when the raw table doesn't fit a
+    global sort — bucket the measure first if even the distinct-value
+    axis explodes."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pick = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "event_type"))
+        )
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "rn")
+    )
+    vals = ev.join(F.broadcast(pick), "event_type").select(
+        "rn", F.col("value").alias("v")
+    )
+    hist = vals.groupBy("v").agg(
+        F.count("*").cast("double").alias("c"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = hist.withColumn(
+        "midrank",
+        F.coalesce(F.sum("c").over(w), F.lit(0.0)) + (F.col("c") + 1) / 2,
+    )
+    agg = mr.agg(
+        F.sum(F.col("ca") * F.col("midrank")).alias("ra"),
+        F.sum("ca").alias("na"),
+        (F.sum("c") - F.sum("ca")).alias("nb"),
+        F.sum("c").alias("n"),
+        F.sum(F.pow(F.col("c"), F.lit(3)) - F.col("c")).alias("ties"),
+    )
+    names = pick.orderBy("rn").collect()
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    return agg.select(
+        F.lit(names[0]["event_type"]).alias("type_a"),
+        F.lit(names[1]["event_type"]).alias("type_b"),
+        F.round(u, 4).alias("u_stat"),
+        F.round(
+            (u - F.col("na") * F.col("nb") / 2)
+            / F.sqrt(
+                F.col("na")
+                * F.col("nb")
+                / 12
+                * (
+                    (F.col("n") + 1)
+                    - F.col("ties") / (F.col("n") * (F.col("n") - 1))
+                )
+            ),
+            6,
+        ).alias("z_score"),
     )

@@ -279,3 +279,41 @@ def test_kaplan_meier_matches_manual(spark):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) < 1e-5
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    row = QUERIES["ab_mann_whitney"](spark, SF).collect()[0]
+    ev = _events()
+    order = sorted(
+        ev.groupby("event_type").size().items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    ta, tb = order[0][0], order[1][0]
+    a = ev[ev.event_type == ta].value.to_numpy()
+    b = ev[ev.event_type == tb].value.to_numpy()
+    both = np.concatenate([a, b])
+    # midranks via scipy-free average ranking
+    import pandas as _pd
+
+    ranks = _pd.Series(both).rank(method="average").to_numpy()
+    ra = ranks[: len(a)].sum()
+    na, nb, n = len(a), len(b), len(both)
+    u = ra - na * (na + 1) / 2
+    _, counts = np.unique(both, return_counts=True)
+    ties = (counts.astype(float) ** 3 - counts).sum()
+    z = (u - na * nb / 2) / np.sqrt(
+        na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    )
+    assert abs(row["u_stat"] - u) < 1e-3
+    assert abs(row["z_score"] - z) < 1e-5
+
+
+def test_cramers_v_in_range(spark):
+    row = QUERIES["chi2_flag_status"](spark, SF).collect()[0]
+    li = _li()
+    obs = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    n = obs.sum()
+    r = obs.index.get_level_values(0).nunique()
+    c = obs.index.get_level_values(1).nunique()
+    v = np.sqrt(row["chi2"] / (n * min(r - 1, c - 1)))
+    assert abs(row["cramers_v"] - v) < 1e-4
+    assert 0 <= row["cramers_v"] <= 1
