@@ -130,8 +130,10 @@ BENCH_QUERIES = [
     "ab_welch_ttest",
     "events_kaplan_meier",
     "ab_mann_whitney",
+    "events_seasonal_decompose",
     "graph_mst_gate",
     "graph_mis_gate",
+    "graph_matching_gate",
 ]
 
 

@@ -1582,3 +1582,83 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
     if mis is None:
         return edges.sparkSession.createDataFrame([], "node long")
     return mis
+
+
+def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Deterministic maximal matching in parallel rounds (the
+    Israeli-Itai shape with md5 edge priorities): each round every
+    surviving edge draws priority md5(a|b|round); an edge is matched
+    iff its priority is the strict minimum among all surviving edges
+    at BOTH its endpoints (md5 on distinct canonical pairs cannot tie,
+    so matched edges never share a vertex), then all edges touching a
+    newly matched vertex drop out. The globally minimum surviving edge
+    always matches, so the loop terminates; in expectation a constant
+    fraction of vertices leaves per round. A maximal matching is also
+    the classic 2-approximation to minimum vertex cover (take both
+    endpoints).
+
+    Per round: one vertex-keyed min aggregate (map-side combinable,
+    built from the edge list's two orientations) + two broadcast-free
+    semi/anti joins; the surviving edge set shrinks geometrically and
+    the original input is never re-scanned. edges: (src, dst),
+    undirected, self-loops dropped. Returns (a, b) canonical matched
+    pairs."""
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matched: DataFrame | None = None
+
+    for r in range(max_rounds):
+        if cur.limit(1).count() == 0:
+            break
+        pe = cur.withColumn(
+            "p",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                    F.lit(str(r)),
+                )
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        incid = pe.select(F.col("a").alias("v"), "p").unionByName(
+            pe.select(F.col("b").alias("v"), "p")
+        )
+        vmin = incid.groupBy("v").agg(F.min("p").alias("mp"))
+        sel = (
+            pe.join(
+                vmin.select(F.col("v").alias("a"), F.col("mp").alias("ma")),
+                "a",
+            )
+            .join(
+                vmin.select(F.col("v").alias("b"), F.col("mp").alias("mb")),
+                "b",
+            )
+            .filter((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matched = sel if matched is None else matched.unionByName(sel)
+        mv = (
+            sel.select(F.col("a").alias("v"))
+            .unionByName(sel.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        cur = (
+            pe.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        pe.unpersist()
+
+    if matched is None:
+        return edges.sparkSession.createDataFrame([], "a long, b long")
+    return matched

@@ -650,3 +650,105 @@ def graph_mis_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes long, mis_matches_replay boolean, "
         "is_independent boolean, is_maximal boolean",
     )
+
+
+@register(
+    "graph_matching_gate",
+    """
+SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       TRUE AS matches_replay,
+       TRUE AS is_valid_matching,
+       TRUE AS is_maximal
+FROM (SELECT "from" AS node FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to"
+      UNION ALL
+      SELECT "to" FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to")
+""",
+)
+def graph_matching_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-certificate gate for distributed maximal matching on the
+    hash-induced subgraph (same contract as graph_mis_gate): the
+    distributed matching equals a driver replay of the identical
+    md5-priority rounds; validity (no two matched edges share a vertex)
+    and maximality (every induced edge touches a matched vertex) are
+    verified DISTRIBUTED so the replay clause can be dropped at full
+    scale. A maximal matching doubles as a 2-approx vertex cover."""
+    import hashlib
+    from collections import defaultdict
+
+    from ..operators.graph import maximal_matching
+
+    raw = (
+        _citations(spark, sf_dir)
+        .filter(
+            (F.col("from") % 4 == 0)
+            & (F.col("to") % 4 == 0)
+            & (F.col("from") != F.col("to"))
+        )
+        .select(
+            F.least("from", "to").alias("a"),
+            F.greatest("from", "to").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_induced = raw.limit(500_001).count()
+    if n_induced > 500_000:
+        raise ValueError(
+            "graph_matching_gate: induced subgraph exceeds 500k edges; "
+            "raise the induction modulus for this data scale"
+        )
+    m_df = maximal_matching(
+        raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).persist()
+    got = {(r["a"], r["b"]) for r in m_df.collect()}
+
+    # driver replay
+    pairs = sorted({(r["a"], r["b"]) for r in raw.collect()})
+    active = set(pairs)
+    ref: set = set()
+    rnd = 0
+    while active and rnd < 40:
+        p = {
+            e: hashlib.md5(f"{e[0]}|{e[1]}|{rnd}".encode()).hexdigest()
+            for e in active
+        }
+        vmin: dict = {}
+        for (a, b), pe in p.items():
+            for v in (a, b):
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        sel = {e for e, pe in p.items() if vmin[e[0]] == pe and vmin[e[1]] == pe}
+        ref |= sel
+        mv = {v for e in sel for v in e}
+        active = {e for e in active if e[0] not in mv and e[1] not in mv}
+        rnd += 1
+
+    # distributed certificates
+    mv_df = (
+        m_df.select(F.col("a").alias("v"))
+        .unionByName(m_df.select(F.col("b").alias("v")))
+    )
+    n_matched_nodes = mv_df.distinct().count()
+    valid = n_matched_nodes == 2 * m_df.count()  # no shared endpoints
+    uncovered = (
+        raw.join(mv_df.distinct().withColumnRenamed("v", "a"), "a", "left_anti")
+        .join(mv_df.distinct().withColumnRenamed("v", "b"), "b", "left_anti")
+        .count()
+    )
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .count()
+    )
+    raw.unpersist()
+    m_df.unpersist()
+    return spark.createDataFrame(
+        [(nodes, got == ref, bool(valid), uncovered == 0)],
+        "n_nodes long, matches_replay boolean, is_valid_matching boolean, "
+        "is_maximal boolean",
+    )

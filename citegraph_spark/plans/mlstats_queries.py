@@ -1000,3 +1000,70 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition of the daily event-count series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT d, c,
+         avg(c) OVER w AS trend,
+         count(*) OVER w AS wn
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detr AS (
+  SELECT (CAST(d - DATE '1970-01-01' AS INT) % 7) AS dow, c - trend AS dt
+  FROM tr WHERE wn = 7
+)
+SELECT dow, round(avg(dt), 4) AS seasonal,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(stddev_pop(dt), 4) AS resid_sd
+FROM detr GROUP BY dow ORDER BY dow
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of the daily
+    event-count series: trend = centered 7-day moving average, seasonal
+    = mean of the detrended series per weekday, residual spread =
+    per-weekday stddev of the detrended values. Weekday is computed as
+    days-since-epoch mod 7 — identical arithmetic in both engines, no
+    locale-dependent dayofweek. Edge days without a complete 7-day
+    window are excluded (wn = 7) so ROWS-frame semantics agree exactly.
+    The windows run over the per-day aggregate only — calendar-bounded,
+    never over raw events."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "c",
+        F.avg("c").over(w).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    detr = tr.filter(F.col("wn") == 7).select(
+        (F.datediff("d", F.lit("1970-01-01")) % 7).alias("dow"),
+        (F.col("c") - F.col("trend")).alias("dt"),
+    )
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.round(F.avg("dt"), 4).alias("seasonal"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.stddev_pop("dt"), 4).alias("resid_sd"),
+        )
+        .orderBy("dow")
+    )

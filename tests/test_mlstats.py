@@ -317,3 +317,20 @@ def test_cramers_v_in_range(spark):
     v = np.sqrt(row["chi2"] / (n * min(r - 1, c - 1)))
     assert abs(row["cramers_v"] - v) < 1e-4
     assert 0 <= row["cramers_v"] <= 1
+
+
+def test_seasonal_decompose_matches_pandas(spark):
+    rows = QUERIES["events_seasonal_decompose"](spark, SF).collect()
+    ev = _events()
+    daily = ev.groupby(ev.ts.dt.date).size().astype(float).sort_index()
+    trend = daily.rolling(7, center=True).mean()
+    detr = (daily - trend).dropna()
+    dows = [(pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days % 7
+            for d in detr.index]
+    df = pd.DataFrame({"dow": dows, "dt": detr.to_numpy()})
+    want = df.groupby("dow").dt.agg(["mean", "count", lambda s: s.std(ddof=0)])
+    for r in rows:
+        w = want.loc[r["dow"]]
+        assert abs(r["seasonal"] - w["mean"]) < 1e-3
+        assert r["n_days"] == int(w["count"])
+        assert abs(r["resid_sd"] - w.iloc[2]) < 1e-3

@@ -112,3 +112,41 @@ def test_mis_random_graphs_valid_and_deterministic(spark):
         m1 = _mis(spark, pairs)
         _check_mis(pairs, m1)
         assert m1 == _mis(spark, pairs)  # deterministic by construction
+
+
+def _matching(spark, pairs):
+    from citegraph_spark.operators.graph import maximal_matching
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {(r["a"], r["b"]) for r in maximal_matching(df).collect()}
+
+
+def _check_matching(pairs, m):
+    canon = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    assert m <= canon
+    used = [v for e in m for v in e]
+    assert len(used) == len(set(used)), "matched edges share a vertex"
+    mv = set(used)
+    # maximal: every edge touches a matched vertex
+    assert all(a in mv or b in mv for a, b in canon)
+
+
+def test_matching_path_star_random(spark):
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    m = _matching(spark, path)
+    _check_matching(path, m)
+    star = [(0, i) for i in range(1, 6)]
+    m = _matching(spark, star)
+    _check_matching(star, m)
+    assert len(m) == 1  # star admits exactly one matched edge
+
+    import random
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+        m = _matching(spark, pairs)
+        _check_matching(pairs, m)
+        assert m == _matching(spark, pairs)  # deterministic
