@@ -149,7 +149,7 @@ _R3_CHEAP_FIRST = [
     "logreg_train_gate", "coreset_kcenter", "pca_power_gate",
     "dq_key_skew", "text_js_divergence", "ab_welch_ttest",
     "events_kaplan_meier", "ab_mann_whitney",
-    "events_seasonal_decompose",
+    "events_seasonal_decompose", "bootstrap_ci_daily_mean",
     # iterative gates — heaviest of the late additions, last
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
 ]

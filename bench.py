@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_kaplan_meier",
     "ab_mann_whitney",
     "events_seasonal_decompose",
+    "bootstrap_ci_daily_mean",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

@@ -1067,3 +1067,95 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (md5 resampling)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 200
+
+
+@register(
+    "bootstrap_ci_daily_mean",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS i, c FROM daily
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+draws AS (
+  SELECT b.b,
+         1 + (('0x' || substring(md5(CAST(b.b AS VARCHAR) || '|' ||
+                                     CAST(r.i AS VARCHAR)), 1, 8))::BIGINT
+              % n.n) AS pick
+  FROM (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b
+  CROSS JOIN idx r CROSS JOIN n
+),
+means AS (
+  SELECT d.b, avg(idx.c) AS m
+  FROM draws d JOIN idx ON idx.i = d.pick
+  GROUP BY d.b
+)
+SELECT CAST({_BOOT_B} AS INT) AS n_boot,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.5), 4) AS ci_mid,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+""",
+)
+def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap CI for the mean daily event count, with
+    FULLY deterministic resampling: draw (b, i) -> index is the shared
+    md5-uniform idiom (conv(substring(md5,1,8),16,10) == DuckDB hex
+    cast), so both engines materialize the identical 200 resamples and
+    the driver hash certifies the whole CI, not just its shape. The
+    resample space is B x n_days rows over the per-day AGGREGATE
+    (calendar-bounded) — raw events are scanned exactly once; at any
+    data scale the bootstrap cost is O(B * days), independent of event
+    volume."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "c"
+    ).persist()
+    n = idx.count()
+    b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    pick = 1 + (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("b").cast("string"), F.col("i").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )
+    draws = b.crossJoin(idx.select("i")).select("b", pick.alias("pick"))
+    means = (
+        draws.join(
+            F.broadcast(idx.select(F.col("i").alias("pick"), "c")), "pick"
+        )
+        .groupBy("b")
+        .agg(F.avg("c").alias("m"))
+    )
+    return means.agg(
+        F.lit(_BOOT_B).cast("int").alias("n_boot"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.5)), 4).alias("ci_mid"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )

@@ -334,3 +334,27 @@ def test_seasonal_decompose_matches_pandas(spark):
         assert abs(r["seasonal"] - w["mean"]) < 1e-3
         assert r["n_days"] == int(w["count"])
         assert abs(r["resid_sd"] - w.iloc[2]) < 1e-3
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    import hashlib
+
+    row = QUERIES["bootstrap_ci_daily_mean"](spark, SF).collect()[0]
+    # replay the md5 resampling in pure python
+    ev = _events()
+    daily = ev.groupby(ev.ts.dt.date).size().astype(float).sort_index()
+    c = daily.to_numpy()
+    n = len(c)
+    means = []
+    for b in range(1, 201):
+        picks = [
+            int(hashlib.md5(f"{b}|{i}".encode()).hexdigest()[:8], 16) % n
+            for i in range(1, n + 1)
+        ]
+        means.append(c[picks].mean())
+    lo, mid, hi = np.percentile(means, [2.5, 50, 97.5], method="linear")
+    assert row["n_boot"] == 200
+    assert abs(row["ci_lo"] - lo) < 1e-3
+    assert abs(row["ci_mid"] - mid) < 1e-3
+    assert abs(row["ci_hi"] - hi) < 1e-3
+    assert row["ci_lo"] < row["ci_mid"] < row["ci_hi"]
