@@ -150,6 +150,7 @@ _R3_CHEAP_FIRST = [
     "dq_key_skew", "text_js_divergence", "ab_welch_ttest",
     "events_kaplan_meier", "ab_mann_whitney",
     "events_seasonal_decompose", "bootstrap_ci_daily_mean",
+    "xml_sink_roundtrip",
     # iterative gates — heaviest of the late additions, last
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
 ]

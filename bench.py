@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "ab_mann_whitney",
     "events_seasonal_decompose",
     "bootstrap_ci_daily_mean",
+    "xml_sink_roundtrip",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

@@ -376,3 +376,50 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, back)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "xml_sink_roundtrip",
+    """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(n_name) AS VARCHAR) AS first_name
+FROM nation GROUP BY 1 ORDER BY 1
+""",
+)
+def xml_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip (Spark 4's built-in XML data source —
+    spark-xml folded into core): write the nation dimension as
+    row-tagged XML, read it back with the ORIGINAL schema applied (same
+    schema-on-read contract as the JSON round-trip: explicit schema,
+    never an inference pass), aggregate. The oracle recomputes from
+    parquet, so any lossy text serialization of keys or names
+    hash-mismatches. XML completes the text-format matrix (CSV, JSON
+    lines, XML) for interop with legacy landing zones."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="xml_rt_")
+    try:
+        (
+            nation.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .save(f"{out}/nation")
+        )
+        back = (
+            spark.read.schema(nation.schema)
+            .format("xml")
+            .option("rowTag", "nation")
+            .load(f"{out}/nation")
+        )
+        res = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("n_name").cast("string").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+        return _materialize(spark, res)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
