@@ -142,16 +142,15 @@ _R3_CHEAP_FIRST = [
     "graph_temporal_reachability", "cdc_apply_changes", "basket_lift_top",
     "events_ewma", "text_accent_fold", "streaming_windowed_append",
     "hyperball_accuracy_gate", "scc_partition_gate",
-    # round-3 late additions (statistical-audit family), cheap-first
-    "regression_price_on_qty", "events_cusum_changepoint",
-    "events_autocorr", "corr_lineitem_measures", "mad_outlier_prices",
-    "chi2_flag_status",
-    "logreg_train_gate", "coreset_kcenter", "pca_power_gate",
-    "dq_key_skew", "text_js_divergence", "ab_welch_ttest",
-    "events_kaplan_meier", "ab_mann_whitney",
-    "events_seasonal_decompose", "bootstrap_ci_daily_mean",
-    "xml_sink_roundtrip",
+    # round-3 late additions (statistical/ML audit family), cheap-first
+    # by measured sf0.01 oracle-check cost
+    "events_cusum_changepoint", "dq_key_skew", "regression_price_on_qty",
+    "ab_mann_whitney", "events_seasonal_decompose",
+    "bootstrap_ci_daily_mean", "xml_sink_roundtrip", "chi2_flag_status",
+    "events_autocorr", "ab_welch_ttest", "corr_lineitem_measures",
+    "mad_outlier_prices", "events_kaplan_meier", "text_js_divergence",
     # iterative gates — heaviest of the late additions, last
+    "logreg_train_gate", "pca_power_gate", "coreset_kcenter",
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
 ]
 
