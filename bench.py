@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "events_seasonal_decompose",
     "bootstrap_ci_daily_mean",
     "xml_sink_roundtrip",
+    "graph_assortativity",
+    "pipeline_truncation_report",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

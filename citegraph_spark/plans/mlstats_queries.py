@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .entry_queries import register
+from .entry_queries import _citations, register
 
 # --------------------------------------------------------------------------
 # Chi-square test of independence (returnflag x linestatus)
@@ -1158,4 +1158,107 @@ def bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
         F.round(F.percentile("m", F.lit(0.5)), 4).alias("ci_mid"),
         F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the citation mapping (Newman 2002)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    """
+WITH cit AS (
+  SELECT CAST(l_orderkey AS INT) AS f, CAST(l_partkey AS INT) AS t
+  FROM lineitem
+),
+und AS (
+  SELECT f, t FROM cit WHERE f <> t
+  UNION
+  SELECT t, f FROM cit WHERE f <> t
+),
+deg AS (SELECT f AS v, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY f)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       round(corr(a.d, b.d), 6) AS assortativity
+FROM und JOIN deg a ON und.f = a.v JOIN deg b ON und.t = b.v
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): Pearson
+    correlation of endpoint degrees over every directed realization of
+    the undirected edge set — negative for hub-leaf (disassortative)
+    topologies like this order→part bipartite mapping, positive for
+    social-style graphs. One degree aggregate + two hash joins back
+    onto the edge list + a corr() aggregate; both join sides shuffle on
+    a vertex id, so the plan is 3 shuffles regardless of scale, and the
+    corr moments are constant state."""
+    cit = _citations(spark, sf_dir).filter(F.col("from") != F.col("to"))
+    und = (
+        cit.select(F.col("from").alias("f"), F.col("to").alias("t"))
+        .union(cit.select(F.col("to").alias("f"), F.col("from").alias("t")))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("f").alias("v")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    return (
+        und.join(deg.select(F.col("v").alias("f"), F.col("d").alias("da")), "f")
+        .join(deg.select(F.col("v").alias("t"), F.col("d").alias("db")), "t")
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_edges"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Context-budget truncation report (training-readiness audit)
+# --------------------------------------------------------------------------
+
+_CTX_BUDGET = 64
+
+
+@register(
+    "pipeline_truncation_report",
+    f"""
+WITH toks AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n_tok > {_CTX_BUDGET}) AS BIGINT)
+         AS n_truncated,
+       round(count(*) FILTER (WHERE n_tok > {_CTX_BUDGET}) * 1.0
+             / count(*), 6) AS frac_truncated,
+       round(sum(CASE WHEN n_tok > {_CTX_BUDGET}
+                      THEN n_tok - {_CTX_BUDGET} ELSE 0 END) * 1.0
+             / sum(n_tok), 6) AS frac_tokens_lost,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM toks
+""",
+)
+def pipeline_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation audit: for a fixed sequence budget,
+    what fraction of documents exceed it and what fraction of corpus
+    tokens a hard truncation would discard — the report that decides
+    between truncating, chunking (udtf_chunk_split), or packing
+    (pack_sequences). Whitespace token counts, one scan, one aggregate;
+    the budget is a literal so the plan is a pure column expression at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+    )
+    over = F.when(F.col("n_tok") > _CTX_BUDGET, 1).otherwise(0)
+    lost = F.when(
+        F.col("n_tok") > _CTX_BUDGET, F.col("n_tok") - _CTX_BUDGET
+    ).otherwise(0)
+    return toks.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(over).cast("bigint").alias("n_truncated"),
+        F.round(F.sum(over) / F.count("*"), 6).alias("frac_truncated"),
+        F.round(F.sum(lost) / F.sum("n_tok"), 6).alias("frac_tokens_lost"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
     )

@@ -358,3 +358,37 @@ def test_bootstrap_ci_deterministic_and_sane(spark):
     assert abs(row["ci_mid"] - mid) < 1e-3
     assert abs(row["ci_hi"] - hi) < 1e-3
     assert row["ci_lo"] < row["ci_mid"] < row["ci_hi"]
+
+
+def test_assortativity_matches_manual(spark):
+    row = QUERIES["graph_assortativity"](spark, SF).collect()[0]
+    li = _li()
+    edges = {
+        (int(a), int(b))
+        for a, b in zip(li.l_orderkey, li.l_partkey)
+        if a != b
+    }
+    und = edges | {(b, a) for a, b in edges}
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    da = np.array([deg[a] for a, b in und], dtype=float)
+    db = np.array([deg[b] for a, b in und], dtype=float)
+    r = np.corrcoef(da, db)[0, 1]
+    assert row["n_edges"] == len(und) // 2
+    assert abs(row["assortativity"] - r) < 1e-5
+
+
+def test_truncation_report_matches_manual(spark):
+    row = QUERIES["pipeline_truncation_report"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = [
+        len(t.split()) for t in docs.text if t.strip() != ""
+    ]
+    toks = np.array(toks)
+    b = 64
+    assert row["n_docs"] == len(toks)
+    assert row["n_truncated"] == int((toks > b).sum())
+    lost = np.where(toks > b, toks - b, 0).sum()
+    assert abs(row["frac_tokens_lost"] - lost / toks.sum()) < 1e-5
+    assert row["max_tokens"] == int(toks.max())
