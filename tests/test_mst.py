@@ -150,3 +150,19 @@ def test_matching_path_star_random(spark):
         m = _matching(spark, pairs)
         _check_matching(pairs, m)
         assert m == _matching(spark, pairs)  # deterministic
+
+
+def test_graph_gates_certify_at_sf0001(spark):
+    """End-to-end gate queries on real (induced) data: every
+    certificate boolean must hold at sf0.001."""
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    r = QUERIES["graph_mst_gate"](spark, sf).collect()[0]
+    assert r["forest_matches_kruskal"] and r["n_nodes"] > 0
+    r = QUERIES["graph_mis_gate"](spark, sf).collect()[0]
+    assert r["mis_matches_replay"] and r["is_independent"] and r["is_maximal"]
+    r = QUERIES["graph_matching_gate"](spark, sf).collect()[0]
+    assert (
+        r["matches_replay"] and r["is_valid_matching"] and r["is_maximal"]
+    )
