@@ -153,6 +153,7 @@ _R3_CHEAP_FIRST = [
     # iterative gates — heaviest of the late additions, last
     "logreg_train_gate", "pca_power_gate", "coreset_kcenter",
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
+    "graph_cc_star_gate",
 ]
 
 

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",
+    "graph_cc_star_gate",
 ]
 
 

@@ -1662,3 +1662,100 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     if matched is None:
         return edges.sparkSession.createDataFrame([], "a long, b long")
     return matched
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale-proof alternative to hash-min label
+    propagation: hash-min needs O(diameter) rounds (a chain of length L
+    takes L rounds), while star rounds contract every component to a
+    star centered at its minimum node in O(log^2 n) worst case and a
+    handful of rounds in practice, because each round rewires whole
+    neighborhoods rather than advancing labels one hop.
+
+    large-star(u): every neighbor v > u reconnects to m(u), the minimum
+    of u's closed neighborhood. small-star(u): every neighbor v <= u,
+    and u itself, reconnects to m(u). Both are one min-aggregate plus
+    one join per round over the CURRENT edge set, which only shrinks
+    (toward |V| star edges); convergence is detected by multiset
+    equality (count match + empty except).
+
+    Output: (node, component) with component = min node id, matching
+    connected_components exactly — but in logarithmically many rounds
+    on the chain-shaped graphs where hash-min stalls."""
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _adj(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("n")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("n"))
+        )
+
+    def _minmap(adj: DataFrame) -> DataFrame:
+        return adj.groupBy("u").agg(
+            F.least(F.min("n"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_rounds):
+        # large-star
+        adj = _adj(cur)
+        m = _minmap(adj)
+        ls = (
+            adj.join(m, "u")
+            .filter(F.col("n") > F.col("u"))
+            .select(
+                F.least("n", "m").alias("a"), F.greatest("n", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(
+                # keep u's own attachment so components never split
+                m.filter(F.col("u") != F.col("m")).select(
+                    F.col("m").alias("a"), F.col("u").alias("b")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star
+        adj2 = _adj(ls)
+        m2 = _minmap(adj2)
+        ss = (
+            adj2.join(m2, "u")
+            .filter(F.col("n") < F.col("u"))
+            .select(
+                F.least("n", "m").alias("a"), F.greatest("n", "m").alias("b")
+            )
+            .unionByName(
+                m2.select(F.least("u", "m").alias("a"),
+                          F.greatest("u", "m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            ss.count() == cur.count()
+            and ss.exceptAll(cur).limit(1).count() == 0
+        )
+        cur = ss
+        if same:
+            break
+
+    # converged star set: every edge is (component-min, member)
+    centers = cur.select(F.col("a").alias("node"), F.col("a").alias("component"))
+    members = cur.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    return (
+        members.unionByName(centers)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

@@ -752,3 +752,75 @@ def graph_matching_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes long, matches_replay boolean, is_valid_matching boolean, "
         "is_maximal boolean",
     )
+
+
+@register(
+    "graph_cc_star_gate",
+    """
+SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+       TRUE AS partitions_match_union_find
+FROM (SELECT "from" AS node FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to"
+      UNION ALL
+      SELECT "to" FROM (SELECT CAST(l_orderkey AS INT) AS "from",
+             CAST(l_partkey AS INT) AS "to" FROM lineitem) c
+      WHERE "from" % 4 = 0 AND "to" % 4 = 0 AND "from" <> "to")
+""",
+)
+def graph_cc_star_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness gate for large-star/small-star connected components
+    on the hash-induced subgraph: the component partition (canonical
+    min-id labels) must equal a driver-side union-find exactly. This is
+    the CC implementation to reach for at extreme diameter — hash-min
+    (connected_components) needs O(diameter) rounds, star contraction
+    O(log) — so the gate certifies the scale path, while the unit tests
+    pin the chain case hash-min cannot finish in bounded rounds."""
+    from ..operators.graph import connected_components_star
+
+    raw = (
+        _citations(spark, sf_dir)
+        .filter(
+            (F.col("from") % 4 == 0)
+            & (F.col("to") % 4 == 0)
+            & (F.col("from") != F.col("to"))
+        )
+        .select(F.col("from").alias("src"), F.col("to").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_induced = raw.limit(500_001).count()
+    if n_induced > 500_000:
+        raise ValueError(
+            "graph_cc_star_gate: induced subgraph exceeds 500k edges; "
+            "raise the induction modulus for this data scale"
+        )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(raw).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    pairs = [(r["src"], r["dst"]) for r in raw.collect()]
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    ref = {v: min(ms) for ms in comp.values() for v in ms}
+    raw.unpersist()
+    return spark.createDataFrame(
+        [(len(ref), got == ref)],
+        "n_nodes long, partitions_match_union_find boolean",
+    )

@@ -166,3 +166,68 @@ def test_graph_gates_certify_at_sf0001(spark):
     assert (
         r["matches_replay"] and r["is_valid_matching"] and r["is_maximal"]
     )
+
+
+def _cc_star(spark, pairs):
+    from citegraph_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def test_cc_star_long_chain(spark):
+    """A 300-node chain: hash-min label propagation would need 300
+    rounds; star contraction must finish (and be right) within its
+    50-round cap."""
+    pairs = [(i, i + 1) for i in range(1, 300)]
+    got = _cc_star(spark, pairs)
+    assert got == {i: 1 for i in range(1, 301)}
+
+
+def test_cc_star_random_matches_union_find(spark):
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _cc_star(spark, pairs) == _uf_components(pairs), seed
+
+
+def test_cc_star_agrees_with_hashmin(spark):
+    from citegraph_spark.operators.graph import connected_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (12, 12), (11, 13), (5, 6)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    hashmin = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    star = _cc_star(spark, [(a, b) for a, b in pairs if a != b])
+    assert star == hashmin
