@@ -402,8 +402,9 @@ def connected_components(
     its label and its neighbors' labels; converged when no label changes.
     Output: (node, component) where component = min node id reachable.
 
-    Rounds needed ~ component diameter (use alternating large/small-star
-    for pathological chains at extreme scale); per round: one equi join
+    Rounds needed ~ component diameter — for high-diameter graphs use
+    connected_components_star (large/small-star, O(log) rounds) below;
+    per round: one equi join
     (messages) + one min-aggregate with map-side combine, lineage
     truncated via localCheckpoint. All DataFrame ops — no RDDs.
     """
