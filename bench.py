@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "xml_sink_roundtrip",
     "graph_assortativity",
     "pipeline_truncation_report",
+    "naive_bayes_lang",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

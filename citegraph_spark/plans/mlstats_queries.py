@@ -1262,3 +1262,120 @@ def pipeline_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(lost) / F.sum("n_tok"), 6).alias("frac_tokens_lost"),
         F.max("n_tok").cast("bigint").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes (train + self-score, zero UDF)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "naive_bayes_lang",
+    """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS DOUBLE) AS k
+  FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+),
+langs AS (
+  SELECT lang AS cl, CAST(count(*) AS DOUBLE) AS docs FROM documents
+  GROUP BY 1
+),
+total AS (SELECT sum(docs) AS td FROM langs),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk),
+cls_tok AS (
+  SELECT lang AS cl, tok, sum(k) AS c FROM tk GROUP BY 1, 2
+),
+cls_n AS (SELECT cl, sum(c) AS n FROM cls_tok GROUP BY cl),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, l.cl,
+         any_value(ln(l.docs / tt.td)) +
+         sum(t.k * ln((coalesce(ct.c, 0) + 1) / (cn.n + vb.v))) AS score
+  FROM tk t
+  CROSS JOIN langs l CROSS JOIN total tt CROSS JOIN vocab vb
+  JOIN cls_n cn ON cn.cl = l.cl
+  LEFT JOIN cls_tok ct ON ct.cl = l.cl AND ct.tok = t.tok
+  GROUP BY t.doc_id, t.lang, l.cl, 1
+),
+pred AS (
+  SELECT doc_id, true_lang, cl AS pred_lang
+  FROM (SELECT doc_id, true_lang, cl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cl) AS rn
+        FROM scored) r
+  WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored entirely in
+    aggregates — the canonical distributed text classifier with zero
+    Python in the row path: class priors and per-class token counts
+    (add-1 smoothing over the shared vocabulary) are two groupBys;
+    scoring joins each document's token counts against the per-class
+    likelihood table (left join, so out-of-class tokens fall back to
+    the smoothing floor) and argmaxes log-prior + Σ k·log p with a
+    min_by over (-score, class) for a deterministic tie rule. Output is
+    the self-scored confusion matrix (true_lang × pred_lang counts).
+    The |classes|× expansion of the token table is the only blowup —
+    bounded by the label cardinality, which is what makes NB the
+    at-scale baseline. Score sums accumulate float noise ~1e-12 versus
+    inter-class gaps of ≫0.1, so the argmax — and with it the driver
+    hash — is stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").cast("double").alias("k"))
+        .persist()
+    )
+    langs = docs.groupBy(F.col("lang").alias("cl")).agg(
+        F.count("*").cast("double").alias("docs")
+    )
+    total = langs.agg(F.sum("docs").alias("td"))
+    vocab = tk.agg(F.countDistinct("tok").cast("double").alias("v"))
+    cls_tok = tk.groupBy(F.col("lang").alias("cl"), "tok").agg(
+        F.sum("k").alias("c")
+    ).persist()
+    cls_n = cls_tok.groupBy("cl").agg(F.sum("c").alias("n"))
+    scored = (
+        tk.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cls_n), "cl")
+        .join(cls_tok.withColumnRenamed("c", "ctc"), ["cl", "tok"], "left")
+        .groupBy(
+            "doc_id", F.col("lang").alias("true_lang"), "cl"
+        )
+        .agg(
+            (
+                F.first(F.log(F.col("docs") / F.col("td")))
+                + F.sum(
+                    F.col("k")
+                    * F.log(
+                        (F.coalesce(F.col("ctc"), F.lit(0.0)) + 1)
+                        / (F.col("n") + F.col("v"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.min_by("cl", F.struct(-F.col("score"), F.col("cl"))).alias(
+            "pred_lang"
+        )
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

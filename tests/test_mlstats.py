@@ -392,3 +392,42 @@ def test_truncation_report_matches_manual(spark):
     lost = np.where(toks > b, toks - b, 0).sum()
     assert abs(row["frac_tokens_lost"] - lost / toks.sum()) < 1e-5
     assert row["max_tokens"] == int(toks.max())
+
+
+def test_naive_bayes_matches_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in QUERIES["naive_bayes_lang"](spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tk = {}
+    for _, r in docs.iterrows():
+        toks = Counter(t for t in r.text.split(" ") if t)
+        tk[r.doc_id] = (r.lang, toks)
+    langs = Counter(docs.lang)
+    td = sum(langs.values())
+    cls_tok = defaultdict(Counter)
+    for lang, toks in tk.values():
+        cls_tok[lang].update(toks)
+    vocab = len({t for _, toks in tk.values() for t in toks})
+    cls_n = {c: sum(cnt.values()) for c, cnt in cls_tok.items()}
+    want = Counter()
+    for doc_id, (true_lang, toks) in tk.items():
+        best = None
+        for cl in sorted(langs):
+            s = math.log(langs[cl] / td) + sum(
+                k * math.log((cls_tok[cl][t] + 1) / (cls_n[cl] + vocab))
+                for t, k in toks.items()
+            )
+            if best is None or s > best[0] + 1e-12:
+                best = (s, cl)
+        want[(true_lang, best[1])] += 1
+    assert rows == dict(want)
+    # synthetic text carries little language signal, so only require the
+    # classifier to do at least as well as always guessing the majority
+    correct = sum(n for (t, p), n in rows.items() if t == p)
+    majority = max(langs.values()) / td
+    assert correct / sum(rows.values()) >= majority - 1e-9
