@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "pipeline_truncation_report",
     "naive_bayes_lang",
+    "text_zipf_fit",
+    "text_heaps_law",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

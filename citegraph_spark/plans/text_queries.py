@@ -969,3 +969,157 @@ def similarity_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries bigint, lsh_recall_ok boolean, ivf_recall_ok boolean, "
         "ivf_trained_recall_ok boolean, pq_recall_ok boolean",
     )
+
+
+@register(
+    "text_zipf_fit",
+    """
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+top AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM tf ORDER BY freq DESC, tok LIMIT 200
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
+FROM top
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope
+    of log(freq) on log(rank) for the top-200 tokens (natural text
+    shows slope ≈ -1; strong deviations flag synthetic or templated
+    corpora — a data-quality fingerprint). One explode + one groupBy
+    build the frequency table; the rank window runs over the top-200
+    TakeOrdered result only, and the regression is the same
+    closed-form moment aggregate as regression_price_on_qty."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    top = (
+        tf.orderBy(F.desc("freq"), "tok")
+        .limit(200)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), "tok")),
+        )
+    )
+    lx, ly = F.log("rank"), F.log("freq")
+    slope = F.covar_pop(lx, ly) / F.var_pop(lx)
+    return top.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.pow(F.corr(lx, ly), F.lit(2)), 4).alias("fit_r2"),
+    )
+
+
+@register(
+    "text_heaps_law",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM t
+),
+first_seen AS (SELECT bigram, min(doc_id) AS fd FROM bi GROUP BY bigram),
+marks AS (
+  SELECT DISTINCT n_doc FROM (
+  SELECT CAST(quantile_disc(doc_id, 0.1) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.2) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.3) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.4) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.5) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.6) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.7) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.8) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 0.9) AS BIGINT) AS n_doc FROM documents
+  UNION ALL SELECT CAST(quantile_disc(doc_id, 1.0) AS BIGINT) AS n_doc FROM documents) q
+),
+growth AS (
+  SELECT m.n_doc,
+         CAST(count(*) FILTER (WHERE f.fd <= m.n_doc) AS DOUBLE) AS vocab
+  FROM first_seen f CROSS JOIN marks m GROUP BY m.n_doc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_marks,
+       round(covar_pop(ln(CAST(n_doc AS DOUBLE)), ln(vocab))
+             / var_pop(ln(CAST(n_doc AS DOUBLE))), 4) AS heaps_beta,
+       round(corr(ln(CAST(n_doc AS DOUBLE)), ln(vocab)), 4) AS fit_corr
+FROM growth
+""",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit (type growth V(n) ~ n^beta) over BIGRAM types —
+    the unigram vocabulary of this corpus saturates in the first few
+    documents, so bigram types are the smallest unit with a real growth
+    curve. Scale shape: each type contributes only its FIRST-occurrence
+    doc_id (one groupBy min — no cumulative re-scan per checkpoint),
+    and V(n) is a count of first-occurrences <= n against ten broadcast
+    doc-id checkpoints; beta comes from the closed-form log-log OLS
+    slope. Together with text_zipf_fit this fingerprints whether corpus
+    growth and frequency structure look organic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks"))
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    first_seen = bi.groupBy("bigram").agg(F.min("doc_id").alias("fd"))
+    marks = docs.agg(
+        *[
+            F.percentile_approx("doc_id", x / 10.0, F.lit(2147483647))
+            .cast("bigint")
+            .alias(f"q{x}")
+            for x in range(1, 11)
+        ]
+    ).select(
+        F.explode(F.array(*[F.col(f"q{x}") for x in range(1, 11)])).alias(
+            "n_doc"
+        )
+    ).distinct()
+    growth = (
+        first_seen.crossJoin(F.broadcast(marks))
+        .groupBy("n_doc")
+        .agg(
+            F.sum(F.when(F.col("fd") <= F.col("n_doc"), 1).otherwise(0))
+            .cast("double")
+            .alias("vocab")
+        )
+    )
+    lx = F.log(F.col("n_doc").cast("double"))
+    ly = F.log("vocab")
+    return growth.agg(
+        F.count("*").cast("bigint").alias("n_marks"),
+        F.round(F.covar_pop(lx, ly) / F.var_pop(lx), 4).alias("heaps_beta"),
+        F.round(F.corr(lx, ly), 4).alias("fit_corr"),
+    )

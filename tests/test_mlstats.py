@@ -431,3 +431,37 @@ def test_naive_bayes_matches_python(spark):
     correct = sum(n for (t, p), n in rows.items() if t == p)
     majority = max(langs.values()) / td
     assert correct / sum(rows.values()) >= majority - 1e-9
+
+
+def test_zipf_fit_matches_numpy(spark):
+    from collections import Counter
+
+    row = QUERIES["text_zipf_fit"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tf = Counter(t for s in docs.text for t in s.split(" ") if t)
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    n = len(top)
+    assert row["n_ranks"] == n
+    lx = np.log(np.arange(1, n + 1, dtype=float))
+    ly = np.log(np.array([f for _, f in top], dtype=float))
+    slope = np.polyfit(lx, ly, 1)[0]
+    assert abs(row["zipf_slope"] - slope) < 1e-3
+
+
+def test_heaps_law_matches_manual(spark):
+    row = QUERIES["text_heaps_law"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    first = {}
+    for _, r in docs.iterrows():
+        ts = [t for t in r.text.split(" ") if t]
+        for a, b in zip(ts, ts[1:]):
+            first.setdefault(f"{a} {b}", r.doc_id)
+    ids = docs.doc_id.to_numpy()
+    marks = sorted({int(np.percentile(ids, p, method="inverted_cdf"))
+                    for p in range(10, 101, 10)})
+    growth = [(m, sum(1 for fd in first.values() if fd <= m)) for m in marks]
+    lx = np.log([m for m, _ in growth], dtype=float)
+    ly = np.log([v for _, v in growth], dtype=float)
+    beta = np.polyfit(lx, ly, 1)[0]
+    assert row["n_marks"] == len(marks)
+    assert abs(row["heaps_beta"] - beta) < 5e-3
