@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "naive_bayes_lang",
     "text_zipf_fit",
     "text_heaps_law",
+    "arrow_token_count",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

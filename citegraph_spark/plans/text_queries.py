@@ -1123,3 +1123,58 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop(lx, ly) / F.var_pop(lx), 4).alias("heaps_beta"),
         F.round(F.corr(lx, ly), 4).alias("fit_corr"),
     )
+
+
+@register(
+    "arrow_token_count",
+    """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tok
+FROM documents ORDER BY doc_id LIMIT 50
+""",
+)
+def arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow demo — the zero-copy sibling of mapInPandas: batches
+    arrive as pyarrow RecordBatches and token counts are computed with
+    pyarrow.compute kernels (split_pattern + list_value_length), so the
+    Python stage never materializes Python objects per row — Arrow
+    buffers in, Arrow buffers out. This is the right API when the
+    per-batch work itself is expressible in Arrow kernels; the SQL
+    oracle recomputes the same counts relationally, certifying the
+    Arrow path end-to-end. Bounded to the first 50 docs purely to keep
+    the demo's sweep cost constant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(50)
+        .select("doc_id", "text")
+    )
+
+    def count_tokens(batches):
+        import numpy as np
+
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            # count nonempty tokens per row: flatten once, attribute each
+            # surviving token back to its parent row — all kernel calls,
+            # one tiny numpy scatter-add on the per-batch count vector
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            parents = pc.list_parent_indices(toks)
+            counts = np.zeros(len(batch), dtype="int64")
+            np.add.at(
+                counts,
+                parents.to_numpy(zero_copy_only=False),
+                keep.to_numpy(zero_copy_only=False).astype("int64"),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(counts, type=pa.int64())],
+                names=["doc_id", "n_tok"],
+            )
+
+    out = docs.mapInArrow(count_tokens, "doc_id long, n_tok long")
+    return out.orderBy("doc_id")

