@@ -149,7 +149,7 @@ _R3_CHEAP_FIRST = [
     "bootstrap_ci_daily_mean", "xml_sink_roundtrip", "chi2_flag_status",
     "graph_assortativity", "pipeline_truncation_report",
     "naive_bayes_lang", "text_zipf_fit", "text_heaps_law",
-    "arrow_token_count",
+    "arrow_token_count", "markov_next_event_eval", "orders_open_backlog",
     "events_autocorr", "ab_welch_ttest", "corr_lineitem_measures",
     "mad_outlier_prices", "events_kaplan_meier", "text_js_divergence",
     # iterative gates — heaviest of the late additions, last

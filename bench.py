@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "text_zipf_fit",
     "text_heaps_law",
     "arrow_token_count",
+    "markov_next_event_eval",
+    "orders_open_backlog",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

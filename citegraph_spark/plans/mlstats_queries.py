@@ -1379,3 +1379,139 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event model: train + evaluate in one pass
+# --------------------------------------------------------------------------
+
+
+@register(
+    "markov_next_event_eval",
+    """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+model AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+                                        ORDER BY c DESC, nxt) AS rn
+    FROM trans) r
+  WHERE rn = 1
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN t.nxt = m.pred THEN c ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN t.nxt = m.pred THEN c ELSE 0 END) / sum(c), 6)
+         AS accuracy
+FROM trans t JOIN model m USING (cur)
+""",
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event model trained and evaluated in one
+    pipeline: per-state argmax of the transition counts is the
+    predictor, and its training-set accuracy is the weighted fraction
+    of transitions it gets right — the baseline every sequence model
+    must beat. The sequence window partitions by user (bounded per-user
+    state); everything after runs on the |states|² transition table, so
+    model fit + eval cost is independent of event volume past the one
+    sequence pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("double").alias("c"))
+        .persist()
+    )
+    w = Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    model = (
+        trans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    hit = F.when(F.col("nxt") == F.col("pred"), F.col("c")).otherwise(0.0)
+    return trans.join(F.broadcast(model), "cur").agg(
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.sum(hit) / F.sum("c"), 6).alias("accuracy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval stabbing: open-order backlog per day (sweep-line +1/-1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_open_backlog",
+    """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_orderdate AS s,
+         max(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT s AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + INTERVAL 1 DAY, -1 FROM iv
+),
+byday AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d),
+sweep AS (
+  SELECT d, sum(net) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
+  FROM byday
+)
+SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day,
+       CAST(open_orders AS BIGINT) AS open_orders
+FROM sweep ORDER BY open_orders DESC, d LIMIT 20
+""",
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing by sweep line: how many orders are open
+    (placed, not yet fully shipped) on each day, reported as the top-20
+    backlog peaks. The classic trick — emit +1 at each interval start
+    and -1 the day after its end, aggregate per day, cumulative-sum the
+    calendar — turns an O(intervals x days) stab count into one groupBy
+    plus a window over the bounded day axis. The only ordered window
+    runs over per-day NET deltas (calendar-bounded), never over orders."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            li, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").alias("s"))
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    byday = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = byday.withColumn("open_orders", F.sum("net").over(w))
+    return (
+        sweep.select(
+            F.col("d").cast("date").cast("string").alias("day"),
+            F.col("open_orders").cast("bigint").alias("open_orders"),
+        )
+        .orderBy(F.desc("open_orders"), "day")
+        .limit(20)
+    )

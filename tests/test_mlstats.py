@@ -465,3 +465,54 @@ def test_heaps_law_matches_manual(spark):
     beta = np.polyfit(lx, ly, 1)[0]
     assert row["n_marks"] == len(marks)
     assert abs(row["heaps_beta"] - beta) < 5e-3
+
+
+def test_markov_eval_matches_manual(spark):
+    from collections import Counter, defaultdict
+
+    row = QUERIES["markov_next_event_eval"](spark, SF).collect()[0]
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    by_cur = defaultdict(dict)
+    for (a, b), c in trans.items():
+        by_cur[a][b] = c
+    pred = {
+        a: sorted(nxts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        for a, nxts in by_cur.items()
+    }
+    total = sum(trans.values())
+    correct = sum(c for (a, b), c in trans.items() if pred[a] == b)
+    assert row["n_transitions"] == total
+    assert row["n_correct"] == correct
+    assert abs(row["accuracy"] - correct / total) < 1e-6
+
+
+def test_open_backlog_matches_manual(spark):
+    rows = QUERIES["orders_open_backlog"](spark, SF).collect()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    iv = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .l_shipdate.max()
+        .reset_index()
+    )
+    from collections import Counter
+
+    deltas = Counter()
+    for _, r in iv.iterrows():
+        deltas[r.o_orderdate] += 1
+        deltas[r.l_shipdate + pd.Timedelta(days=1)] -= 1
+    days = sorted(deltas)
+    run, series = 0, []
+    for d in days:
+        run += deltas[d]
+        series.append((d, run))
+    top = sorted(series, key=lambda t: (-t[1], t[0]))[:20]
+    got = [(r["day"], r["open_orders"]) for r in rows]
+    want = [(str(pd.Timestamp(d).date()), n) for d, n in top]
+    assert got == want
