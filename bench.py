@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "arrow_token_count",
     "markov_next_event_eval",
     "orders_open_backlog",
+    "graph_powerlaw_fit",
+    "revenue_concentration",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

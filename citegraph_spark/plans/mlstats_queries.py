@@ -1515,3 +1515,118 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("open_orders"), "day")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Power-law exponent MLE for the degree distribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_powerlaw_fit",
+    """
+WITH deg AS (
+  SELECT "from" AS v, CAST(count(*) AS DOUBLE) AS d
+  FROM (SELECT CAST(l_orderkey AS INT) AS "from" FROM lineitem) c
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       round(1 + count(*) / sum(ln(d / 0.5)), 4) AS alpha_mle,
+       round(avg(d), 4) AS mean_degree,
+       CAST(max(d) AS BIGINT) AS max_degree
+FROM deg
+""",
+)
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent for the out-degree distribution by the
+    continuous MLE (Clauset-Shalizi-Newman 2009): alpha = 1 +
+    n / sum(ln(d / d_min - 1/2)) with d_min = 1 (the standard
+    half-integer continuity correction, hence the 0.5). The citation-
+    graph literature's scale-free check reduced to ONE aggregate over
+    the degree table — no binning, no regression on log-log histograms
+    (which CSN show is biased). Pairs with graph_degree_distribution
+    (the histogram) and text_zipf_fit (the rank-frequency view)."""
+    deg = (
+        _citations(spark, sf_dir)
+        .groupBy(F.col("from").alias("v"))
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(
+            1 + F.count("*") / F.sum(F.log(F.col("d") / 0.5)), 4
+        ).alias("alpha_mle"),
+        F.round(F.avg("d"), 4).alias("mean_degree"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration (Pareto curve) via distributed rank + cumsum
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_concentration",
+    """
+WITH pr AS (
+  SELECT l_partkey AS pk, sum(l_extendedprice) AS rev FROM lineitem
+  GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t, count(*) AS np FROM pr),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, pk) AS rnk,
+         sum(rev) OVER (ORDER BY rev DESC, pk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM pr
+)
+SELECT CAST(any_value(np) AS BIGINT) AS n_parts,
+       CAST(min(CASE WHEN cum >= 0.8 * t THEN rnk END) AS BIGINT)
+         AS parts_for_80pct,
+       round(min(CASE WHEN cum >= 0.8 * t THEN rnk END) * 1.0
+             / any_value(np), 6) AS frac_parts_for_80pct,
+       round(max(CASE WHEN rnk <= CAST(ceil(np * 0.01) AS BIGINT)
+                      THEN cum END) / any_value(t), 6) AS top1pct_share
+FROM ranked CROSS JOIN tot
+""",
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 concentration of part revenue: how many top parts
+    cover 80% of revenue, and what share the top 1% holds. The rank and
+    running sum come from the repo's DISTRIBUTED exact global-rank /
+    global-cumsum machinery (range repartition + per-partition offsets
+    — `operators/relational.py`), not a single-partition window, so the
+    concentration curve stays computable when the key table itself is
+    huge; the oracle replays with an ordinary window, which is the same
+    math at oracle scale."""
+    from ..operators.relational import global_cumsum, global_rank
+
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        # rank/cumsum descend by revenue: order on the negation so the
+        # range partitioner's ascending order matches
+        .withColumn("_nrev", -F.col("rev"))
+        .persist()
+    )
+    tot = pr.agg(
+        F.sum("rev").alias("t"), F.count("*").alias("np")
+    ).collect()[0]
+    t, np_ = float(tot["t"]), int(tot["np"])
+    ranked = global_rank(pr, ["_nrev", "pk"], rank_col="rnk")
+    cum = global_cumsum(ranked, ["_nrev", "pk"], "rev", alias="cum")
+    k80 = F.min(F.when(F.col("cum") >= 0.8 * t, F.col("rnk")))
+    top1 = F.max(
+        F.when(
+            F.col("rnk") <= int(-(-np_ * 0.01 // 1)), F.col("cum")
+        )
+    )
+    return cum.agg(
+        F.lit(np_).cast("bigint").alias("n_parts"),
+        k80.cast("bigint").alias("parts_for_80pct"),
+        F.round(k80 / np_, 6).alias("frac_parts_for_80pct"),
+        F.round(top1 / t, 6).alias("top1pct_share"),
+    )

@@ -516,3 +516,27 @@ def test_open_backlog_matches_manual(spark):
     got = [(r["day"], r["open_orders"]) for r in rows]
     want = [(str(pd.Timestamp(d).date()), n) for d, n in top]
     assert got == want
+
+
+def test_powerlaw_alpha_matches_numpy(spark):
+    row = QUERIES["graph_powerlaw_fit"](spark, SF).collect()[0]
+    li = _li()
+    deg = li.groupby("l_orderkey").size().astype(float).to_numpy()
+    alpha = 1 + len(deg) / np.log(deg / 0.5).sum()
+    assert row["n_nodes"] == len(deg)
+    assert abs(row["alpha_mle"] - alpha) < 1e-3
+    assert row["max_degree"] == int(deg.max())
+
+
+def test_revenue_concentration_matches_numpy(spark):
+    row = QUERIES["revenue_concentration"](spark, SF).collect()[0]
+    li = _li()
+    pr = li.groupby("l_partkey").l_extendedprice.sum().astype(float)
+    rev = np.sort(pr.to_numpy())[::-1]
+    cum = rev.cumsum()
+    t = rev.sum()
+    k80 = int(np.argmax(cum >= 0.8 * t)) + 1
+    top1 = cum[int(np.ceil(len(rev) * 0.01)) - 1] / t
+    assert row["n_parts"] == len(rev)
+    assert row["parts_for_80pct"] == k80
+    assert abs(row["top1pct_share"] - top1) < 1e-5
