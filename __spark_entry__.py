@@ -151,12 +151,13 @@ _R3_CHEAP_FIRST = [
     "naive_bayes_lang", "text_zipf_fit", "text_heaps_law",
     "arrow_token_count", "markov_next_event_eval", "orders_open_backlog",
     "graph_powerlaw_fit", "revenue_concentration",
+    "events_forecast_backtest",
     "events_autocorr", "ab_welch_ttest", "corr_lineitem_measures",
     "mad_outlier_prices", "events_kaplan_meier", "text_js_divergence",
     # iterative gates — heaviest of the late additions, last
     "logreg_train_gate", "pca_power_gate", "coreset_kcenter",
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
-    "graph_cc_star_gate",
+    "graph_cc_star_gate", "graph_ktruss_gate",
 ]
 
 

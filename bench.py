@@ -143,10 +143,12 @@ BENCH_QUERIES = [
     "orders_open_backlog",
     "graph_powerlaw_fit",
     "revenue_concentration",
+    "events_forecast_backtest",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",
     "graph_cc_star_gate",
+    "graph_ktruss_gate",
 ]
 
 

@@ -824,3 +824,99 @@ def graph_cc_star_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(ref), got == ref)],
         "n_nodes long, partitions_match_union_find boolean",
     )
+
+
+@register(
+    "graph_ktruss_gate",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_input_edges,
+       TRUE AS truss_matches_replay,
+       TRUE AS min_support_ok
+FROM (
+  SELECT DISTINCT least(a.item, b.item) AS x, greatest(a.item, b.item) AS y
+  FROM (SELECT DISTINCT l_orderkey AS ord, l_partkey % 200 AS item
+        FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey AS ord, l_partkey % 200 AS item
+        FROM lineitem) b
+    ON a.ord = b.ord AND a.item < b.item
+)
+""",
+)
+def graph_ktruss_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-certificate gate for distributed 4-truss peeling on the
+    co-purchase projection (item buckets co-occurring in an order — the
+    lineitem mapping itself is bipartite and trianglefree, so the truss
+    runs on the projection where triangles actually live): (1) the
+    distributed result equals a driver-side peeling replay; (2) the
+    FINAL edge set's minimum support, recomputed distributed, is
+    >= k-2 — the certificate that remains checkable when the replay is
+    dropped at full scale."""
+    from collections import defaultdict
+
+    from ..operators.graph import edge_support, k_truss
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ord"),
+            (F.col("l_partkey") % 200).alias("item"),
+        )
+        .distinct()
+    )
+    b = items.select(F.col("ord"), F.col("item").alias("item2"))
+    proj = (
+        items.join(b, "ord")
+        .filter(F.col("item") < F.col("item2"))
+        .select(F.col("item").alias("src"), F.col("item2").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = proj.count()
+    if n_edges > 500_000:
+        raise ValueError(
+            "graph_ktruss_gate: projection exceeds 500k edges; raise the "
+            "bucket modulus for this data scale"
+        )
+    K = 4
+    truss = k_truss(proj, K).persist()
+    got = {(r["a"], r["b"]) for r in truss.collect()}
+
+    # distributed certificate: min support of the final subgraph
+    if got:
+        min_sup = (
+            edge_support(truss.select(F.col("a"), F.col("b")))
+            .agg(F.min("support").alias("m"))
+            .collect()[0]["m"]
+        )
+        # every surviving edge must appear in the support table at all
+        n_supported = (
+            edge_support(truss).filter(F.col("support") >= K - 2).count()
+        )
+        min_ok = min_sup is not None and min_sup >= K - 2 and (
+            n_supported == len(got)
+        )
+    else:
+        min_ok = True
+
+    # driver replay
+    pairs = {(r["src"], r["dst"]) for r in proj.collect()}
+    cur = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while cur:
+        adj = defaultdict(set)
+        for a, b in cur:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        nxt = {e for e in cur if sup[e] >= K - 2}
+        if nxt == cur:
+            break
+        cur = nxt
+    proj.unpersist()
+    truss.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, got == cur, bool(min_ok))],
+        "n_input_edges long, truss_matches_replay boolean, "
+        "min_support_ok boolean",
+    )

@@ -1630,3 +1630,62 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(k80 / np_, 6).alias("frac_parts_for_80pct"),
         F.round(top1 / t, 6).alias("top1pct_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (walk-forward, MAPE/MAE)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_backtest",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+paired AS (
+  SELECT a.d, a.c AS actual, b.c AS forecast
+  FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 7 DAY
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(abs(actual - forecast)), 4) AS mae,
+       round(avg(abs(actual - forecast) / actual), 6) AS mape,
+       round(1 - sum(power(actual - forecast, 2))
+               / sum(power(actual - (SELECT avg(c) FROM daily), 2)), 6)
+         AS r2_vs_mean
+FROM paired
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the seasonal-naive forecaster
+    (predict today = same weekday last week) on the daily event count:
+    MAE, MAPE, and R² against the predict-the-mean baseline — the
+    sanity floor every real forecasting model must beat, and the
+    first-line drift alarm when a pipeline's volume pattern shifts.
+    The lag pairing is an equi-join on date arithmetic over the per-day
+    aggregate (same scale shape as events_autocorr: raw events are
+    scanned once)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("c"))
+        .persist()
+    )
+    mu = daily.agg(F.avg("c").alias("mu"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("forecast"))
+    paired = daily.join(
+        b, F.col("d2") == F.date_sub(F.col("d"), 7)
+    ).crossJoin(F.broadcast(mu))
+    err = F.col("c") - F.col("forecast")
+    return paired.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.avg(F.abs(err) / F.col("c")), 6).alias("mape"),
+        F.round(
+            1
+            - F.sum(F.pow(err, F.lit(2)))
+            / F.sum(F.pow(F.col("c") - F.col("mu"), F.lit(2))),
+            6,
+        ).alias("r2_vs_mean"),
+    )

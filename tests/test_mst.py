@@ -231,3 +231,43 @@ def test_cc_star_agrees_with_hashmin(spark):
     }
     star = _cc_star(spark, [(a, b) for a, b in pairs if a != b])
     assert star == hashmin
+
+
+def test_ktruss_crafted_and_random(spark):
+    from citegraph_spark.operators.graph import k_truss
+
+    def truss(pairs, k):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return {(r["a"], r["b"]) for r in k_truss(df, k).collect()}
+
+    def ref(pairs, k):
+        cur = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        while cur:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        return cur
+
+    # K4 plus a pendant triangle: 4-truss keeps exactly the K4
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pend = [(4, 5), (4, 6), (5, 6)]
+    got = truss(k4 + pend, 4)
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # 3-truss keeps every triangle edge
+    assert truss(k4 + pend, 3) == set(k4) | {(4, 5), (4, 6), (5, 6)}
+    # bipartite graph has no triangles: 3-truss empty
+    assert truss([(1, 10), (1, 11), (2, 10), (2, 11)], 3) == set()
+
+    import random
+
+    for seed in (9, 31):
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(18), rng.randrange(18)) for _ in range(70)]
+        for k in (3, 4, 5):
+            assert truss(pairs, k) == ref(pairs, k), (seed, k)
