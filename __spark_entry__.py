@@ -158,6 +158,7 @@ _R3_CHEAP_FIRST = [
     "logreg_train_gate", "pca_power_gate", "coreset_kcenter",
     "graph_mst_gate", "graph_mis_gate", "graph_matching_gate",
     "graph_cc_star_gate", "graph_ktruss_gate",
+    "graph_diameter_double_sweep",
 ]
 
 

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "graph_matching_gate",
     "graph_cc_star_gate",
     "graph_ktruss_gate",
+    "graph_diameter_double_sweep",
 ]
 
 

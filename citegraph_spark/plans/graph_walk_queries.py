@@ -920,3 +920,87 @@ def graph_ktruss_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input_edges long, truss_matches_replay boolean, "
         "min_support_ok boolean",
     )
+
+
+@register(
+    "graph_diameter_double_sweep",
+    """
+WITH RECURSIVE cit AS (
+  SELECT CAST(l_orderkey AS INT) AS f, CAST(l_partkey AS INT) AS t
+  FROM lineitem
+  WHERE l_orderkey % 4 = 0 AND l_partkey % 4 = 0
+        AND l_orderkey <> l_partkey
+),
+und AS (SELECT f AS s, t AS d FROM cit UNION SELECT t, f FROM cit),
+b1 AS (
+  SELECT 0 AS iter, (SELECT min(s) FROM und) AS node, 0 AS dist
+  UNION ALL
+  SELECT b1.iter + 1, und.d, MIN(b1.dist + 1)
+  FROM b1 JOIN und ON b1.node = und.s WHERE b1.iter < 8
+  GROUP BY 1, 2
+),
+d1 AS (SELECT node, MIN(dist) AS dist FROM b1 GROUP BY node),
+far AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+b2 AS (
+  SELECT 0 AS iter, (SELECT node FROM far) AS node, 0 AS dist
+  UNION ALL
+  SELECT b2.iter + 1, und.d, MIN(b2.dist + 1)
+  FROM b2 JOIN und ON b2.node = und.s WHERE b2.iter < 8
+  GROUP BY 1, 2
+),
+d2 AS (SELECT node, MIN(dist) AS dist FROM b2 GROUP BY node)
+SELECT (SELECT min(s) FROM und) AS start_node,
+       (SELECT node FROM far) AS far_node,
+       CAST(max(dist) AS INT) AS diameter_lower_bound,
+       CAST(count(*) AS BIGINT) AS reached_from_far
+FROM d2
+""",
+)
+def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib 2009):
+    BFS from a deterministic start (minimum node id of the hash-induced
+    subgraph) to its farthest reachable node u, then BFS from u — u's
+    eccentricity lower-bounds the component's diameter and is exact for
+    trees. Two bounded multi-source-BFS calls (broadcast relaxation
+    rounds, 8-hop cap keeps sweep cost fixed); the exact-hop contract
+    means the oracle replays both sweeps as chained recursive CTEs.
+    This is the cheap diameter estimate run before committing to the
+    full hop-plot / HyperBall machinery."""
+    from ..operators.graph import multi_source_bfs
+
+    cit = (
+        _citations(spark, sf_dir)
+        .filter(
+            (F.col("from") % 4 == 0)
+            & (F.col("to") % 4 == 0)
+            & (F.col("from") != F.col("to"))
+        )
+    )
+    und = (
+        cit.select(F.col("from").alias("src"), F.col("to").alias("dst"))
+        .unionByName(
+            cit.select(F.col("to").alias("src"), F.col("from").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    start = und.agg(F.min("src").alias("s")).collect()[0]["s"]
+    d1 = multi_source_bfs(und, [start], rounds=8)
+    far = (
+        d1.orderBy(F.desc("dist"), "node").limit(1).collect()[0]["node"]
+    )
+    d2 = multi_source_bfs(und, [far], rounds=8).persist()
+    out = d2.agg(
+        F.lit(start).cast("int").alias("start_node"),
+        F.lit(far).cast("int").alias("far_node"),
+        F.max("dist").cast("int").alias("diameter_lower_bound"),
+        F.count("*").cast("bigint").alias("reached_from_far"),
+    )
+    rows = out.collect()
+    und.unpersist()
+    d2.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "start_node int, far_node int, diameter_lower_bound int, "
+        "reached_from_far bigint",
+    )

@@ -271,3 +271,35 @@ def test_ktruss_crafted_and_random(spark):
         pairs = [(rng.randrange(18), rng.randrange(18)) for _ in range(70)]
         for k in (3, 4, 5):
             assert truss(pairs, k) == ref(pairs, k), (seed, k)
+
+
+def test_double_sweep_exact_on_path(spark):
+    """On a tree (path), the double-sweep bound is the exact diameter."""
+    from citegraph_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["graph_diameter_double_sweep"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["diameter_lower_bound"] >= 1
+    assert r["reached_from_far"] >= r["diameter_lower_bound"]
+
+    # crafted path 1-2-...-7 with a branch: diameter = 7 (node 8 to 7)
+    from citegraph_spark.operators.graph import multi_source_bfs
+
+    # longest path: 8-2-3-4-5-6-7 (6 edges) == 1-2-...-7 -> diameter 6
+    pairs = [(i, i + 1) for i in range(1, 7)] + [(2, 8)]
+    und = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    ).distinct()
+    d1 = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(und, [1], rounds=8).collect()
+    }
+    far = max(sorted(d1), key=lambda n: d1[n])
+    d2 = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(und, [far], rounds=8).collect()
+    }
+    assert max(d2.values()) == 6
