@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "graph_powerlaw_fit",
     "revenue_concentration",
     "events_forecast_backtest",
+    "events_dau_wau",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

@@ -1689,3 +1689,65 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2_vs_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / rolling-WAU engagement ratio
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+wau AS (
+  SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+  FROM days JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+  GROUP BY days.d
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY dau.d DESC LIMIT 14
+""",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU 'stickiness' ratio for the last 14 days — the engagement
+    metric sheet. COUNT DISTINCT over a sliding window cannot be a
+    running aggregate (distinct doesn't subtract), so the scalable
+    shape is exactly this: dedupe to one row per (user, day) FIRST (one
+    shuffle over raw events), then a 7-day range join over the
+    per-user-day table — 7x a table already shrunk by the events-per-
+    user-day factor, never 7x the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct().persist()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    days2 = days.select(F.col("d").alias("wd"))
+    wau = (
+        ud.join(
+            days2,
+            (F.col("d") >= F.date_sub(F.col("wd"), 6))
+            & (F.col("d") <= F.col("wd")),
+        )
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, F.col("d") == F.col("wd"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy(F.desc("day"))
+        .limit(14)
+    )

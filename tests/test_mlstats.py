@@ -540,3 +540,23 @@ def test_revenue_concentration_matches_numpy(spark):
     assert row["n_parts"] == len(rev)
     assert row["parts_for_80pct"] == k80
     assert abs(row["top1pct_share"] - top1) < 1e-5
+
+
+def test_dau_wau_matches_pandas(spark):
+    rows = QUERIES["events_dau_wau"](spark, SF).collect()
+    ev = _events()
+    ud = ev.assign(d=ev.ts.dt.date)[["user_id", "d"]].drop_duplicates()
+    days = sorted(ud.d.unique())
+    want = []
+    for d in days:
+        dau = ud[ud.d == d].user_id.nunique()
+        lo = d - pd.Timedelta(days=6)
+        wau = ud[(ud.d >= lo) & (ud.d <= d)].user_id.nunique()
+        want.append((str(d), dau, wau, round(dau / wau, 6)))
+    want = sorted(want, key=lambda t: t[0], reverse=True)[:14]
+    got = [
+        (r["day"], r["dau"], r["wau"], r["stickiness"]) for r in rows
+    ]
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-6
