@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "revenue_concentration",
     "events_forecast_backtest",
     "events_dau_wau",
+    "events_inter_arrival",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

@@ -1751,3 +1751,56 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("day"))
         .limit(14)
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival time statistics (per-user event gaps)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_inter_arrival",
+    """
+WITH gaps AS (
+  SELECT epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap), 4) AS mean_s,
+       round(quantile_cont(gap, 0.5), 4) AS p50_s,
+       round(quantile_cont(gap, 0.9), 4) AS p90_s,
+       round(quantile_cont(gap, 0.99), 4) AS p99_s,
+       round(stddev_samp(gap) / avg(gap), 6) AS cv
+FROM gaps WHERE gap IS NOT NULL
+""",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap distribution (seconds between a
+    user's consecutive events): mean, exact p50/p90/p99, and the
+    coefficient of variation — cv ≈ 1 is the Poisson-process
+    fingerprint, cv ≫ 1 means bursty arrivals (the statistic that
+    drives session-gap and rate-limit thresholds). The lag window
+    partitions by user (bounded per-user state, shuffles once on
+    user_id); the percentile pass is one exact-percentile aggregate
+    over the gap column — swap in approx_percentile at the documented
+    error bound when gaps outgrow the sort budget."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w)))
+            / F.lit(1_000_000.0)
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("mean_s"),
+        F.round(F.percentile("gap", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("gap", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.percentile("gap", F.lit(0.99)), 4).alias("p99_s"),
+        F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("cv"),
+    )

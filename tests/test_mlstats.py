@@ -560,3 +560,20 @@ def test_dau_wau_matches_pandas(spark):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert abs(g[3] - w[3]) < 1e-6
+
+
+def test_inter_arrival_matches_numpy(spark):
+    row = QUERIES["events_inter_arrival"](spark, SF).collect()[0]
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        ts = g.ts.astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        gaps.extend(np.diff(ts))
+    gaps = np.array(gaps)
+    assert row["n_gaps"] == len(gaps)
+    assert abs(row["mean_s"] - gaps.mean()) < 1e-3
+    for col, p in (("p50_s", 50), ("p90_s", 90), ("p99_s", 99)):
+        want = np.percentile(gaps, p, method="linear")
+        assert abs(row[col] - want) < 1e-3, col
+    cv = gaps.std(ddof=1) / gaps.mean()
+    assert abs(row["cv"] - cv) < 1e-5
