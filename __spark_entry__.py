@@ -152,6 +152,7 @@ _R3_CHEAP_FIRST = [
     "arrow_token_count", "markov_next_event_eval", "orders_open_backlog",
     "graph_powerlaw_fit", "revenue_concentration",
     "events_forecast_backtest", "events_dau_wau", "events_inter_arrival",
+    "events_user_entropy",
     "events_autocorr", "ab_welch_ttest", "corr_lineitem_measures",
     "mad_outlier_prices", "events_kaplan_meier", "text_js_divergence",
     # iterative gates — heaviest of the late additions, last

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "events_forecast_backtest",
     "events_dau_wau",
     "events_inter_arrival",
+    "events_user_entropy",
     "graph_mst_gate",
     "graph_mis_gate",
     "graph_matching_gate",

@@ -1804,3 +1804,58 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap", F.lit(0.99)), 4).alias("p99_s"),
         F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("cv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral diversity: per-user event-type entropy
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_entropy",
+    """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+un AS (SELECT user_id, sum(c) AS n FROM ut GROUP BY 1),
+ent AS (
+  SELECT ut.user_id, -sum((c / n) * ln(c / n)) AS h
+  FROM ut JOIN un USING (user_id) GROUP BY ut.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(h), 6) AS mean_entropy,
+       round(quantile_cont(h, 0.5), 6) AS p50_entropy,
+       round(min(h), 6) AS min_entropy,
+       round(max(h), 6) AS max_entropy
+FROM ent
+""",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity screen: Shannon entropy of each user's
+    event-type mix (0 = single-behavior accounts, ln|types| = uniform
+    usage), summarized as mean / exact median / extremes — the
+    bot-vs-organic fingerprint for event streams (scripted accounts sit
+    at the entropy extremes). Two hash aggregates build per-user
+    distributions (shuffles keyed on user), one aggregate per user
+    computes its entropy, and the summary is one exact-percentile pass
+    over the per-user table — every stage shrinks, nothing scans raw
+    events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    un = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = (
+        ut.join(un, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    return ent.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("h"), 6).alias("mean_entropy"),
+        F.round(F.percentile("h", F.lit(0.5)), 6).alias("p50_entropy"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )

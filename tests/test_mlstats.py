@@ -577,3 +577,17 @@ def test_inter_arrival_matches_numpy(spark):
         assert abs(row[col] - want) < 1e-3, col
     cv = gaps.std(ddof=1) / gaps.mean()
     assert abs(row["cv"] - cv) < 1e-5
+
+
+def test_user_entropy_matches_numpy(spark):
+    row = QUERIES["events_user_entropy"](spark, SF).collect()[0]
+    ev = _events()
+    hs = []
+    for _, g in ev.groupby("user_id"):
+        p = g.event_type.value_counts(normalize=True).to_numpy()
+        hs.append(float(-(p * np.log(p)).sum()))
+    hs = np.array(hs)
+    assert row["n_users"] == len(hs)
+    assert abs(row["mean_entropy"] - hs.mean()) < 1e-5
+    assert abs(row["p50_entropy"] - np.percentile(hs, 50, method="linear")) < 1e-5
+    assert abs(row["max_entropy"] - hs.max()) < 1e-5
