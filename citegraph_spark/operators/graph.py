@@ -1580,6 +1580,12 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
         )
 
     adj.unpersist()
+    if active.limit(1).count() != 0:
+        # active nodes remain: the set is independent but NOT maximal,
+        # which downstream consumers cannot distinguish — fail loudly.
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError("maximal_independent_set", max_rounds)
     if mis is None:
         return edges.sparkSession.createDataFrame([], "node long")
     return mis
@@ -1660,6 +1666,13 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         )
         pe.unpersist()
 
+    if cur.limit(1).count() != 0:
+        # surviving edges remain: the matching is valid but NOT maximal
+        # — indistinguishable from a complete result downstream, so
+        # refuse rather than return it.
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError("maximal_matching", max_rounds)
     if matched is None:
         return edges.sparkSession.createDataFrame([], "a long, b long")
     return matched
@@ -1707,6 +1720,7 @@ def connected_components_star(
             F.least(F.min("n"), F.first("u")).alias("m")
         )
 
+    converged = False
     for _ in range(max_rounds):
         # large-star
         adj = _adj(cur)
@@ -1750,7 +1764,15 @@ def connected_components_star(
         )
         cur = ss
         if same:
+            converged = True
             break
+    if not converged:
+        # the final extraction below assumes a converged star forest
+        # (one-hop min of incident smaller endpoints); on a partial
+        # contraction it returns silently wrong labels, so refuse.
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError("connected_components_star", max_rounds)
 
     # converged star set: every edge is (component-min, member)
     centers = cur.select(F.col("a").alias("node"), F.col("a").alias("component"))
@@ -1835,7 +1857,10 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     any scale without the driver replay the gate adds at test sizes.
 
     edges: (src, dst) undirected; returns canonical (a, b) pairs of the
-    k-truss subgraph (empty when no edge survives)."""
+    k-truss subgraph (empty when no edge survives). For k <= 2 the
+    support requirement is vacuous and the whole simple graph is
+    returned — including support-0 edges, which edge_support emits no
+    row for."""
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -1846,9 +1871,17 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     need = k - 2
+    if need <= 0:
+        # the (k<=2)-truss is the whole simple graph: every edge needs
+        # >= 0 supporting triangles, including support-0 edges, which
+        # edge_support emits NO row for — a semi join against it would
+        # silently drop them, so short-circuit before the peel loop.
+        return cur
+    converged = False
     for _ in range(max_rounds):
         n_before = cur.count()
         if n_before == 0:
+            converged = True
             break
         sup = edge_support(cur)
         keep = sup.filter(F.col("support") >= need).select("a", "b")
@@ -1858,5 +1891,10 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         n_after = nxt.count()
         cur = nxt
         if n_after == n_before:
+            converged = True
             break
+    if not converged:
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError("k_truss", max_rounds)
     return cur

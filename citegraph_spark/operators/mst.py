@@ -62,6 +62,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
     )
     forest: DataFrame | None = None
 
+    converged = False
     for _ in range(max_rounds):
         ec = (
             e.join(
@@ -77,6 +78,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         )
         if ec.limit(1).count() == 0:
             ec.unpersist()
+            converged = True
             break
 
         # each component nominates its minimum outgoing edge under the
@@ -174,6 +176,30 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         ec.unpersist()
         chosen.unpersist()
 
+    if not converged:
+        # round cap hit before the head-of-loop emptiness check fired;
+        # recheck directly (the final round may have merged the last
+        # components). If cross-component edges remain, the forest is
+        # missing edges and would read as a valid (smaller) MSF
+        # downstream — fail loudly instead.
+        remaining = (
+            e.join(
+                comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .limit(1)
+            .count()
+        )
+        if remaining != 0:
+            e.unpersist()
+            from ..errors import ConvergenceError
+
+            raise ConvergenceError("minimum_spanning_forest", max_rounds)
     e.unpersist()
     if forest is None:
         return edges.sparkSession.createDataFrame(

@@ -828,7 +828,9 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     product an exp-of-cumulative-log over the bounded distinct-minute
     axis — never a window over raw events. Terminal point (d = n_risk,
     survival 0) excluded so the log-product stays finite in both
-    engines."""
+    engines. Durations use unix_micros (microsecond-exact, matching
+    DuckDB's epoch(interval)); unix_timestamp truncates to whole
+    seconds and can land boundary rows in a different minute bucket."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -848,12 +850,20 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("t2").isNotNull(),
                 F.floor(
-                    (F.unix_timestamp("t2") - F.unix_timestamp("t1")) / 60
+                    (
+                        F.unix_micros(F.col("t2").cast("timestamp"))
+                        - F.unix_micros(F.col("t1").cast("timestamp"))
+                    )
+                    / 60e6
                 ),
             )
             .otherwise(
                 F.floor(
-                    (F.unix_timestamp("mts") - F.unix_timestamp("t1")) / 60
+                    (
+                        F.unix_micros(F.col("mts").cast("timestamp"))
+                        - F.unix_micros(F.col("t1").cast("timestamp"))
+                    )
+                    / 60e6
                 )
             )
             .cast("bigint")

@@ -326,7 +326,7 @@ SELECT delay_class,
                 THEN 1 ELSE 0 END) AS low_line_count
 FROM (
   SELECT o.o_orderpriority,
-         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+         CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
               THEN 'SLOW' ELSE 'FAST' END AS delay_class
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -358,7 +358,11 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "delay_class",
             F.when(
-                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "SLOW"
+                F.datediff(
+                    F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+                )
+                > 60,
+                "SLOW",
             ).otherwise("FAST"),
         )
         .groupBy("delay_class")

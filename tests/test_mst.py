@@ -303,3 +303,53 @@ def test_double_sweep_exact_on_path(spark):
         for r in multi_source_bfs(und, [far], rounds=8).collect()
     }
     assert max(d2.values()) == 6
+
+
+def test_ktruss_k2_keeps_support0_edges(spark):
+    """The (k<=2)-truss is the whole simple graph: support-0 edges must
+    survive even though edge_support emits no row for them (ADVICE r3)."""
+    from citegraph_spark.operators.graph import k_truss
+
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5)]  # triangle + isolated edge
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r["a"], r["b"]) for r in k_truss(df, 2).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3), (4, 5)}
+    got1 = {(r["a"], r["b"]) for r in k_truss(df, 1).collect()}
+    assert got1 == got
+
+
+def test_iterative_ops_raise_on_round_exhaustion(spark):
+    """Round-capped fixpoint loops must fail loudly instead of returning
+    a silently partial result when max_rounds is exhausted (ADVICE r3)."""
+    import pytest
+
+    from citegraph_spark.errors import ConvergenceError
+    from citegraph_spark.operators.graph import (
+        connected_components_star,
+        maximal_independent_set,
+        maximal_matching,
+    )
+    from citegraph_spark.operators.mst import minimum_spanning_forest
+
+    # long path: cc_star needs >1 round, MIS/matching need several
+    pairs = [(i, i + 1) for i in range(1, 40)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    with pytest.raises(ConvergenceError):
+        connected_components_star(edges, max_rounds=1)
+    with pytest.raises(ConvergenceError):
+        maximal_independent_set(edges, max_rounds=1)
+    with pytest.raises(ConvergenceError):
+        maximal_matching(edges, max_rounds=1)
+    # light intra-pair edges + heavy connectors: round 1 merges only the
+    # pairs (a path would finish in ONE Borůvka round — every edge is
+    # some endpoint's minimum), so cross edges survive the cap
+    light = [(i, i + 1, 1.0 + i) for i in range(1, 12, 2)]
+    heavy = [(i + 1, i + 2, 100.0 + i) for i in range(1, 10, 2)]
+    wedges = spark.createDataFrame(
+        light + heavy, "src long, dst long, weight double"
+    )
+    with pytest.raises(ConvergenceError):
+        minimum_spanning_forest(wedges, max_rounds=1)
+
+    # and the same calls converge fine with the default cap
+    assert connected_components_star(edges).count() == 40

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from citegraph_spark.plans.entry_queries import QUERIES
 
@@ -189,11 +190,12 @@ def test_mann_whitney_windows_over_histogram_only(spark):
     raw rows: a HashAggregate must sit below the Window."""
     p = plan_text(QUERIES["ab_mann_whitney"](spark, SF_DIR))
     assert "Window" in p and "HashAggregate" in p
-    assert p.index("Window") < p.index("Scan parquet") or True  # formatted
-    # formatted plans list nodes top-down: Window id must be smaller
-    # (higher) than the aggregate feeding it
-    import re
-
-    win = re.search(r"Window \((\d+)\)", p)
-    aggs = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
-    assert win and any(a < int(win.group(1)) for a in aggs)
+    # formatted plans print the tree top-down: the Window's line must
+    # come before (above) a HashAggregate line which itself sits above
+    # the parquet scan — i.e. the window consumes aggregated rows
+    win_at = p.index("Window")
+    scan_at = p.index("Scan parquet")
+    assert win_at < scan_at, p
+    assert any(
+        win_at < m.start() < scan_at for m in re.finditer(r"HashAggregate", p)
+    ), p

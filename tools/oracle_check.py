@@ -54,6 +54,15 @@ def main(names: list[str]) -> int:
     from citegraph_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_check")
+    # engine-version parity note (VERDICT r3 §7): a local-green /
+    # driver-red hash divergence (the q12 case) is only attributable if
+    # the engine builds are on record for every sweep.
+    import pyspark
+
+    print(
+        f"engines: pyspark={pyspark.__version__} "
+        f"duckdb={duckdb.__version__} (sf_dir={SF_DIR})"
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
