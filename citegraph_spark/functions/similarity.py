@@ -206,8 +206,16 @@ def ivf_assignments(
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             vn[vn == 0] = 1.0
-            sims = (v / vn) @ c.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            # probe ranking on ROUNDED sims with cell-id tie-break: the
+            # raw float ordering is sensitive to summation order, so an
+            # independent replay (the DuckDB oracle) could pick a
+            # different probe cell for near-tied centroids; 6-dp
+            # rounding + deterministic tie-break makes the cell choice
+            # engine-independent (same contract as the final cosine
+            # ranking below).
+            sims = np.round((v / vn) @ c.T, 6)
+            cells = np.broadcast_to(np.arange(c.shape[0]), sims.shape)
+            order = np.lexsort((cells, -sims), axis=-1)[:, :n_probe]
             out = []
             for r, vid in enumerate(pdf[id_col].to_numpy()):
                 for p in range(order.shape[1]):

@@ -491,11 +491,64 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, k=3)
 
 
-@register("similarity_ann_lsh")  # rows-only: deterministic but engine-specific
+@register(
+    "similarity_ann_lsh",
+    """
+WITH planes AS (
+  SELECT t.t AS tbl, p.p AS pl, i.i AS dim,
+         CAST('0x' || substr(md5('t' || t.t || ':' || p.p || ':' || i.i), 1, 8) AS BIGINT)
+           / 2147483648.0 - 1.0 AS w
+  FROM range(8) t(t), range(6) p(p), range(64) i(i)
+),
+elems AS (
+  SELECT vec_id, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) i(i)
+),
+proj AS (
+  SELECT e.vec_id, pl.tbl, pl.pl, sum(e.x * pl.w) AS s
+  FROM elems e JOIN planes pl ON e.dim = pl.dim
+  GROUP BY e.vec_id, pl.tbl, pl.pl
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << pl ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  WHERE l.vec_id <> r.vec_id
+),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+scored AS (
+  SELECT c.a AS vec_id, c.b AS neighbor_id,
+         round(list_dot_product(va.v, vb.v) / (va.nm * vb.nm), 6) AS cosine
+  FROM cand c JOIN vecs va ON c.a = va.vec_id JOIN vecs vb ON c.b = vb.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
+""",
+)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 cosine neighbors via random-hyperplane LSH
-    (8 tables × 6 planes). Rows-only check; recall vs the brute-force
-    baseline is asserted in tests."""
+    (8 tables × 6 planes). Fully hash-oracled: the hyperplanes are
+    md5-seeded (no RNG state — functions/similarity.py _table_planes),
+    so the DuckDB oracle REPLAYS the whole index from scratch — plane
+    weights from the same md5 bytes, sign-pattern buckets, bucket-join
+    candidates, 6-dp cosine ranking — and must land on the identical
+    neighbor lists. Sign tests sit on O(1)-magnitude projections, so
+    the ~1e-15 summation-order noise between engines cannot flip them."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, k=3)
 
@@ -519,11 +572,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_pairs(emb, threshold=0.35)
 
 
-@register("similarity_ivf")  # rows-only: probe-cell choice is engine-specific
+@register(
+    "similarity_ivf",
+    """
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+),
+sims AS (
+  SELECT v.vec_id, c.cell,
+         round(list_dot_product(v.v, c.cv) / v.nm, 6) AS sim
+  FROM vecs v, cents c
+),
+probes AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS pr
+  FROM sims
+),
+assign AS (SELECT vec_id, cell, pr = 1 AS is_primary FROM probes WHERE pr <= 2),
+cand AS (
+  SELECT DISTINCT p.vec_id AS a, ix.vec_id AS b
+  FROM assign p JOIN (SELECT vec_id, cell FROM assign WHERE is_primary) ix
+    ON p.cell = ix.cell
+  WHERE p.vec_id <> ix.vec_id
+),
+scored AS (
+  SELECT c.a AS vec_id, c.b AS neighbor_id,
+         round(list_dot_product(va.v, vb.v) / (va.nm * vb.nm), 6) AS cosine
+  FROM cand c JOIN vecs va ON c.a = va.vec_id JOIN vecs vb ON c.b = vb.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
+""",
+)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 cosine neighbors (16 cells, 2 probes) — the
-    scale path where the corpus exceeds broadcast size. Rows-only check;
-    recall vs brute force is asserted in tests."""
+    scale path where the corpus exceeds broadcast size. Fully
+    hash-oracled: the default coarse quantizer is deterministic (the 16
+    smallest-id vectors, L2-normalized) and probe-cell ranking runs on
+    6-dp-rounded sims with a cell-id tie-break, so the DuckDB oracle
+    replays the whole index — quantizer, probe assignment, candidate
+    join, 6-dp cosine ranking — and must produce identical rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, k=3)
 
