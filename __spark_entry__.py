@@ -124,6 +124,10 @@ _R3_CHECKED = [
 #   carry full DuckDB replay oracles (deterministic md5 hyperplanes /
 #   md5-seeded cells re-computed in SQL), upgrading them from rows-only
 #   to hash-verified.
+# - graph_hyperball / graph_effective_diameter_approx: r1 `no_oracle`
+#   rows; the deterministic HLL sketch is now replayed from scratch in
+#   SQL (xxhash64 in HUGEINT modular arithmetic, recursive dense absorb
+#   — plans/hll_oracle_sql.py), upgrading both to hash-verified.
 _RECHECK_FIRST = [
     "q12_ship_priority_class",
     "events_sessionize",
@@ -131,6 +135,7 @@ _RECHECK_FIRST = [
     "streaming_sessionize", "streaming_dedup", "streaming_join",
     "streaming_enrich",
     "similarity_ann_lsh", "similarity_ivf",
+    "graph_hyperball", "graph_effective_diameter_approx",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -347,12 +347,22 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_hyperball")  # rows-only: HLL sketch, engine-specific by design
+from .hll_oracle_sql import (  # noqa: E402 — used by the two registrations below
+    effective_diameter_oracle_sql,
+    hyperball_oracle_sql,
+)
+
+
+@register("graph_hyperball", hyperball_oracle_sql(max_d=2))
 def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate hop-plot via HyperBall (per-node HyperLogLog counters,
     functions/sketches.py) — the 100 TB replacement for the exact pair
-    BFS: state O(|V|*2^p) instead of O(connected pairs). Rows-only check;
-    relative error vs the exact hop-plot is asserted in tests."""
+    BFS: state O(|V|*2^p) instead of O(connected pairs). Fully
+    hash-oracled: the sketch is deterministic (xxhash64 registers,
+    max-absorb rounds), so the DuckDB oracle replays it from scratch —
+    xxhash64 re-derived in HUGEINT modular arithmetic, dense recursive
+    absorb, the same alpha/linear-counting estimate and rel-tol stop
+    (plans/hll_oracle_sql.py) — and must land on identical rows."""
     from ..functions.sketches import hyperball_hopplot
     from ..operators.graph import bidirectional
 
@@ -364,12 +374,15 @@ def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_effective_diameter_approx")  # rows-only: HLL-sketch based
+@register("graph_effective_diameter_approx", effective_diameter_oracle_sql(max_d=20))
 def graph_effective_diameter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate effective diameter at data scale: HyperBall hop-plot
     (functions/sketches.py) + the reference's interpolation rule
     (docs/PA1.pdf p.3 §3) — the end-to-end diameter path that works when
-    the exact pair BFS can't (O(|V|*2^p) state vs O(pairs))."""
+    the exact pair BFS can't (O(|V|*2^p) state vs O(pairs)). Fully
+    hash-oracled via the same deterministic-sketch replay as
+    graph_hyperball (plans/hll_oracle_sql.py), including the 0.9-crossing
+    interpolation."""
     from ..functions.sketches import hyperball_hopplot
     from ..operators.graph import HopPlotRow, bidirectional, effective_diameter
 
