@@ -654,8 +654,10 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     edges = und_edges.localCheckpoint(eager=True)
     n_edges = edges.count()
+    converged = False
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             edges.select(F.col("a").alias("node"))
@@ -679,8 +681,16 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         )
         m = nxt.count()
         if m == n_edges:
+            converged = True
             break
         edges, n_edges = nxt, m
+    if not converged:
+        # an unfinished peel still contains sub-k-degree nodes and would
+        # read as a valid (larger) core downstream — fail loudly
+        # (ADVICE r3 silent-partial-result pattern).
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError("k_core", max_rounds)
     return (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -824,6 +834,7 @@ def strongly_connected_components(
         if nodes.isEmpty():
             break
         color = nodes.select("node", F.col("node").alias("color"))
+        colored = False
         for _i in range(max_rounds):
             msgs = (
                 live.join(color, live["src"] == color["node"], "inner")
@@ -843,10 +854,21 @@ def strongly_connected_components(
             )
             color = new_color
             if n_changed == 0:
+                colored = True
                 break
+        if not colored:
+            # forward color propagation stopped before its fixpoint:
+            # color classes are wrong and every SCC derived from them
+            # would be silently wrong (ADVICE r3 pattern).
+            from ..errors import ConvergenceError
+
+            raise ConvergenceError(
+                "strongly_connected_components (forward coloring)", max_rounds
+            )
         confirmed = color.filter(F.col("node") == F.col("color")).select(
             "node", "color"
         )
+        backward_done = False
         for _i in range(max_rounds):
             msgs = (
                 live.join(confirmed, live["dst"] == confirmed["node"], "inner")
@@ -865,14 +887,34 @@ def strongly_connected_components(
             )
             if new_confirmed.count() == confirmed.count():
                 confirmed = new_confirmed
+                backward_done = True
                 break
             confirmed = new_confirmed
+        if not backward_done:
+            # backward confirmation stopped while still growing: the
+            # root's SCC would be under-counted and its stragglers
+            # emitted as bogus singletons later.
+            from ..errors import ConvergenceError
+
+            raise ConvergenceError(
+                "strongly_connected_components (backward confirm)", max_rounds
+            )
         out_parts.append(confirmed.select("node", F.col("color").alias("scc")))
         done = confirmed.select("node")
         live = (
             live.join(done.withColumnRenamed("node", "_s"), live["src"] == F.col("_s"), "left_anti")
             .join(done.withColumnRenamed("node", "_d"), live["dst"] == F.col("_d"), "left_anti")
             .localCheckpoint(eager=True)
+        )
+
+    # outer peel exhausted with live edges remaining: those nodes would
+    # fall through to the singleton emission below and be silently
+    # mislabeled — refuse instead.
+    if live.limit(1).count() != 0:
+        from ..errors import ConvergenceError
+
+        raise ConvergenceError(
+            "strongly_connected_components (outer peel)", max_rounds
         )
 
     # ---- nodes never emitted (trimmed / orphaned) are singleton SCCs

@@ -353,3 +353,34 @@ def test_iterative_ops_raise_on_round_exhaustion(spark):
 
     # and the same calls converge fine with the default cap
     assert connected_components_star(edges).count() == 40
+
+
+def test_kcore_scc_raise_on_round_exhaustion(spark):
+    """Peeling and FW-BW coloring loops share the same fail-loudly
+    contract as the other iterative ops (ADVICE r3)."""
+    import pytest
+
+    from citegraph_spark.errors import ConvergenceError
+    from citegraph_spark.operators.graph import (
+        k_core,
+        strongly_connected_components,
+    )
+
+    # path: 2-core peels one endpoint layer per round -> cap of 1 is
+    # exhausted mid-peel
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "a long, b long"
+    )
+    with pytest.raises(ConvergenceError):
+        k_core(path, k=2, max_rounds=1)
+    assert k_core(path, k=2).count() == 0  # a path has no 2-core
+
+    # directed 10-cycle: nothing trims, forward coloring needs ~cycle
+    # length rounds -> cap of 2 is exhausted before the fixpoint
+    cyc = spark.createDataFrame(
+        [(i, (i % 10) + 1) for i in range(1, 11)], "src long, dst long"
+    )
+    with pytest.raises(ConvergenceError):
+        strongly_connected_components(cyc, max_rounds=2)
+    got = strongly_connected_components(cyc).collect()
+    assert {r["scc"] for r in got} == {10} and len(got) == 10
