@@ -128,6 +128,9 @@ _R3_CHECKED = [
 #   rows; the deterministic HLL sketch is now replayed from scratch in
 #   SQL (xxhash64 in HUGEINT modular arithmetic, recursive dense absorb
 #   — plans/hll_oracle_sql.py), upgrading both to hash-verified.
+# - bpe_train_merges: r1 `no_oracle` row; the whole 8-round training
+#   loop now unrolls into one DuckDB statement (plans/bpe_oracle_sql.py,
+#   greedy fold as gaps-and-islands), upgrading it to hash-verified.
 _RECHECK_FIRST = [
     "q12_ship_priority_class",
     "events_sessionize",
@@ -136,6 +139,7 @@ _RECHECK_FIRST = [
     "streaming_enrich",
     "similarity_ann_lsh", "similarity_ivf",
     "graph_hyperball", "graph_effective_diameter_approx",
+    "bpe_train_merges",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

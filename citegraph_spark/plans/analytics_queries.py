@@ -439,15 +439,21 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("bpe_train_merges")  # rows-only: genuinely iterative (argmax per round)
+from .bpe_oracle_sql import bpe_oracle_sql  # noqa: E402 — used below
+
+
+@register("bpe_train_merges", bpe_oracle_sql(n_merges=8))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE training loop, 8 merges (functions/text.py bpe_train):
     corpus -> weighted vocab (one aggregate), then 8 rounds of
     pair-count + argmax + JVM-side fold merge over the tiny vocab
-    table. Iterative with a per-round driver argmax, so no single SQL
-    oracle — the equivalence test vs a pure-Python BPE reference lives
-    in tests/test_analytics_queries.py. Output: (step, left, right,
-    cnt), the learned merge table."""
+    table. Fully hash-oracled: the loop is deterministic (integer
+    counts, lexicographic tie-break, greedy fold), so the DuckDB oracle
+    unrolls all 8 rounds in one statement (plans/bpe_oracle_sql.py) —
+    the fold re-expressed as gaps-and-islands over candidate positions —
+    and must learn the IDENTICAL merge table. The equivalence test vs a
+    pure-Python BPE reference lives in tests/test_analytics_queries.py.
+    Output: (step, left, right, cnt), the learned merge table."""
     from ..functions import text
     from ..functions.text import bpe_train
 
