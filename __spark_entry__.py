@@ -131,6 +131,8 @@ _R3_CHECKED = [
 # - bpe_train_merges: r1 `no_oracle` row; the whole 8-round training
 #   loop now unrolls into one DuckDB statement (plans/bpe_oracle_sql.py,
 #   greedy fold as gaps-and-islands), upgrading it to hash-verified.
+# - graph_betweenness_sampled: r3 `no_oracle` row; at hop bound k=2 the
+#   Brandes recursion flattens to closed form, now replayed in SQL.
 _RECHECK_FIRST = [
     "q12_ship_priority_class",
     "events_sessionize",
@@ -139,7 +141,7 @@ _RECHECK_FIRST = [
     "streaming_enrich",
     "similarity_ann_lsh", "similarity_ivf",
     "graph_hyperball", "graph_effective_diameter_approx",
-    "bpe_train_merges",
+    "bpe_train_merges", "graph_betweenness_sampled",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -199,17 +199,51 @@ def fixture_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(bidir)
 
 
-@register("graph_betweenness_sampled")
+@register(
+    "graph_betweenness_sampled",
+    """
+WITH cit AS (SELECT CAST(l_orderkey AS INT) AS f, CAST(l_partkey AS INT) AS t FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT f AS s, t AS d FROM cit UNION ALL SELECT t, f FROM cit
+  ) WHERE s <> d
+),
+srcs AS MATERIALIZED (SELECT DISTINCT s AS id FROM edges WHERE s % 1997 = 0),
+lvl1 AS MATERIALIZED (
+  SELECT srcs.id AS src, e.d AS node FROM srcs JOIN edges e ON e.s = srcs.id
+),
+lvl2 AS MATERIALIZED (
+  SELECT l.src, e.d AS w, CAST(count(*) AS DOUBLE) AS sigma
+  FROM lvl1 l JOIN edges e ON e.s = l.node
+  WHERE e.d <> l.src
+    AND NOT EXISTS (SELECT 1 FROM lvl1 x WHERE x.src = l.src AND x.node = e.d)
+  GROUP BY l.src, e.d
+),
+contrib AS (
+  SELECT l.src, l.node AS v, 1.0 / s2.sigma AS term
+  FROM lvl1 l
+  JOIN edges e ON e.s = l.node
+  JOIN lvl2 s2 ON s2.src = l.src AND s2.w = e.d
+)
+SELECT CAST(v AS INT) AS node, round(sum(term), 6) AS bc
+FROM contrib GROUP BY v
+HAVING round(sum(term), 6) > 0
+ORDER BY node
+""",
+)
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled, hop-bounded betweenness (Brandes-Pich 2007 source
     sampling; k-bounded paths) on the lineitem-derived graph: sources
     are the deterministic hash sample id % 1997 == 0, paths bounded to
     2 hops. This is the 100 TB configuration — per-source state makes
     exact betweenness O(n * m); sampling + bounding turn it into
-    O(S * m * k) with S and k chosen by budget. Rows-only by design
-    (path counting is not expressible in non-aggregating recursive
-    SQL at this scale); the algorithm itself is hash-certified by
-    fixture_betweenness and brute-forced in tests."""
+    O(S * m * k) with S and k chosen by budget. Fully hash-oracled: at
+    k = 2 the Brandes recursion flattens into closed form — a level-2
+    node w contributes sigma_v/sigma_w = 1/sigma_w to each level-1
+    predecessor v and nothing deeper exists — so the DuckDB oracle
+    computes the identical scores with two joins, no recursion. The
+    general-k algorithm stays brute-forced in tests and certified by
+    fixture_betweenness."""
     from ..operators.graph import betweenness_sampled
 
     edges = _citations(spark, sf_dir)
