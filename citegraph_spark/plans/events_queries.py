@@ -232,7 +232,7 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH o AS (
   SELECT o_orderkey, o_custkey,
          TIMESTAMP '2024-01-01'
-           + (datediff('day', DATE '1995-01-01', o_orderdate) % 27) * INTERVAL 1 DAY
+           + ((CAST(o_orderdate AS DATE) - DATE '1995-01-01') % 27) * INTERVAL 1 DAY
            AS lo
   FROM orders
 )

@@ -523,7 +523,7 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INT) AS m,
        CAST(last_day(o_orderdate) AS DATE) AS month_end,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) AS days_since_95,
        CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
        CAST(isodow(o_orderdate) AS INT) AS weekday_iso,
        upper(o_orderpriority) AS prio_upper,
@@ -1331,7 +1331,7 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
 base AS (
   SELECT o_custkey AS custkey,
-         CAST(date_diff('day', max(o_orderdate), (SELECT dmax FROM mx)) AS INT)
+         CAST(CAST((SELECT dmax FROM mx) AS DATE) - CAST(max(o_orderdate) AS DATE) AS INT)
            AS recency_days,
          CAST(count(*) AS BIGINT) AS frequency,
          round(sum(o_totalprice), 2) AS monetary

@@ -601,7 +601,7 @@ JOIN orders o ON o.o_orderkey = l1.l_orderkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE o.o_orderstatus = 'F'
   AND n.n_name = 'NATION_3'
-  AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 60
+  AND CAST(l1.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
   AND EXISTS (
     SELECT 1 FROM lineitem l2
     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
@@ -609,7 +609,7 @@ WHERE o.o_orderstatus = 'F'
   AND NOT EXISTS (
     SELECT 1 FROM lineitem l3
     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND date_diff('day', o.o_orderdate, l3.l_shipdate) > 60
+      AND CAST(l3.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
   )
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
@@ -639,7 +639,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .withColumn(
             "is_late",
-            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).cast("int"),
+            (
+                F.datediff(
+                    F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+                )
+                > 60
+            ).cast("int"),
         )
     )
     per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
