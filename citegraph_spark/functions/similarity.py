@@ -241,6 +241,16 @@ def ivf_topk(
     classic inverted-file trade: cost ~ |corpus| * n_probe / n_cells per
     query instead of |corpus|. Output schema matches
     `cosine_topk_bruteforce`; recall is asserted vs brute force in tests.
+
+    SIZING RULE (measured in BASELINE.md's round-4 pipeline rehearsal):
+    n_cells must GROW with the corpus — hold cell size ~constant
+    (n_cells ∝ N / target_cell_size; with n_probe ∝ sqrt(N) the classic
+    sqrt(N)-cells operating point). A fixed n_cells means cell size
+    grows with N and total probe cost goes quadratic: at 10x corpus the
+    16-cell default ran 41x slower, while 10x cells on the same data ran
+    20x faster. The default suits the sweep-scale corpus (500-2k
+    vectors); callers at larger N pass their own n_cells (or trained
+    centroids, one per target cell).
     """
     assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col, centroids)
     probes = assign.select(F.col("vec_id").alias("a"), "cell")

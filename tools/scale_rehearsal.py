@@ -9,7 +9,13 @@ REST API. Purpose (VERDICT r3 item 6): document that round counts and
 broadcast-budget fallbacks behave as designed at 10x, instead of arguing
 it from docstrings. Results land in BASELINE.md.
 
-Usage: python tools/scale_rehearsal.py [K]   (default 10)
+Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
+       tier: "graph" (heavy graph operators over the citation mapping)
+             or "pipeline" (dedup/similarity LLM-pipeline tier over
+             documents/embeddings; copies are deterministically
+             perturbed — a copy-index token appended to each text —
+             so replicas are NEAR-duplicates, the realistic worst case
+             for LSH candidate volume, not byte-identical ones)
 """
 
 from __future__ import annotations
@@ -51,7 +57,73 @@ def _delta(after: dict, before: dict) -> dict:
     return out
 
 
-def main(k: int = 10) -> int:
+def pipeline_tier(spark, k: int) -> dict:
+    """1x vs Kx over the dedup/similarity layer. Documents replicate with
+    a per-copy suffix token (near-dup clusters of size K — LSH's
+    realistic stress); embeddings replicate with the copy index added to
+    one dimension (distinct but locally clustered vectors)."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions.dedup import (
+        exact_canonical,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from citegraph_spark.functions.similarity import ivf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def docs_x(copies: int):
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * OFFSET)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytok{i}")).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def emb_x(copies: int):
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * OFFSET)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x + F.when(j == 0, i * 0.01).otherwise(0.0)
+                ).alias("embedding"),
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    results: dict[str, dict] = {}
+    for scale, copies in (("1x", 1), ("%dx" % k, k)):
+        d = docs_x(copies).localCheckpoint(eager=True)
+        e = emb_x(copies).localCheckpoint(eager=True)
+        ops = {
+            "dedup_exact": lambda: exact_canonical(d, "doc_id", "text").count(),
+            "minhash_lsh_pairs": lambda: minhash_lsh_pairs(d, threshold=0.8).count(),
+            "simhash_near_pairs": lambda: simhash_near_pairs(d, max_hamming=3).count(),
+            "ivf_topk": lambda: ivf_topk(e, k=3).count(),
+        }
+        for name, fn in ops.items():
+            before = _metrics(spark)
+            t0 = time.time()
+            out = fn()
+            wall = round(time.time() - t0, 1)
+            m = _delta(_metrics(spark), before)
+            results[f"{name}@{scale}"] = {"wall_s": wall, "result": out, **m}
+            print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
+    return results
+
+
+def main(k: int = 10, tier: str = "graph") -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
 
@@ -68,6 +140,11 @@ def main(k: int = 10) -> int:
     spark = get_spark(
         app_name="scale_rehearsal", extra_conf={"spark.ui.enabled": "true"}
     )
+
+    if tier == "pipeline":
+        results = pipeline_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         F.col("l_orderkey").cast("long").alias("from"),
@@ -135,4 +212,9 @@ def main(k: int = 10) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 10))
+    sys.exit(
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 10,
+            sys.argv[2] if len(sys.argv) > 2 else "graph",
+        )
+    )
