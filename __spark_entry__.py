@@ -145,11 +145,15 @@ _R4_PRESUMED = [
 # is still bad if round 4's sweep never ran — q12_ship_priority_class
 # (r3 hash FAIL; day-difference now computed on CAST-to-DATE values on
 # both engines) and events_sessionize (r1 `err`, fixed in r2, locally
-# green since). Both are cheap; together with the 48-entry backlog they
-# exactly fill a 50-entry sweep window.
+# green since). graph_scc's r1 row was `no_oracle`; in round 5 it
+# gained a full DuckDB replay oracle (core-trimmed transitive closure)
+# so the sweep upgrades it to hash-verified. Together with the 48-entry
+# backlog these fill a 51-entry sweep window (one entry may slip to
+# round 6 under a strict 50 cap).
 _RECHECK_FIRST = [
     "q12_ship_priority_class",
     "events_sessionize",
+    "graph_scc",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -674,15 +674,62 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_scc")  # rows-only: iterative trim+coloring (Tarjan-verified in tests)
+@register(
+    "graph_scc",
+    """
+WITH RECURSIVE
+cit AS (SELECT DISTINCT CAST(l_orderkey AS INT) AS f,
+               CAST(l_partkey AS INT) AS t FROM lineitem),
+nodes AS (SELECT DISTINCT n FROM
+          (SELECT f AS n FROM cit UNION ALL SELECT t FROM cit)),
+-- every node on a directed cycle appears as BOTH a source and a target
+-- (its cycle edges alone witness that), so all non-trivial SCCs live in
+-- the induced subgraph on cand; paths within an SCC also stay inside it
+cand AS (SELECT DISTINCT f AS n FROM cit WHERE f IN (SELECT t FROM cit)),
+ie AS (SELECT f, t FROM cit
+       WHERE f IN (SELECT n FROM cand) AND t IN (SELECT n FROM cand)),
+reach AS (
+  SELECT f AS a, t AS b FROM ie
+  UNION
+  SELECT r.a, e.t FROM reach r JOIN ie e ON r.b = e.f
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+lab AS (
+  SELECT c.n AS v, LEAST(c.n, COALESCE(MIN(m.u), c.n)) AS lbl
+  FROM cand c LEFT JOIN mutual m ON c.n = m.v GROUP BY c.n
+),
+sizes AS (SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl),
+nontriv AS (SELECT sz, count(*) AS cnt FROM sizes WHERE sz > 1 GROUP BY sz)
+SELECT CAST(scc_size AS BIGINT) AS scc_size,
+       CAST(n_sccs AS BIGINT) AS n_sccs FROM (
+  SELECT 1 AS scc_size,
+         (SELECT count(*) FROM nodes)
+         - COALESCE((SELECT SUM(sz*cnt) FROM nontriv), 0) AS n_sccs
+  UNION ALL
+  SELECT sz, cnt FROM nontriv
+) WHERE n_sccs > 0 ORDER BY scc_size
+""",
+)
 def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly-connected-component SIZE distribution of the directed
     citation mapping (operators/graph.py strongly_connected_components:
     trim acyclic fringe, color the cyclic residue). On this mapping the
     overlapping orderkey/partkey id ranges create one giant SCC plus
     singletons — (scc_size, n_sccs) is the stable, compact contract.
-    Rows-only: the nested fixpoints aren't SQL-expressible; the operator
-    is verified against a Tarjan reference implementation in tests."""
+
+    Hash-verified (upgraded from rows-only in round 5): the DuckDB
+    oracle trims to the src∩dst core — every node of a directed cycle
+    appears as both a source and a target, and intra-SCC paths stay
+    inside the SCC, so the induced subgraph preserves exactly the
+    non-trivial SCCs — then computes the transitive closure of that
+    core (~2k nodes at sweep SF) with a recursive CTE and labels each
+    node by the minimum mutually-reachable node. Singleton count is
+    recovered as |V| minus the non-trivial mass. The operator is
+    additionally verified against a driver-side Tarjan on crafted and
+    random graphs in tests."""
     from ..operators.graph import strongly_connected_components
 
     edges = _citations(spark, sf_dir).select(
