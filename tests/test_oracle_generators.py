@@ -111,3 +111,91 @@ def test_betweenness_k2_sql_matches_python_reference():
         )
         got = {int(n): float(b) for n, b in con.execute(sql).fetchall()}
         assert got == want, seed
+
+
+def _py_scc_size_distribution(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Reference (scc_size, n_sccs) via iterative Tarjan over the
+    de-duplicated directed edge set — same contract as graph_scc."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    nodes: set[int] = set()
+    for a, b in set(pairs):
+        adj[a].append(b)
+        nodes.update((a, b))
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    st: list[int] = []
+    sizes: list[int] = []
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                st.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                n = 0
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    n += 1
+                    if w == v:
+                        break
+                sizes.append(n)
+    dist: dict[int, int] = defaultdict(int)
+    for s in sizes:
+        dist[s] += 1
+    return sorted(dist.items())
+
+
+def test_scc_sql_matches_tarjan_on_random_digraphs():
+    """The graph_scc oracle trims to the src-and-dst core before the
+    transitive closure; these random digraphs (dense enough for several
+    non-trivial SCCs, plus self-loops and pure-source/pure-sink fringe)
+    pin that trim + closure + min-label pipeline against Tarjan."""
+    from citegraph_spark.plans.entry_queries import ORACLES
+
+    sql = ORACLES["graph_scc"]
+    for seed in (3, 11, 404):
+        rng = random.Random(seed)
+        n = rng.randrange(15, 40)
+        pairs = [
+            (rng.randrange(1, n), rng.randrange(1, n))
+            for _ in range(rng.randrange(n, 4 * n))
+        ]
+        # acyclic fringe: sources/sinks outside the core id range
+        pairs += [(rng.randrange(100, 120), rng.randrange(1, n))
+                  for _ in range(5)]
+        pairs += [(rng.randrange(1, n), rng.randrange(200, 220))
+                  for _ in range(5)]
+        want = _py_scc_size_distribution(pairs)
+
+        con = duckdb.connect()
+        values = ", ".join(f"({a}, {b})" for a, b in pairs)
+        con.execute(
+            "CREATE VIEW lineitem AS "
+            f"SELECT f AS l_orderkey, t AS l_partkey FROM (VALUES {values}) v(f, t)"
+        )
+        got = [(int(a), int(b)) for a, b in con.execute(sql).fetchall()]
+        assert got == want, seed
