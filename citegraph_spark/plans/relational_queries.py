@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datetime import date
+
 from ..sources.tables import load_table
+from .date_filters import date_window as _date_window
 from .entry_queries import register
 
 
@@ -25,7 +28,7 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
+WHERE CAST(l_shipdate AS DATE) < DATE '2025-06-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
@@ -37,7 +40,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp"))
+        li.filter(_date_window("l_shipdate", None, date(2025, 6, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -600,8 +603,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, nation
 """,
@@ -625,8 +628,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        _date_window("o_orderdate", date(1996, 1, 1), date(1997, 1, 1))
     )
     c = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
@@ -659,8 +661,8 @@ JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
 WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
-  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
 GROUP BY 1, 2, 4, 5
 ORDER BY revenue DESC, custkey
 LIMIT 20
@@ -675,8 +677,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        _date_window("o_orderdate", date(1996, 10, 1), date(1997, 1, 1))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -757,8 +758,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderpriority AS priority, count(*) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey
@@ -778,8 +779,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan reads 2 columns. At 100 TB both sides shuffle once on orderkey —
     the semi join never materializes the (order x lineitem) multiset."""
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        _date_window("o_orderdate", date(1996, 1, 1), date(1997, 1, 1))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -870,8 +870,8 @@ SELECT round(
          / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-  AND l_shipdate <  TIMESTAMP '1996-04-01'
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
 """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,8 +881,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the lineitem scan so the fact side shrinks ~60x before the probe.
     Produces a single row; no shuffle beyond the final 1-group agg."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        _date_window("l_shipdate", date(1996, 3, 1), date(1996, 4, 1))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -21,10 +21,13 @@ subquery form so the decorrelation itself is what gets verified.
 
 from __future__ import annotations
 
+from datetime import date
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .date_filters import date_window as _date_window
 from .entry_queries import register
 
 
@@ -122,8 +125,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate <  TIMESTAMP '1997-01-01'
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.04
   AND l_quantity < 24
 """,
@@ -132,11 +135,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan-filter-aggregate. All three predicates and the
     3-column projection push into the parquet scan; the aggregate is a
     single partial+final hash agg with no join — the plan every
-    100 TB scan-heavy query should collapse to."""
+    100 TB scan-heavy query should collapse to. The date window uses
+    _date_window: precise TZ-proof to_date comparison plus a coarse
+    bare-column predicate that keeps the scan pushdown alive."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        _date_window("l_shipdate", date(1996, 1, 1), date(1997, 1, 1))
         & (F.col("l_discount") >= 0.02)
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 24)
@@ -323,14 +327,17 @@ SELECT delay_class,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 1 ELSE 0 END) AS high_line_count,
        sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END) AS low_line_count,
+       sum(CASE WHEN ship_day IN (DATE '1996-01-01', DATE '1997-01-01')
+                THEN 1 ELSE 0 END) AS boundary_day_count
 FROM (
   SELECT o.o_orderpriority,
+         CAST(l.l_shipdate AS DATE) AS ship_day,
          CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) > 60
               THEN 'SLOW' ELSE 'FAST' END AS delay_class
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
 ) t
 GROUP BY delay_class
 ORDER BY delay_class
@@ -340,28 +347,39 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (ship mode → ship-delay class; the test schema has
     no l_shipmode): conditional counts of high/low-priority orders per
     delay class. One orderkey shuffle join; both CASE aggregates compute
-    in the same hash agg pass."""
+    in the same hash agg pass.
+
+    Driver-hardening history: r3 and r5 driver sweeps hash-failed this
+    entry (rows/schema ok) while local checks pass. The round-4 CAST-to-
+    DATE hardening of the day-difference did not fix it; the remaining
+    engine-sensitive construct was the FILTER boundary, which compared
+    the parquet TIMESTAMP column against a `.cast("timestamp")` string
+    literal — on an engine build that reads the column as TIMESTAMP_LTZ
+    under a non-UTC session the window shifts by the TZ offset and
+    boundary-midnight rows (1996-01-01 / 1997-01-01 00:00, present at
+    every sf) migrate between FAST/SLOW. Round 6: date-only semantics on
+    BOTH engines — `F.to_date` comparisons against DATE literals here,
+    `CAST(... AS DATE)` vs `DATE '...'` in the oracle — plus a
+    `boundary_day_count` debug column (rows landing exactly on either
+    boundary midnight) so any residual divergence self-localizes in the
+    driver row."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_shipdate")
+        .filter(_date_window("l_shipdate", date(1996, 1, 1), date(1997, 1, 1)))
+        .withColumn("ship_day", F.to_date(F.col("l_shipdate")))
+        .select("l_orderkey", "ship_day")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    boundary = F.col("ship_day").isin(date(1996, 1, 1), date(1997, 1, 1))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .withColumn(
             "delay_class",
             F.when(
-                F.datediff(
-                    F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
-                )
-                > 60,
+                F.datediff(F.col("ship_day"), F.to_date(F.col("o_orderdate"))) > 60,
                 "SLOW",
             ).otherwise("FAST"),
         )
@@ -369,6 +387,7 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(boundary, 1).otherwise(0)).alias("boundary_day_count"),
         )
         .orderBy("delay_class")
     )
@@ -417,8 +436,8 @@ WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
   FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
   GROUP BY 1
 )
 SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -433,8 +452,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row max → filter; the revenue aggregate is computed once (the
     naive plan recomputes the view twice)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        _date_window("l_shipdate", date(1996, 1, 1), date(1996, 4, 1))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -540,14 +558,14 @@ WHERE n.n_regionkey = 2
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_name LIKE 'small%'
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
     GROUP BY l.l_suppkey, l.l_partkey
     HAVING sum(l.l_quantity) > (
       SELECT 0.3 * sum(l2.l_quantity) FROM lineitem l2
       WHERE l2.l_partkey = l.l_partkey
-        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+        AND CAST(l2.l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l2.l_shipdate AS DATE) <  DATE '1997-01-01'
     )
   )
 ORDER BY s.s_name
@@ -560,8 +578,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the SAME filtered scan (window-sum over partkey — one
     shuffle, no second scan), then a semi join into supplier."""
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        _date_window("l_shipdate", date(1996, 1, 1), date(1997, 1, 1))
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     sp = (
@@ -686,7 +703,7 @@ WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey
-      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
   )
 GROUP BY c_nationkey
 ORDER BY cntrycode
@@ -709,7 +726,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .filter(_date_window("o_orderdate", date(1999, 1, 1)))
         .select("o_custkey")
     )
     return (

@@ -22,7 +22,7 @@ def plan_text(df) -> str:
 
 def test_q1_filter_and_pruning_reach_scan(spark):
     p = plan_text(QUERIES["q1_pricing_summary"](spark, SF_DIR))
-    assert "LessThanOrEqual(l_shipdate" in p, "shipdate filter not pushed"
+    assert "LessThan(l_shipdate" in p, "shipdate filter not pushed"
     # 7-column projection: comment/receipt columns must not be read
     scan = p[p.index("Scan parquet") :]
     read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
