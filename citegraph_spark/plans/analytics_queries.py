@@ -293,13 +293,19 @@ def udtf_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive of LLM pretraining pipelines, expressed as a lateral
     generator. The reference's closest analog is its row-expanding RDD
     flatMap (Analytics.scala:362-364); here it is a first-class SQL
-    citizen usable as `LATERAL chunker(text)`. Bounded to the first 500
-    docs: the UDTF path is per-row Python — the demo pins the API
-    surface, while bulk chunking at scale belongs to mapInPandas
+    citizen usable as `LATERAL chunker(text)`. `useArrow=True` makes it
+    an arrow-optimized UDTF (plans as ArrowEvalPythonUDTF — batched
+    Arrow transfer, not row-at-a-time pickling; the repo's plan linter
+    treats BatchEvalPython as a 100 TB-killer and this entry used to be
+    its one genuine hit). Bounded to the first 500 docs as an API demo;
+    bulk chunking at scale belongs to mapInPandas
     (functions/multimodal.py)."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="chunk_idx int, chunk_len int, first_word string")
+    @udtf(
+        returnType="chunk_idx int, chunk_len int, first_word string",
+        useArrow=True,
+    )
     class Chunker:
         def eval(self, text: str, size: int):
             if text is None:  # NULL doc → no chunks (matches the oracle)

@@ -36,6 +36,7 @@ import contextlib
 import io
 import json
 import os
+import re
 import sys
 import time
 
@@ -67,11 +68,33 @@ BNLJ_ALLOWED = {
     "sketch_mergeable_distinct", "approx_distinct_parts",
     "approx_percentile_prices", "bpe_top_merges", "tfidf_top_terms",
     "sample_weighted", "split_train_test",
+    # round-6 adjudications (the full-sweep judge run found these six
+    # missing; same 1-row-scalar class as above unless noted):
+    # - graph_hits: joins the 1-row L2-norm aggregate back onto the hub/
+    #   authority vectors each iteration (operators/graph.py).
+    # - customer_rfm_segments: 1-row corpus quantile-cutoff broadcast
+    #   onto the per-customer aggregate (plans/relational_queries.py).
+    # - events_gap_fill: 1-row (min_day, max_day) bounds broadcast that
+    #   seeds the sequence() day spine.
+    # - events_decayed_counts: 1-row max-timestamp anchor broadcast for
+    #   the exponential-decay weights.
+    # - sample_domain_mix: k-row (k = #domains, bounded by the label
+    #   vocabulary) per-domain quota broadcast onto the stratified
+    #   sampler.
+    "graph_hits", "customer_rfm_segments", "events_gap_fill",
+    "events_decayed_counts", "sample_domain_mix",
+    # - events_dau_wau: the one non-scalar allowance — a non-equi range
+    #   BNLJ (d BETWEEN wd-6 AND wd) whose BROADCAST side is the
+    #   distinct-day grid (bounded: one row per calendar day, 14 at
+    #   sf0.01, ~365/year at any sf), so the probe is O(user_days x 7)
+    #   with no pair blowup; the repo's range_join_binned is the
+    #   alternative if the grid ever stopped being calendar-bounded.
+    "events_dau_wau",
 }
 
 
-def lint_one(name: str, fn, spark) -> dict:
-    df = fn(spark, SF_DIR)
+def lint_one(name: str, fn, spark, sf_dir: str | None = None) -> dict:
+    df = fn(spark, sf_dir or SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -80,7 +103,11 @@ def lint_one(name: str, fn, spark) -> dict:
         "cartesian": p.count("CartesianProduct"),
         "batch_eval_python": p.count("BatchEvalPython"),
         "bnlj": p.count("BroadcastNestedLoopJoin"),
-        "exchanges": p.count("Exchange"),
+        # shuffle breadth only: count formatted-plan node headers
+        # "(N) Exchange" so BroadcastExchange / ReusedExchange (which a
+        # bare substring count also matched) are excluded, and each
+        # shuffle node counts exactly once (not again in the tree view)
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange$", p, re.M)),
     }
 
 
