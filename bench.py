@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE full JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
+
+followed by ONE compact JSON line (< 1500 chars: suite total, query
+count, heaviest 12 timings, error count). The driver records only the
+last 2000 characters of stdout, which truncates the full line on a
+128-query suite; the compact trailer guarantees a complete parseable
+record survives whatever the driver tails.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 collect/write cost); timings are per-query wall clock after a shared
@@ -212,6 +218,19 @@ def main() -> int:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    top12 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
+    )
+    compact = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "top12": top12,
+    }
+    print(json.dumps(compact))
     return 0
 
 
