@@ -16,6 +16,15 @@ Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
              perturbed — a copy-index token appended to each text —
              so replicas are NEAR-duplicates, the realistic worst case
              for LSH candidate volume, not byte-identical ones)
+             or "relational" (scan-agg / fact-fact star join / per-key
+             window / sessionization / as-of join over lineitem,
+             orders and events; copies shift EVERY join/partition key
+             by i*OFFSET so keys stay aligned across tables and
+             per-key partition SIZE stays constant while key
+             cardinality grows Kx — the shape a growing relational
+             workload actually has, and exactly the regime where a
+             global-sort window or a range-candidate join would blow
+             up while one-shuffle idioms stay linear)
 """
 
 from __future__ import annotations
@@ -123,6 +132,113 @@ def pipeline_tier(spark, k: int) -> dict:
     return results
 
 
+def relational_tier(spark, k: int) -> dict:
+    """1x vs Kx over the relational/events layer: scan-agg (q1 shape),
+    fact-fact star join + agg (q5 core), per-customer running-total
+    window (W1 at scale), event sessionization, and the union-and-carry
+    as-of join. Every join/partition key is shifted per copy so the
+    tables stay join-consistent and per-key group size is constant
+    while key cardinality grows Kx."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.relational import (
+        asof_join,
+        running_total,
+        sessionize,
+    )
+
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+    )
+    o0 = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority",
+    )
+    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def replicate(df, key_cols, copies):
+        parts = []
+        for i in range(copies):
+            p = df
+            for c in key_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    results: dict[str, dict] = {}
+    for scale, copies in (("1x", 1), ("%dx" % k, k)):
+        li = replicate(li0, ["l_orderkey"], copies).localCheckpoint(eager=True)
+        o = replicate(o0, ["o_orderkey", "o_custkey"], copies).localCheckpoint(
+            eager=True
+        )
+        ev = replicate(ev0, ["event_id", "user_id"], copies).localCheckpoint(
+            eager=True
+        )
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ops = {
+            # q1 shape: scan + 2-key hash agg, group count constant
+            "scan_agg_q1": lambda: li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(disc_price).alias("sum_disc_price"),
+                F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count("*").alias("n"),
+            )
+            .count(),
+            # q5 core: the ONE fact-fact shuffle join, then small agg
+            "star_join_agg": lambda: li.join(
+                o, li["l_orderkey"] == o["o_orderkey"]
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum(disc_price).alias("revenue"))
+            .count(),
+            # W1 at scale: per-customer cumulative sum — partition COUNT
+            # grows Kx, partition SIZE constant. Forced through an
+            # aggregate OF the window column: a bare .count() would let
+            # Catalyst prune the whole window (it doesn't change row
+            # count) and measure nothing.
+            "window_running_total": lambda: round(
+                running_total(
+                    o, "o_orderdate", "o_totalprice", "cum_spend",
+                    partition_by=["o_custkey"],
+                )
+                .agg(F.max("cum_spend"))
+                .first()[0],
+                2,
+            ),
+            # one shuffle on user + per-user sorted scan (same forcing)
+            "sessionize_30min": lambda: sessionize(
+                ev, "user_id", "ts", gap_minutes=30
+            )
+            .agg(F.max("session_id"))
+            .first()[0],
+            # union-and-carry as-of: one shuffle on key, no range blowup;
+            # count the non-null carried column so the carry window runs
+            "asof_join_ev_orders": lambda: asof_join(
+                ev, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+                right_cols=["o_orderkey"], right_key="o_custkey",
+            )
+            .agg(F.count("o_orderkey"))
+            .first()[0],
+        }
+        for name, fn in ops.items():
+            before = _metrics(spark)
+            t0 = time.time()
+            out = fn()
+            wall = round(time.time() - t0, 1)
+            m = _delta(_metrics(spark), before)
+            results[f"{name}@{scale}"] = {"wall_s": wall, "result": out, **m}
+            print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
+    return results
+
+
 def main(k: int = 10, tier: str = "graph") -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -143,6 +259,10 @@ def main(k: int = 10, tier: str = "graph") -> int:
 
     if tier == "pipeline":
         results = pipeline_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
+    if tier == "relational":
+        results = relational_tier(spark, k)
         print(json.dumps(results, indent=1))
         return 0
 
