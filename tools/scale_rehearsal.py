@@ -25,6 +25,10 @@ Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
              workload actually has, and exactly the regime where a
              global-sort window or a range-candidate join would blow
              up while one-shuffle idioms stay linear)
+             or "skew" (hot-key rehearsal: 30% of Kx events on ONE
+             user; the same skewed join measured with AQE skew-split
+             off, on, and via the manual salted_join, plus the
+             map-side-combine aggregation path)
 """
 
 from __future__ import annotations
@@ -239,6 +243,127 @@ def relational_tier(spark, k: int) -> dict:
     return results
 
 
+def skew_tier(spark, k: int) -> dict:
+    """Hot-key rehearsal: events replicated Kx, then 30% of ALL rows
+    remapped onto one user — the adversarial input for any shuffle on
+    user. Measures the same skewed join four ways:
+
+    - smj_aqe_skew_off: sort-merge join with AQE's skew split disabled —
+      the pathological baseline (one reducer gets 30% of the table).
+    - smj_aqe_skew_on: AQE skew-join split enabled with thresholds
+      scaled to this corpus (the 256 MB default is sized for production
+      partitions; at 100 TB the DEFAULTS trigger — scaling them down is
+      what makes the mechanism observable at rehearsal scale).
+    - salted_join: the manual mitigation (operators/relational.py) for
+      paths AQE can't split.
+    - skewed groupBy agg: partial aggregation absorbs the hot key
+      map-side; expected flat, recorded to prove it.
+
+    Broadcast is disabled for the join measurements: at rehearsal scale
+    the dim side fits any broadcast budget and Spark would (correctly)
+    sidestep the skew entirely — the measurement emulates the 100 TB
+    case where the dim is too big to broadcast and the shuffle is
+    unavoidable."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.relational import salted_join
+
+    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    parts = [
+        ev0.select(
+            (F.col("event_id") + F.lit(i * OFFSET)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * OFFSET)).alias("user_id"),
+            "value",
+        )
+        for i in range(k)
+    ]
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    ).localCheckpoint(eager=True)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(7)))
+        .localCheckpoint(eager=True)
+    )
+    n_rows = ev.count()
+    hot = ev.filter(F.col("user_id") == 1).count()
+
+    def joined_agg(left):
+        return (
+            left.groupBy("segment")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .count()
+        )
+
+    conf = spark.conf
+    saved = {
+        key: conf.get(key, None)
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    results: dict[str, dict] = {}
+
+    def run(name, fn):
+        before = _metrics(spark)
+        t0 = time.time()
+        out = fn()
+        wall = round(time.time() - t0, 1)
+        m = _delta(_metrics(spark), before)
+        results[name] = {"wall_s": wall, "result": out, **m}
+        print(json.dumps({name: results[name]}))
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run(
+            f"smj_aqe_skew_off@{k}x",
+            lambda: joined_agg(ev.join(dim, "user_id")),
+        )
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        run(
+            f"smj_aqe_skew_on@{k}x",
+            lambda: joined_agg(ev.join(dim, "user_id")),
+        )
+        run(
+            f"salted_join_32@{k}x",
+            lambda: joined_agg(salted_join(ev, dim, "user_id", n_salts=32)),
+        )
+        run(
+            f"skewed_groupby_agg@{k}x",
+            lambda: ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .count(),
+        )
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
+    results["_shape"] = {"rows": n_rows, "hot_key_rows": hot}
+    print(json.dumps({"_shape": results["_shape"]}))
+    return results
+
+
 def main(k: int = 10, tier: str = "graph") -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -263,6 +388,10 @@ def main(k: int = 10, tier: str = "graph") -> int:
         return 0
     if tier == "relational":
         results = relational_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
+    if tier == "skew":
+        results = skew_tier(spark, k)
         print(json.dumps(results, indent=1))
         return 0
 
