@@ -324,12 +324,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_priority_class",
     """
 SELECT delay_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count,
-       sum(CASE WHEN ship_day IN (DATE '1996-01-01', DATE '1997-01-01')
-                THEN 1 ELSE 0 END) AS boundary_day_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       CAST(sum(CASE WHEN ship_day IN (DATE '1996-01-01', DATE '1997-01-01')
+                THEN 1 ELSE 0 END) AS BIGINT) AS boundary_day_count
 FROM (
   SELECT o.o_orderpriority,
          CAST(l.l_shipdate AS DATE) AS ship_day,
@@ -362,7 +362,20 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     `CAST(... AS DATE)` vs `DATE '...'` in the oracle — plus a
     `boundary_day_count` debug column (rows landing exactly on either
     boundary midnight) so any residual divergence self-localizes in the
-    driver row."""
+    driver row.
+
+    Round-6 root cause (found after the date-only rewrite): this was
+    the ONLY oracle in the entire 226-entry registry whose output
+    carried DuckDB HUGEINT columns — `sum(CASE..1..0)` of an INTEGER
+    is HUGEINT (int128) in DuckDB, while every other entry follows the
+    repo convention of CAST(... AS BIGINT) / round()-wrapping. A
+    canonicalizer that hashes fetched values typed (int128/Decimal/
+    float vs Spark's int64) mismatches on exactly and only this entry —
+    which fits the full failure record better than the TZ theory (q20's
+    identical timestamp filter passed the same r3 sweep that failed
+    q12; the r4 datediff hardening changed nothing). All three sums are
+    now CAST AS BIGINT in the oracle; the registry-wide scan asserting
+    no oracle emits HUGEINT is tests/test_oracle_dtypes.py."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
