@@ -379,25 +379,84 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_embeddings")  # rows-only: iterative algorithm (Lloyd's)
+@register(
+    "kmeans_embeddings",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       TRUE AS sizes_conserved, TRUE AS cells_within_k,
+       TRUE AS inertia_below_total_ss
+FROM embeddings
+""",
+)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means over the embeddings table — per-cluster sizes
-    and inertia. Rows-only check (iterative, not SQL-expressible);
-    cluster quality vs the synthetic labels is asserted in tests."""
+    """Distributed k-means (Lloyd's via mapInPandas partial sums) over
+    the embeddings table, scalarized to a driver-hashable certificate
+    (was rows-only through r6: raw cluster sizes/inertia depend on
+    float-summation order, which no SQL replay reproduces): every point
+    lands in exactly one of <= k clusters (sizes sum back to the table
+    count), and the fitted within-cluster SSE is strictly below the
+    total SSE around the global mean — the k=1 solution every correct
+    k>=2 fit must beat (W = T - B with B > 0; measured ratio 0.916 at
+    sweep scale). Complements kmeans_quality_gate, which pins inertia
+    DESCENT across iterations; this entry pins the variance
+    decomposition of the final fit. Raw per-cluster summaries remain
+    available via `functions.clustering.kmeans_summary`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.kmeans_summary(emb, k=10, max_iter=8)
+    n = emb.count()
+    summary = clustering.kmeans_summary(emb, k=10, max_iter=8)
+    s = summary.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_vecs").alias("n_assigned"),
+        F.sum("inertia").alias("inertia"),
+    ).first()
+    # total SSE around the global mean, from per-dimension moments:
+    # sum((x - mean)^2) = sum(x^2) - (sum x)^2 / n per dimension
+    mom = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ss"))
+        .agg(F.sum(F.col("ss") - F.col("s") * F.col("s") / n).alias("total_ss"))
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                s["n_assigned"] == n,
+                1 <= s["n_cells"] <= 10,
+                float(s["inertia"]) < float(mom["total_ss"]),
+            )
+        ],
+        "n_points bigint, sizes_conserved boolean, cells_within_k boolean, "
+        "inertia_below_total_ss boolean",
+    )
 
 
-@register("similarity_ivf_trained")  # rows-only: ANN with trained quantizer
+@register(
+    "similarity_ivf_trained",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS k_rows_each, TRUE AS no_self_neighbor,
+       TRUE AS cosine_bounded, TRUE AS recall_ok
+FROM embeddings
+""",
+)
 def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a k-means-trained coarse quantizer (the scale path
-    similarity.py's docstring promises) — recall vs brute force is
-    asserted in tests alongside the min-id-quantizer variant."""
+    similarity.py's docstring promises), scalarized to the same
+    driver-hashable certificate shape as similarity_pq (was rows-only
+    through r6: trained-centroid cell contents are not SQL-replayable):
+    exactly k neighbors per query, never itself, cosines bounded, and
+    brute-force top-1 recall@3 >= 0.3 (measured 0.44-0.45 at sweep
+    scale — the unit-test floor on this isotropic corpus). Raw neighbor
+    lists remain available via `functions.similarity.ivf_topk`."""
     from ..functions import similarity
+    from .text_queries import _ann_certificate
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = clustering.kmeans_fit(emb, k=16, max_iter=4)
-    return similarity.ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents)
+    ann = similarity.ivf_topk(emb, k=3, n_cells=16, n_probe=2, centroids=cents)
+    return _ann_certificate(spark, emb, ann, k=3, recall_floor=0.3)
 
 
 @register(

@@ -875,15 +875,85 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_pq")  # rows-only: codebook contents are engine-specific
+@register(
+    "similarity_pq",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       TRUE AS k_rows_each, TRUE AS no_self_neighbor,
+       TRUE AS cosine_bounded, TRUE AS recall_ok
+FROM embeddings
+""",
+)
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-3 (16 subspaces x 16 centroids = 16
     bytes/vector, 32x compression; ADC shortlist + exact distributed
     rerank) — the scale path where even the IVF cell lists exceed
-    broadcast size. Rows-only check; recall vs brute force is asserted
-    in tests."""
+    broadcast size.
+
+    Driver-hashable certificate (was rows-only through r6: the raw
+    neighbor lists depend on codebook contents, which no SQL replay can
+    reproduce): every query returns exactly k neighbors, never itself,
+    all cosines in [-1, 1], and the brute-force top-1 neighbor lands in
+    the PQ top-3 for >= 50% of queries (measured 0.95 at sweep scale —
+    the unit-test floor). All four booleans are deterministic (codebook
+    training is seeded and driver-side); a broken ADC table, rerank
+    join, or shortlist flips a column and hash-mismatches. The raw
+    neighbor lists remain available via `functions.similarity.pq_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, k=3)
+    return _ann_certificate(spark, emb, similarity.pq_topk(emb, k=3), k=3, recall_floor=0.5)
+
+
+def _ann_certificate(
+    spark: SparkSession,
+    emb: DataFrame,
+    ann: DataFrame,
+    k: int,
+    recall_floor: float,
+) -> DataFrame:
+    """Scalarize an ANN top-k result into the deterministic invariants
+    the similarity_pq / similarity_ivf_trained certificates hash on.
+    One pass over `ann` for the structural checks plus the shared
+    brute-force top-1 join for recall@k (same definition as
+    similarity_recall_gate)."""
+    n = emb.count()
+    per_q = ann.groupBy("vec_id").agg(
+        F.count("*").alias("n_rows"),
+        F.max((F.col("neighbor_id") == F.col("vec_id")).cast("int")).alias("self_hit"),
+        F.max(F.abs("cosine")).alias("max_abs_cos"),
+    )
+    s = per_q.agg(
+        F.count("*").alias("nq"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.max("self_hit").alias("any_self"),
+        F.max("max_abs_cos").alias("max_abs_cos"),
+    ).first()
+    bf1 = similarity.cosine_topk_bruteforce(emb, k=1).select(
+        "vec_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    hits = (
+        bf1.join(
+            ann.select("vec_id", F.col("neighbor_id").alias("ann_neighbor")),
+            ["vec_id"],
+        )
+        .filter(F.col("ann_neighbor") == F.col("bf_neighbor"))
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                s["nq"] == n and s["min_rows"] == k and s["max_rows"] == k,
+                s["any_self"] == 0,
+                s["max_abs_cos"] is not None and s["max_abs_cos"] <= 1.0 + 1e-9,
+                hits / n >= recall_floor,
+            )
+        ],
+        "n_queries bigint, k_rows_each boolean, no_self_neighbor boolean, "
+        "cosine_bounded boolean, recall_ok boolean",
+    )
 
 
 @register(
