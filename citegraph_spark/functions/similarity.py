@@ -23,6 +23,7 @@ tie-break, so results are stable cross-engine for the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -166,6 +167,21 @@ def embedding_near_pairs(
     )
 
 
+def ivf_cell_count(n: int, target_cell_size: int = 32, floor: int = 16) -> int:
+    """Derive the IVF cell count from the corpus size: hold the expected
+    cell size roughly constant (n_cells ∝ N / target_cell_size, rounded
+    up to a power of two). This is the sizing rule BASELINE.md's 10x/30x
+    pipeline rehearsals validated — a FIXED n_cells means per-cell lists
+    grow with N and total probe cost goes quadratic (the 16-cell default
+    ran 41x slower at 10x corpus), while this rule keeps per-query cost
+    ~flat. The floor keeps sweep-scale behavior byte-identical to the
+    historical fixed-16 default (any N <= floor*target_cell_size → 16),
+    so the hash-verified similarity_ivf oracle is unaffected."""
+    if n <= floor * target_cell_size:
+        return floor
+    return 1 << math.ceil(math.log2(n / target_cell_size))
+
+
 def _ivf_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str):
     """Deterministic coarse quantizer: the L2-normalized vectors of the
     n_cells smallest ids. (At scale, replace with a sampled k-means — the
@@ -179,7 +195,7 @@ def _ivf_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str):
 
 def ivf_assignments(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -189,7 +205,10 @@ def ivf_assignments(
     runner-up probe cells. One numpy pass per Arrow batch, no shuffle.
 
     `centroids`: a trained coarse quantizer (e.g. `clustering.kmeans_fit`
-    — L2-normalized here); default is the deterministic min-id quantizer."""
+    — L2-normalized here); default is the deterministic min-id quantizer.
+    `n_cells=None` (default) derives the cell count from the corpus size
+    via `ivf_cell_count` (one count() job), so callers cannot hit the
+    fixed-cell quadratic failure mode by omission."""
     spark = emb.sparkSession
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
@@ -197,6 +216,8 @@ def ivf_assignments(
         norms[norms == 0] = 1.0
         cents = cents / norms
     else:
+        if n_cells is None:
+            n_cells = ivf_cell_count(emb.count())
         cents = _ivf_centroids(emb, n_cells, id_col, vec_col)
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -230,7 +251,7 @@ def ivf_assignments(
 def ivf_topk(
     emb: DataFrame,
     k: int = 3,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -248,9 +269,12 @@ def ivf_topk(
     sqrt(N)-cells operating point). A fixed n_cells means cell size
     grows with N and total probe cost goes quadratic: at 10x corpus the
     16-cell default ran 41x slower, while 10x cells on the same data ran
-    20x faster. The default suits the sweep-scale corpus (500-2k
-    vectors); callers at larger N pass their own n_cells (or trained
-    centroids, one per target cell).
+    20x faster. Since round 7 the rule is AUTOMATED: `n_cells=None`
+    (default) derives the count via `ivf_cell_count(emb.count())`, so a
+    100 TB caller cannot hit the quadratic mode by omission; the rule's
+    floor keeps sweep-scale behavior (N <= 512 → 16 cells) identical to
+    the historical fixed default. Pass explicit n_cells (or trained
+    centroids, one per target cell) to override.
     """
     assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col, centroids)
     probes = assign.select(F.col("vec_id").alias("a"), "cell")

@@ -195,6 +195,31 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert hits / len(bf) >= 0.3, f"IVF top-1 recall too low: {hits}/{len(bf)}"
 
 
+def test_ivf_cell_count_rule():
+    """The automated sizing rule: constant below the floor boundary (so
+    the hash-verified similarity_ivf oracle is unchanged at sweep
+    scale), then power-of-two growth ∝ N / target_cell_size."""
+    # floor region: sweep-scale corpora keep the historical 16-cell grid
+    for n in (1, 50, 500, 512):
+        assert similarity.ivf_cell_count(n) == 16
+    # growth region: cell size stays within [target/2, target]
+    for n in (513, 2_000, 60_000, 1_000_000, 100_000_000):
+        c = similarity.ivf_cell_count(n)
+        assert c & (c - 1) == 0, f"n_cells {c} not a power of two"
+        assert 16 <= n / c <= 32, f"cell size {n / c} drifted at N={n}"
+    # monotone: more corpus never means fewer cells
+    counts = [similarity.ivf_cell_count(n) for n in range(1, 5_000, 37)]
+    assert counts == sorted(counts)
+
+
+def test_ivf_default_args_match_explicit_floor(spark, emb):
+    """n_cells=None must be byte-identical to the historical explicit
+    n_cells=16 for a sweep-scale corpus (N=500 <= floor boundary)."""
+    auto = similarity.ivf_topk(emb, k=3).collect()
+    explicit = similarity.ivf_topk(emb, k=3, n_cells=16).collect()
+    assert auto == explicit
+
+
 def test_sample_frames_shape(spark, docs):
     binary = multimodal.to_binary_payload(docs.limit(10), "doc_id", "text")
     frames = multimodal.sample_frames(binary, n_frames=4).collect()

@@ -123,13 +123,14 @@ def pipeline_tier(spark, k: int) -> dict:
             "dedup_exact": lambda: exact_canonical(d, "doc_id", "text").count(),
             "minhash_lsh_pairs": lambda: minhash_lsh_pairs(d, threshold=0.8).count(),
             "simhash_near_pairs": lambda: simhash_near_pairs(d, max_hamming=3).count(),
-            # n_cells follows the operator's sizing rule (n_cells ∝ N,
-            # constant cell size). The round-4 run measured the FIXED
-            # 16-cell default at 10x on purpose and recorded the
-            # quadratic blowup (158 s vs 8.1 s scaled) in BASELINE.md;
-            # re-measuring a documented failure mode at every K wastes
-            # the rehearsal — later runs measure the scale PATH.
-            "ivf_topk": lambda: ivf_topk(e, k=3, n_cells=16 * copies).count(),
+            # DEFAULT ARGS on purpose (round 7): n_cells=None derives the
+            # cell count inside the operator (ivf_cell_count — constant
+            # cell size, n_cells ∝ N), so this measures what a caller who
+            # passes nothing now gets. The round-4 run measured the FIXED
+            # 16-cell grid at 10x and recorded the quadratic blowup
+            # (158 s vs 8.1 s scaled) in BASELINE.md; the round-6 run
+            # measured the rule applied MANUALLY (n_cells=16*copies).
+            "ivf_topk": lambda: ivf_topk(e, k=3).count(),
         }
         for name, fn in ops.items():
             before = _metrics(spark)
