@@ -185,9 +185,11 @@ _R6_CHECKED = [
 #      similarity_pq, similarity_ivf_trained), re-registered in round 7
 #      as deterministic certificate outputs with full DuckDB oracles —
 #      their first-ever hash rows close the driver board at 229/229.
-#   3. The 39-entry round-1 window (oldest driver rows on the board),
+#   3. q12_ship_priority_class again: its boundary_day_count edge
+#      canary changed in round 7 (ADVICE.md) after the r6 green row.
+#   4. The 39-entry round-1 window (oldest driver rows on the board),
 #      which follows via the _R1_CHECKED block ordered directly after
-#      this list — a 50-entry sweep reaches 26 of them; the rest lead
+#      this list — a 50-entry sweep reaches 25 of them; the rest lead
 #      round 8.
 _RECHECK_FIRST = [
     # date_window refactor (ed416f8) — filter boundaries changed
@@ -206,6 +208,9 @@ _RECHECK_FIRST = [
     "graph_matching_gate", "graph_ktruss_gate",
     # rows-only -> certificate re-registrations (round 7)
     "kmeans_embeddings", "similarity_pq", "similarity_ivf_trained",
+    # round-7 edit AFTER its r6 green row: boundary_day_count's dead
+    # upper-edge term replaced with the last in-window day (ADVICE.md)
+    "q12_ship_priority_class",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -221,8 +221,12 @@ def main() -> int:
     top12 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
+    # Distinct metric name (advisor note, round 6): a consumer that
+    # parses "the last JSON line" must be able to tell the compact
+    # trailer from the full per-query record above — same totals, but
+    # only the full record carries the complete "queries" map.
     compact = {
-        "metric": "suite_seconds",
+        "metric": "suite_seconds_compact",
         "value": total,
         "unit": "sec",
         "sf": sf,

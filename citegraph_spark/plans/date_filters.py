@@ -9,7 +9,17 @@ reads the column as TIMESTAMP_LTZ under a non-UTC session the window
 shifts by the session-TZ offset, moving boundary-midnight rows
 (present at every sf) across the filter. Date-only comparisons on both
 engines (``F.to_date`` vs DATE literals here; ``CAST(... AS DATE)`` vs
-``DATE '...'`` in the DuckDB oracles) are insensitive to that skew.
+``DATE '...'`` in the DuckDB oracles) are insensitive to the SYMMETRIC
+skew model: both the parquet read and the to_date round-trip applying
+the same session-TZ conversion, which cancels. They are NOT a blanket
+TZ guarantee — under an asymmetric model (raw micros read as UTC
+instants but ``to_date`` converting via a non-UTC session TZ),
+boundary-midnight rows still shift across the precise bound. The real
+build is NTZ (membership tests in tests/test_date_filters.py pass),
+and q12's ``boundary_day_count`` edge-day canary localizes the
+residual model in the driver row if an engine ever exhibits it; the
+actual r3/r5 q12 hash fail was the HUGEINT oracle dtype, not TZ
+(see plans/tpch_rest.py q12 docstring).
 """
 
 from __future__ import annotations

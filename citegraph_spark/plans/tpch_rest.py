@@ -328,7 +328,7 @@ SELECT delay_class,
                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
-       CAST(sum(CASE WHEN ship_day IN (DATE '1996-01-01', DATE '1997-01-01')
+       CAST(sum(CASE WHEN ship_day IN (DATE '1996-01-01', DATE '1996-12-31')
                 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_day_count
 FROM (
   SELECT o.o_orderpriority,
@@ -360,9 +360,10 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sf) migrate between FAST/SLOW. Round 6: date-only semantics on
     BOTH engines — `F.to_date` comparisons against DATE literals here,
     `CAST(... AS DATE)` vs `DATE '...'` in the oracle — plus a
-    `boundary_day_count` debug column (rows landing exactly on either
-    boundary midnight) so any residual divergence self-localizes in the
-    driver row.
+    `boundary_day_count` debug column (rows landing on the first or
+    LAST in-window day, 1996-01-01 / 1996-12-31 — the upper bound
+    itself is unreachable by construction) so any residual divergence
+    self-localizes in the driver row.
 
     Round-6 root cause (found after the date-only rewrite): this was
     the ONLY oracle in the entire 226-entry registry whose output
@@ -386,7 +387,13 @@ def q12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "ship_day")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    boundary = F.col("ship_day").isin(date(1996, 1, 1), date(1997, 1, 1))
+    # edge canaries: the FIRST and LAST in-window days. The upper bound
+    # itself (1997-01-01) would be dead by construction — ship_day
+    # derives from the very expression the filter half-opens on, so it
+    # can never survive the filter even on a TZ-skewed engine; rows
+    # migrating across the upper bound show up as a 1996-12-31 delta
+    # instead (advisor note, round 6).
+    boundary = F.col("ship_day").isin(date(1996, 1, 1), date(1996, 12, 31))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .withColumn(
