@@ -1,0 +1,66 @@
+"""Regression gates for the session-level scale posture the round-6
+skew rehearsal relied on (VERDICT r6 item 6).
+
+The rehearsal's conclusion — "AQE's runtime skew split is the default
+mitigation; manual salting is reserved for plans where AQE can't act"
+— only holds while the session factory actually enables those
+switches. A config drift would silently re-expose every skewed join,
+so the exact keys session.py sets are pinned here, and the one registry
+consumer of salted_join is checked against the rehearsal's other
+finding: salt belongs to JOIN keys only (pre-salting an aggregation
+costs more than the straggler — partial map-side combine already
+bounds hot-key reducer load)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from plan_lint import lint_one  # noqa: E402
+
+from citegraph_spark.plans.entry_queries import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_session_skew_posture_defaults(spark):
+    """The AQE family the skew rehearsal measured (session.py:40-42)
+    plus the deterministic-output settings every oracle depends on."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    # broadcast threshold raised to 64 MB so dimension-side joins stay
+    # broadcast at sweep scale (the rehearsal's non-skew baseline)
+    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) == 64 * 1024 * 1024
+    # oracle determinism: UTC session; shuffle partitions sized from
+    # parallelism, never Spark's legacy 200
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(conf.get("spark.sql.shuffle.partitions")) != 200
+
+
+def test_salted_join_consumer_salts_join_not_aggregate(spark):
+    """salted_join_event_nations must salt the JOIN and drop the salt
+    before its groupBy: `_salt` in join keys, never in aggregate Keys.
+    The generalized rule (no registry entry may aggregate on _salt) is
+    the plan linter's `salted_agg` check, enforced over all 229 entries
+    in the out-of-band sweep; this pins the one known consumer on every
+    pytest run."""
+    import contextlib
+    import io
+
+    df = QUERIES["salted_join_event_nations"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "_salt" in plan, "salting disappeared from the plan entirely"
+    r = lint_one(
+        "salted_join_event_nations",
+        QUERIES["salted_join_event_nations"],
+        spark,
+        sf_dir=SF_DIR,
+    )
+    assert r["salted_agg"] == 0, "aggregate keyed on _salt (pre-salted aggregation)"

@@ -16,6 +16,12 @@ physical plan for the constructs that kill a 100 TB run:
                                   be on the explicit allowlist below so
                                   a new unbounded NLJ cannot slip in.
 
+- aggregate Keys containing `_salt` — a pre-salted aggregation: the
+  round-6 skew rehearsal measured that salting a groupBy costs more
+  than the hot-key straggler it avoids (map-side partial combine
+  already bounds reducer load); salt is for JOIN keys only and must be
+  dropped before any aggregate.
+
 Also records, per entry, the Exchange count (shuffle breadth).
 (Codegen spans are NOT linted: under AQE the pre-execution formatted
 plan defers codegen annotation until the final plan, so the signal is
@@ -108,6 +114,15 @@ def lint_one(name: str, fn, spark, sf_dir: str | None = None) -> dict:
         # bare substring count also matched) are excluded, and each
         # shuffle node counts exactly once (not again in the tree view)
         "exchanges": len(re.findall(r"^\(\d+\) Exchange$", p, re.M)),
+        # a salt column surviving into AGGREGATE grouping keys: the
+        # round-6 skew rehearsal measured that pre-salting an
+        # aggregation costs more than the straggler it avoids (partial
+        # map-side combine already caps hot-key reducer load), so
+        # salted_join's contract is salt-for-the-join-only, dropped
+        # before any groupBy. Formatted plans print aggregate grouping
+        # keys as "Keys [n]: [...]" (join keys print as "Left keys"/
+        # "Right keys"), so this matches aggregates only.
+        "salted_agg": len(re.findall(r"^Keys \[\d+\]: \[[^\n]*_salt", p, re.M)),
     }
 
 
@@ -135,6 +150,8 @@ def main(argv: list[str]) -> int:
             v.append("BatchEvalPython")
         if r["bnlj"] and name not in BNLJ_ALLOWED:
             v.append(f"BroadcastNestedLoopJoin x{r['bnlj']} (not allowlisted)")
+        if r["salted_agg"]:
+            v.append("aggregate keyed on _salt (pre-salted aggregation)")
         if v:
             violations[name] = v
 
