@@ -185,11 +185,11 @@ _R6_CHECKED = [
 #      similarity_pq, similarity_ivf_trained), re-registered in round 7
 #      as deterministic certificate outputs with full DuckDB oracles —
 #      their first-ever hash rows close the driver board at 229/229.
-#   3. q12_ship_priority_class again: its boundary_day_count edge
-#      canary changed in round 7 (ADVICE.md) after the r6 green row.
+#   3. Round-7's own edits that postdate a green row (q12 edge canary;
+#      the two default-path IVF consumers of the new auto-sizing rule).
 #   4. The 39-entry round-1 window (oldest driver rows on the board),
 #      which follows via the _R1_CHECKED block ordered directly after
-#      this list — a 50-entry sweep reaches 25 of them; the rest lead
+#      this list — a 50-entry sweep reaches 24 of them; the rest lead
 #      round 8.
 _RECHECK_FIRST = [
     # date_window refactor (ed416f8) — filter boundaries changed
@@ -208,9 +208,15 @@ _RECHECK_FIRST = [
     "graph_matching_gate", "graph_ktruss_gate",
     # rows-only -> certificate re-registrations (round 7)
     "kmeans_embeddings", "similarity_pq", "similarity_ivf_trained",
-    # round-7 edit AFTER its r6 green row: boundary_day_count's dead
-    # upper-edge term replaced with the last in-window day (ADVICE.md)
-    "q12_ship_priority_class",
+    # round-7 edits AFTER their last green rows: q12's boundary_day_count
+    # dead upper-edge term replaced with the last in-window day
+    # (ADVICE.md), and the ivf_topk n_cells=None auto-sizing default
+    # touches the code path of similarity_ivf (r6) and
+    # similarity_recall_gate (r5) — behavior is byte-identical at sweep
+    # scale by the rule's floor (gated in tests/test_functions.py), but
+    # the freshness rule is "no entry's last driver check predates the
+    # code it runs", so both re-queue.
+    "q12_ship_priority_class", "similarity_ivf", "similarity_recall_gate",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2
