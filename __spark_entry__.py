@@ -185,12 +185,15 @@ _R6_CHECKED = [
 #      similarity_pq, similarity_ivf_trained), re-registered in round 7
 #      as deterministic certificate outputs with full DuckDB oracles —
 #      their first-ever hash rows close the driver board at 229/229.
-#   3. Round-7's own edits that postdate a green row (q12 edge canary;
-#      the two default-path IVF consumers of the new auto-sizing rule).
-#   4. The 39-entry round-1 window (oldest driver rows on the board),
-#      which follows via the _R1_CHECKED block ordered directly after
-#      this list — a 50-entry sweep reaches 24 of them; the rest lead
-#      round 8.
+#   3. Round-7's own edits that postdate a green row: the q12 edge
+#      canary, the two default-path IVF consumers of the new
+#      auto-sizing rule, and the nine entries on the iterative
+#      message-join family's persist-not-checkpoint fix (all locally
+#      re-verified hash-green at HEAD; their external rows re-queue on
+#      the freshness rule).
+#   4. The round-1 window (oldest driver rows on the board) follows via
+#      the _R1_CHECKED block ordered directly after this list — a
+#      50-entry sweep reaches 14 of them; the rest lead round 8.
 _RECHECK_FIRST = [
     # date_window refactor (ed416f8) — filter boundaries changed
     "q1_pricing_summary", "q4_order_priority", "q5_local_supplier_volume",
@@ -217,6 +220,19 @@ _RECHECK_FIRST = [
     # the freshness rule is "no entry's last driver check predates the
     # code it runs", so both re-queue.
     "q12_ship_priority_class", "similarity_ivf", "similarity_recall_gate",
+    # round-7 persist-not-checkpoint fix in the iterative message-join
+    # family (pagerank/hits/sssp/multi_source_bfs/hyperball): results
+    # identical (all 9 affected oracles re-verified hash-green at HEAD),
+    # but these four were last driver-checked in r5/r6, before the
+    # change; the other five affected entries (pagerank/ppr/hits/sssp/
+    # closeness_sampled) are r1 and already inside the window.
+    "graph_hyperball", "graph_effective_diameter_approx",
+    "hyperball_accuracy_gate", "graph_diameter_double_sweep",
+    # the five r1-stale entries on the same changed path, pinned here
+    # explicitly so window membership does not depend on where the r1
+    # block happens to start
+    "graph_pagerank", "graph_ppr", "graph_hits", "graph_sssp",
+    "graph_closeness_sampled",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -49,11 +49,13 @@ Spark-first design — NO Python UDFs, no RDDs:
 
 from __future__ import annotations
 
+import contextlib
 import gc
 import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _alpha(m: int) -> float:
@@ -278,14 +280,27 @@ def hyperball_hopplot(
             edges.unionByName(
                 counters.select(F.col("node").alias("src"), F.col("node").alias("dst"))
             )
-            .repartition(n_shuffle, "src")
-            .localCheckpoint(eager=True)
+            # persist, NOT localCheckpoint (a PySpark checkpoint scans
+            # back with UnknownPartitioning and every round re-shuffles
+            # this O(edges) table — see operators/graph.py pagerank).
+            # Broadcast mode partitions by the AGG key `src` so a round
+            # is join + agg with zero exchange; the fallback partitions
+            # by the JOIN key `dst` and hash-builds on the counter side,
+            # so the only per-round exchanges are the counter table and
+            # the map-side-combined aggregate — never the edges.
+            .repartition(n_shuffle, "src" if use_broadcast else "dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        edges_aug.count()  # materialize once
 
         out: list[tuple[int, float]] = []
         prev_total = float(n)  # N(0): every node reaches itself
         for d in range(1, max_d + 1):
-            build = F.broadcast(counters) if use_broadcast else counters
+            build = (
+                F.broadcast(counters)
+                if use_broadcast
+                else counters.hint("shuffle_hash")
+            )
             nxt = (
                 edges_aug.join(build, edges_aug["dst"] == build["node"], "inner")
                 .select(edges_aug["src"].alias("node"), *cols)
@@ -304,6 +319,8 @@ def hyperball_hopplot(
                 break
             prev_total = total
     finally:
+        with contextlib.suppress(Exception):
+            edges_aug.unpersist()
         spark.conf.set("spark.sql.codegen.wholeStage", codegen_before)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce_before)
 

@@ -574,12 +574,27 @@ def pagerank(
     augmented once with ZERO-WEIGHT self-loops so every node receives at
     least one message per round (a round is then a pure join +
     groupBy-sum, no left join against the previous ranks), and it is
-    pre-partitioned by DST — with the (16-byte-per-node) rank table
-    BROADCAST into the join, the join output already carries the
-    group-by key's partitioning, so a whole round runs with zero
-    shuffle. Rank tables past `broadcast_budget_bytes` (1e9-node graphs)
-    degrade to a shuffled join transparently. Round state is
-    localCheckpoint-ed (lineage truncation) with prompt Py4J release.
+    pre-partitioned ONCE for whichever join strategy the node count
+    selects:
+
+    - rank table under `broadcast_budget_bytes`: partition e_aug by DST
+      — with the (16-byte-per-node) rank table BROADCAST into the join,
+      the join output already carries the group-by key's partitioning,
+      so a whole round runs with ZERO shuffle.
+    - past the budget (1e9-node graphs), the join must shuffle — so
+      partition e_aug by SRC instead: the per-round rank table comes
+      out of its groupBy hash-partitioned on node with the same
+      partition count, both join sides already satisfy the join's
+      distribution, and the only per-round exchange left is the
+      map-side-combined message aggregate (O(distinct dst) per
+      partition, not O(edges)). Without this the static 100TB edge
+      table would re-shuffle on src EVERY iteration — the round-7 100x
+      rehearsal measured that as the dominant cost of the fallback
+      (15.6 GB/10 rounds); src-partitioning cut the forced-fallback
+      A/B's per-round shuffle by ~2.9x and wall by ~1.5x at 6M edges.
+
+    Round state is localCheckpoint-ed (lineage truncation) with prompt
+    Py4J release.
     """
     import gc
 
@@ -605,9 +620,17 @@ def pagerank(
                 F.lit(0.0).alias("w"),
             )
         )
-        .repartition(n_shuffle, "dst")
-        .localCheckpoint(eager=True)
+        .repartition(n_shuffle, "dst" if use_broadcast else "src")
+        # persist, NOT localCheckpoint: a PySpark localCheckpoint scans
+        # back as ExistingRDD with UnknownPartitioning, so every round
+        # would silently re-shuffle the static O(edges) table — the
+        # cached InMemoryTableScan keeps hashpartitioning(key, n) visible
+        # to EnsureRequirements and the per-round plan starts from the
+        # already-partitioned cache (verified in .explain: no Exchange
+        # above the InMemoryTableScan in either join mode)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_aug.count()  # materialize once
 
     if seeds is None:
         init_rank = F.lit(1.0 / n)
@@ -620,7 +643,12 @@ def pagerank(
         )
     ranks = nodes.select("node", init_rank.alias("rank")).localCheckpoint(eager=True)
     for it in range(1, iterations + 1):
-        build = F.broadcast(ranks) if use_broadcast else ranks
+        # fallback build side: SHUFFLE_HASH, not sort-merge — the rank
+        # table is the per-round hash build (its shuffle is O(nodes)),
+        # while the src-partitioned edge table streams with neither a
+        # re-shuffle nor the per-round SORT a merge join would force on
+        # the O(edges) side
+        build = F.broadcast(ranks) if use_broadcast else ranks.hint("shuffle_hash")
         nxt = (
             e_aug.join(build, e_aug["src"] == build["node"], "inner")
             .select(e_aug["dst"].alias("node"), (F.col("rank") * F.col("w")).alias("c"))
@@ -632,6 +660,9 @@ def pagerank(
             nxt = nxt.localCheckpoint(eager=True)
         ranks = nxt
         gc.collect()
+    # the final ranks are checkpointed (it == iterations), so they no
+    # longer depend on the cached edge table — release it eagerly
+    e_aug.unpersist()
     return ranks
 
 
@@ -950,11 +981,13 @@ def hits(
     edge u->v is pre-expanded into a forward message (to=v carries h(u))
     and a reverse message (to=u carries a(v)), unioned with zero-weight
     self-messages so every node survives the groupBy. The message table
-    is built once, repartitioned by `to`, and localCheckpoint-ed; with
-    the per-node state broadcast (24 bytes/node within
-    `broadcast_budget_bytes`, else a shuffled join), a round is
-    join + groupBy-sum with ZERO shuffle — the same mechanics as
-    `pagerank` above. Scores are left UN-normalized (normalization is a
+    is built once, partitioned for the selected join mode, and CACHED
+    (persist — see `pagerank` for why a checkpoint would lose the
+    partitioning); with the per-node state broadcast (24 bytes/node
+    within `broadcast_budget_bytes`), a round is join + groupBy-sum with
+    ZERO shuffle, and past the budget the shuffled-hash fallback moves
+    only the state + the combined aggregate, never the messages — the
+    same mechanics as `pagerank` above. Scores are left UN-normalized (normalization is a
     scalar that cancels in ranking); callers who need comparable
     magnitudes divide by the max, which keeps the recurrence exactly
     expressible in SQL (the DuckDB oracle replays it with a recursive
@@ -988,13 +1021,22 @@ def hits(
         .unionByName(
             nodes.select(F.col("node").alias("frm"), F.col("node").alias("to"), F.lit(0).alias("kind"))
         )
-        .repartition(n_shuffle, "to")
-        .localCheckpoint(eager=True)
+        # partition for the selected join mode and PERSIST (a PySpark
+        # localCheckpoint would scan back with UnknownPartitioning and
+        # silently re-shuffle the static message table every round —
+        # see pagerank above): broadcast mode partitions by the agg key
+        # `to` (zero-shuffle rounds), fallback by the join key `frm`
+        # (the O(edges) side streams into a shuffled-hash join without
+        # re-shuffle or sort; only the per-round state + the map-side-
+        # combined aggregate move)
+        .repartition(n_shuffle, "to" if use_broadcast else "frm")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    msgs.count()  # materialize once
 
     state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
     for it in range(1, iterations + 1):
-        build = F.broadcast(state) if use_broadcast else state
+        build = F.broadcast(state) if use_broadcast else state.hint("shuffle_hash")
         nxt = (
             msgs.join(build, msgs["frm"] == build["node"], "inner")
             .select(
@@ -1009,6 +1051,8 @@ def hits(
             nxt = nxt.localCheckpoint(eager=True)
         state = nxt
         gc.collect()
+    # final state is checkpointed — the cached message table can go
+    msgs.unpersist()
     return state
 
 
@@ -1098,7 +1142,8 @@ def sssp_bounded(
     round mechanics as `pagerank`/`hits`: the edge table is augmented
     once with zero-weight self-loops (carrying each node's own distance
     forward, so a round is ONE join + min-aggregate with no union
-    against the previous state), pre-partitioned by dst, and the
+    against the previous state), partitioned once for the selected join
+    mode and cached (see `pagerank`), and the
     distance table — which only ever holds REACHED nodes, a frontier
     that grows like the ball around the source — is broadcast while it
     fits `broadcast_budget_bytes`. Distances are sums of the input
@@ -1116,6 +1161,8 @@ def sssp_bounded(
         .unionByName(edges_w.select(F.col("dst").alias("node")))
         .distinct()
     )
+    n = nodes.count()
+    use_broadcast = n * 16 <= broadcast_budget_bytes
     e_aug = (
         edges_w.select("src", "dst", F.col("w").cast("double").alias("w"))
         .unionByName(
@@ -1125,17 +1172,19 @@ def sssp_bounded(
                 F.lit(0.0).alias("w"),
             )
         )
-        .repartition(n_shuffle, "dst")
-        .localCheckpoint(eager=True)
+        # same persist-not-checkpoint / mode-keyed partitioning as
+        # pagerank: agg key (dst) for zero-shuffle broadcast rounds,
+        # join key (src) + shuffled-hash build for the fallback
+        .repartition(n_shuffle, "dst" if use_broadcast else "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
-    use_broadcast = n * 16 <= broadcast_budget_bytes
+    e_aug.count()  # materialize once
 
     dist = e_aug.sparkSession.createDataFrame(
         [(int(source), 0.0)], "node long, dist double"
     )
     for it in range(1, rounds + 1):
-        build = F.broadcast(dist) if use_broadcast else dist
+        build = F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
         nxt = (
             e_aug.join(build, e_aug["src"] == build["node"], "inner")
             .select(
@@ -1149,6 +1198,7 @@ def sssp_bounded(
             nxt = nxt.localCheckpoint(eager=True)
         dist = nxt
         gc.collect()
+    e_aug.unpersist()
     return dist
 
 
@@ -1195,9 +1245,14 @@ def multi_source_bfs(
                 F.lit(0).alias("w"),
             )
         )
+        # persist, not localCheckpoint (UnknownPartitioning — see
+        # pagerank): with the dst partitioning visible, the broadcast
+        # join preserves it and the (src_id, node=dst) aggregate needs
+        # no exchange — rounds are zero-shuffle
         .repartition(n_shuffle, "dst")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_aug.count()  # materialize once
 
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "src_id long, node long, dist int"
@@ -1217,6 +1272,7 @@ def multi_source_bfs(
             nxt = nxt.localCheckpoint(eager=True)
         dist = nxt
         gc.collect()
+    e_aug.unpersist()
     return dist
 
 
