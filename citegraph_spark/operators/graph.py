@@ -751,10 +751,20 @@ def label_propagation(
     Fixed small `max_iter`: LPA quality saturates in a few rounds and
     each extra round is a full join over the edge set.
     """
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     fwd = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     rev = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
     adj = fwd.unionByName(rev).filter(F.col("node") != F.col("nbr")).distinct()
-    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    # partition the static adjacency by the per-round JOIN key and cache
+    # it: with the hashpartitioning visible (persist, not checkpoint —
+    # see pagerank) and the label table as a SHUFFLE_HASH build side,
+    # each round moves only the O(nodes) labels and the map-side-
+    # combined vote aggregate — never the O(edges) adjacency, and never
+    # the per-round sort a merge join would force on it
+    adj = adj.repartition(n_shuffle, "nbr").persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()  # materialize once
 
     labels = (
         adj.select("node").distinct().select("node", F.col("node").alias("community"))
@@ -763,7 +773,11 @@ def label_propagation(
     for it in range(1, max_iter + 1):
         msgs = (
             adj.alias("a")
-            .join(labels.alias("l"), F.col("a.nbr") == F.col("l.node"), "inner")
+            .join(
+                labels.hint("shuffle_hash").alias("l"),
+                F.col("a.nbr") == F.col("l.node"),
+                "inner",
+            )
             .select(F.col("a.node").alias("node"), F.col("l.community").alias("community"))
         )
         votes = msgs.unionByName(labels)
