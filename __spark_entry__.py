@@ -233,6 +233,9 @@ _RECHECK_FIRST = [
     # block happens to start
     "graph_pagerank", "graph_ppr", "graph_hits", "graph_sssp",
     "graph_closeness_sampled",
+    # same persist/partition fix applied to hash-min connected
+    # components (r7) — its one registry consumer re-queues (r3-stale)
+    "dedup_clusters",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

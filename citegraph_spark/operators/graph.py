@@ -408,9 +408,23 @@ def connected_components(
     (messages) + one min-aggregate with map-side combine, lineage
     truncated via localCheckpoint. All DataFrame ops — no RDDs.
     """
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     fwd = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
     rev = edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
-    adj = fwd.unionByName(rev).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # static adjacency partitioned once by the per-round join key and
+    # cached (persist keeps the hashpartitioning visible — see
+    # pagerank); labels hash-build into it so rounds move only the
+    # O(nodes) label table + the combined min-aggregate, never the
+    # O(edges) adjacency
+    adj = (
+        fwd.unionByName(rev)
+        .distinct()
+        .repartition(n_shuffle, "nbr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()  # materialize once
 
     labels = (
         adj.select("node").distinct().select("node", F.col("node").alias("component"))
@@ -419,7 +433,11 @@ def connected_components(
     for it in range(1, max_iter + 1):
         msgs = (
             adj.alias("a")
-            .join(labels.alias("l"), F.col("a.nbr") == F.col("l.node"), "inner")
+            .join(
+                labels.hint("shuffle_hash").alias("l"),
+                F.col("a.nbr") == F.col("l.node"),
+                "inner",
+            )
             .select(F.col("a.node").alias("node"), F.col("l.component").alias("component"))
         )
         new_labels = (
