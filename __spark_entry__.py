@@ -164,78 +164,59 @@ _R6_CHECKED = [
     "events_decayed_counts", "graph_diameter_double_sweep",
 ]
 
-# Re-check these FIRST. Round 7 window (stale-modified before stale-old,
-# per the round-6 verdict):
-#   1. The 21 entries whose QUERY CODE changed in round 6 AFTER their
-#      last driver certification — their external gold signal predates
-#      the code they now run:
-#      - the ed416f8 date_window refactor (plans/date_filters.py)
-#        rewrote the dated filter boundaries of q1/q4/q10/q14 (last
-#        driver row r2), q5 (r3) in relational_queries.py and q6/q15/q22
-#        (r2), q20 (r3) in tpch_rest.py (q12 was re-certified in r6);
-#      - the 2c1c338 day-difference hardening touched q21 (r3),
-#        scalar_functions_showcase (r2), customer_rfm_segments (r5) and
-#        range_join_events_orders (r1);
-#      - 42d30af made udtf_chunk_split (r1) an arrow-optimized UDTF;
-#      - 0a17ecd rebuilt the graph_scc oracle (r5);
-#      - 17b99eb switched events_kaplan_meier (r5) to unix_micros
-#        durations and added ConvergenceError guards to the five
-#        iterative graph gates (all r5).
-#   2. The 3 formerly rows-only entries (kmeans_embeddings,
-#      similarity_pq, similarity_ivf_trained), re-registered in round 7
-#      as deterministic certificate outputs with full DuckDB oracles —
-#      their first-ever hash rows close the driver board at 229/229.
-#   3. Round-7's own edits that postdate a green row: the q12 edge
-#      canary, the two default-path IVF consumers of the new
-#      auto-sizing rule, and the nine entries on the iterative
-#      message-join family's persist-not-checkpoint fix (all locally
-#      re-verified hash-green at HEAD; their external rows re-queue on
-#      the freshness rule).
-#   4. The round-1 window (oldest driver rows on the board) follows via
-#      the _R1_CHECKED block ordered directly after this list — a
-#      50-entry sweep reaches 14 of them; the rest lead round 8.
-_RECHECK_FIRST = [
-    # date_window refactor (ed416f8) — filter boundaries changed
+# Round-7 sweep rows (CORRECTNESS_r07.json): 50 green / 50, zero errors —
+# the second consecutive zero-fail driver round and the one that closed
+# the board at 229/229 all-hash. Freshest certifications; tail of the
+# rotation. Listed in the r7 artifact's order.
+_R7_CHECKED = [
     "q1_pricing_summary", "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
     "q15_top_supplier", "q20_part_promotion",
-    "q22_global_sales_opportunity",
-    # day-difference hardening (2c1c338)
-    "q21_waiting_suppliers", "scalar_functions_showcase",
-    "customer_rfm_segments", "range_join_events_orders",
-    # arrow UDTF conversion (42d30af)
-    "udtf_chunk_split",
-    # oracle rebuild (0a17ecd) / unix_micros + convergence guards (17b99eb)
-    "graph_scc", "events_kaplan_meier",
-    "graph_cc_star_gate", "graph_mst_gate", "graph_mis_gate",
-    "graph_matching_gate", "graph_ktruss_gate",
-    # rows-only -> certificate re-registrations (round 7)
+    "q22_global_sales_opportunity", "q21_waiting_suppliers",
+    "scalar_functions_showcase", "customer_rfm_segments",
+    "range_join_events_orders", "udtf_chunk_split", "graph_scc",
+    "events_kaplan_meier", "graph_cc_star_gate", "graph_mst_gate",
+    "graph_mis_gate", "graph_matching_gate", "graph_ktruss_gate",
     "kmeans_embeddings", "similarity_pq", "similarity_ivf_trained",
-    # round-7 edits AFTER their last green rows: q12's boundary_day_count
-    # dead upper-edge term replaced with the last in-window day
-    # (ADVICE.md), and the ivf_topk n_cells=None auto-sizing default
-    # touches the code path of similarity_ivf (r6) and
-    # similarity_recall_gate (r5) — behavior is byte-identical at sweep
-    # scale by the rule's floor (gated in tests/test_functions.py), but
-    # the freshness rule is "no entry's last driver check predates the
-    # code it runs", so both re-queue.
     "q12_ship_priority_class", "similarity_ivf", "similarity_recall_gate",
-    # round-7 persist-not-checkpoint fix in the iterative message-join
-    # family (pagerank/hits/sssp/multi_source_bfs/hyperball): results
-    # identical (all 9 affected oracles re-verified hash-green at HEAD),
-    # but these four were last driver-checked in r5/r6, before the
-    # change; the other five affected entries (pagerank/ppr/hits/sssp/
-    # closeness_sampled) are r1 and already inside the window.
     "graph_hyperball", "graph_effective_diameter_approx",
     "hyperball_accuracy_gate", "graph_diameter_double_sweep",
-    # the five r1-stale entries on the same changed path, pinned here
-    # explicitly so window membership does not depend on where the r1
-    # block happens to start
     "graph_pagerank", "graph_ppr", "graph_hits", "graph_sssp",
-    "graph_closeness_sampled",
-    # same persist/partition fix applied to hash-min connected
-    # components (r7) — its one registry consumer re-queues (r3-stale)
-    "dedup_clusters",
+    "graph_closeness_sampled", "dedup_clusters", "graph_density",
+    "graph_out_degree", "graph_canonical_pairs",
+    "graph_snapshot_edge_count", "graph_adjacency", "graph_hopplot_d2",
+    "running_total_orders", "attr_join_customer_orders",
+    "double_vertex_join", "anti_join_idle_customers",
+    "graph_degree_distribution", "graph_cocitation_triangles",
+    "graph_kcore",
+]
+
+# Re-check these FIRST. Round 8 window (stale-modified before stale-old,
+# per the round-7 verdict):
+#   1. `graph_lpa` — the round-7 verdict's single blemish: its
+#      static-adjacency pin (2e015a2) landed AFTER its only driver check
+#      (round 1) and it sat at rotation position 50, one slot outside
+#      the r7 sweep window. It leads round 8 so CORRECTNESS_r08
+#      re-certifies it and the stale-modified count returns to 0.
+#   2. The four IVF/ANN entries whose code paths change in round 8 on
+#      the ADVICE.md items (n_cells pinned at the two registry call
+#      sites so oracle equivalence no longer depends on corpus size;
+#      the ANN certificate's recall base switched to a deterministic
+#      query sample with an empty-corpus guard; ivf_assignments takes
+#      an optional pre-materialized count). All were r7-certified, but
+#      the freshness rule ("no entry's last driver check predates the
+#      code it runs") re-queues anything whose code path moves.
+#   3. The remaining round-1/round-2 certification windows (oldest
+#      driver rows on the board) follow automatically via the
+#      staleness-ordered tail: 18 r1-latest entries, then the 36
+#      r2-latest ones — a 50-entry sweep reaches all r1 and 27 of r2;
+#      the last ~9 r2 entries lead round 9.
+_RECHECK_FIRST = [
+    "graph_lpa",
+    # round-8 ADVICE.md edits (n_cells pin / certificate sampling /
+    # count reuse) — code paths changed after their r7 rows
+    "similarity_ivf", "similarity_recall_gate",
+    "similarity_pq", "similarity_ivf_trained",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2
@@ -320,6 +301,7 @@ def _rotated(d: dict) -> dict:
         | set(_R3_CHECKED)
         | set(_R5_CHECKED)
         | set(_R6_CHECKED)
+        | set(_R7_CHECKED)
         | set(_RECHECK_FIRST)
     )
     rank = {n: i for i, n in enumerate(_R3_CHEAP_FIRST)}
@@ -333,7 +315,8 @@ def _rotated(d: dict) -> dict:
     # the head of this order; staleness drains round by round.
     latest: dict[str, int] = {}
     for rnd, block in enumerate(
-        [_R1_CHECKED, _R2_CHECKED, _R3_CHECKED, _R5_CHECKED, _R6_CHECKED]
+        [_R1_CHECKED, _R2_CHECKED, _R3_CHECKED, _R5_CHECKED, _R6_CHECKED,
+         _R7_CHECKED]
     ):
         for n in block:
             latest[n] = rnd
