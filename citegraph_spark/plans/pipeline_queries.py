@@ -447,9 +447,10 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-hashable certificate shape as similarity_pq (was rows-only
     through r6: trained-centroid cell contents are not SQL-replayable):
     exactly k neighbors per query, never itself, cosines bounded, and
-    brute-force top-1 recall@3 >= 0.3 (measured 0.44-0.45 at sweep
-    scale — the unit-test floor on this isotropic corpus). Raw neighbor
-    lists remain available via `functions.similarity.ivf_topk`."""
+    exact top-1 recall@3 >= 0.3 over _ann_certificate's deterministic
+    128-query sample (the unit-test floor on this isotropic corpus,
+    where full-corpus recall measures 0.44-0.45 at sweep scale). Raw
+    neighbor lists remain available via `functions.similarity.ivf_topk`."""
     from ..functions import similarity
     from .text_queries import _ann_certificate
 

@@ -42,6 +42,9 @@ SAMPLE = [
     "events_decayed_counts",
     "sample_domain_mix",
     "events_dau_wau",
+    # round-8 adjudication: ANN certificate recall base — bounded
+    # 128-row broadcast sample vs corpus (see tools/plan_lint.BNLJ_ALLOWED)
+    "similarity_pq",
 ]
 
 

@@ -96,6 +96,13 @@ BNLJ_ALLOWED = {
     #   with no pair blowup; the repo's range_join_binned is the
     #   alternative if the grid ever stopped being calendar-bounded.
     "events_dau_wau",
+    # - similarity_pq / similarity_ivf_trained (round 8): the ANN
+    #   certificates' recall base — a non-equi self-exclusion BNLJ whose
+    #   BROADCAST side is the deterministic query sample, bounded by the
+    #   _CERT_SAMPLE_QUERIES = 128 constant (plans/text_queries.py:
+    #   _sample_top1_exact). O(128 x N) probe, corpus side streams; this
+    #   replaced the O(N^2) full-corpus brute force ADVICE r7 flagged.
+    "similarity_pq", "similarity_ivf_trained",
 }
 
 
