@@ -217,6 +217,15 @@ _RECHECK_FIRST = [
     # count reuse) — code paths changed after their r7 rows
     "similarity_ivf", "similarity_recall_gate",
     "similarity_pq", "similarity_ivf_trained",
+    # round-8 contraction-family audit fixes (VERDICT item 4): the MSF
+    # static edge table is now pinned a-partitioned with budget-gated
+    # broadcast/shuffle_hash comp joins, and edge_support grew a pinned
+    # mode k_truss uses past broadcast size — both gates' code paths
+    # changed after their r7 rows, so both re-queue (this pushes the
+    # r7-overlap to 6, one over the verdict's ~5 target; freshness
+    # outranks overlap, and the audit mandate said "any found static
+    # re-shuffle fixed").
+    "graph_mst_gate", "graph_ktruss_gate",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

@@ -1914,14 +1914,31 @@ def connected_components_star(
     )
 
 
-def edge_support(und_edges: DataFrame) -> DataFrame:
+def edge_support(
+    und_edges: DataFrame, _pins: list[DataFrame] | None = None
+) -> DataFrame:
     """Triangles-per-edge (edge 'support') of an undirected graph given
     as canonical (a<b) pairs — the building block of truss
     decomposition. Same degree-ordered orientation as triangle_stats /
     local_clustering (each triangle enumerated exactly once, oriented
     out-degree O(sqrt |E|) under skew); each triangle then credits its
     THREE edges via one narrow explode. Returns (a, b, support) for
-    edges with support >= 1; zero-support edges have no row."""
+    edges with support >= 1; zero-support edges have no row.
+
+    `_pins` selects the materialization mode for the oriented table.
+    With a list supplied (k_truss above its pin threshold), it is
+    persisted hash-partitioned on `u` (NOT localCheckpoint-ed, which
+    scans back as UnknownPartitioning — the round-7 lesson), so the
+    wedge-enumerating self-join on `u` needs NO Exchange on either
+    side: both aliases read the same cached layout and satisfy the
+    join's distribution directly, removing the 2x O(E') shuffle + sort
+    a merge self-join pays once the table is past broadcast size; the
+    persisted handle lands in the list for the caller to unpersist
+    after the round materializes. With _pins=None (one-shot callers,
+    small graphs) the table is localCheckpoint-ed as before — at
+    broadcastable sizes AQE turns the self-join into a
+    BroadcastHashJoin anyway, and the extra repartition pass would be
+    pure overhead."""
     deg = (
         und_edges.select(F.col("a").alias("node"))
         .unionByName(und_edges.select(F.col("b").alias("node")))
@@ -1944,8 +1961,22 @@ def edge_support(und_edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
     )
+    if _pins is not None:
+        # pinned mode: materialize hash-partitioned on `u` so the
+        # wedge self-join below runs with NO Exchange on either side
+        e = e.repartition(
+            int(
+                und_edges.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            ),
+            "u",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _pins.append(e)
+        e.count()  # materialize the pinned layout before the self-join
+    else:
+        e = e.localCheckpoint(eager=True)
     paths = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -2013,11 +2044,24 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         if n_before == 0:
             converged = True
             break
-        sup = edge_support(cur)
+        # pin the oriented table's partitioning only once the surviving
+        # edge set is past plausible broadcast size (same idea as
+        # pagerank's broadcast budget): below it, AQE broadcasts the
+        # wedge self-join and the repartition pass would be overhead;
+        # above it, the pin removes the per-round 2x O(E') exchange.
+        pins: list[DataFrame] = []
+        if n_before * 48 > 10 << 20:
+            sup = edge_support(cur, _pins=pins)
+        else:
+            sup = edge_support(cur)
         keep = sup.filter(F.col("support") >= need).select("a", "b")
         nxt = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
             eager=True
         )
+        # the eager checkpoint materialized the whole round; release
+        # the round's pinned oriented-edge cache before the next peel
+        for p in pins:
+            p.unpersist()
         n_after = nxt.count()
         cur = nxt
         if n_after == n_before:

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def minimum_spanning_forest(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    broadcast_budget_bytes: int = 256 << 20,
+) -> DataFrame:
     """Borůvka MSF over an undirected weighted graph.
 
     edges: (src, dst, weight) — interpreted undirected; parallel edges
@@ -42,6 +46,8 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
     unique minimum spanning forest under the (weight, a, b) total
     order, one component per connected component of the input.
     """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -51,8 +57,21 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         )
         .groupBy("a", "b")
         .agg(F.min("weight").alias("weight"))
+        # pin the STATIC edge table's partitioning to the first join key:
+        # the groupBy leaves hashpartitioning(a, b), which satisfies
+        # neither per-round join, so every Borůvka round would re-shuffle
+        # (and under sort-merge, re-sort) the full O(E) table on `a` —
+        # the same static-side re-shuffle class the round-7
+        # persist-not-checkpoint fix removed from the message-join
+        # family. Partitioned on `a` and persisted (localCheckpoint
+        # would scan back as UnknownPartitioning), the cached scan
+        # satisfies round joins' distribution directly; only the O(V)
+        # comp table and the join-1 output (keyed by `b`) shuffle per
+        # round — both inherent, since comp rewires every round.
+        .repartition(n_shuffle, "a")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e.count()  # materialize the pinned layout once
     comp = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -60,19 +79,27 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # same two-mode strategy as pagerank's per-round join: a comp table
+    # under the budget broadcasts (the whole label attach then runs with
+    # ZERO exchange — the cached e streams, nothing shuffles), while an
+    # over-budget comp becomes the SHUFFLE_HASH build against the
+    # a-partitioned edge cache (comp's O(V) shuffle per round is
+    # inherent — it rewires; the point of the pin is that the O(E) side
+    # never re-shuffles or re-sorts in either mode).
+    use_broadcast = comp.count() * 48 <= broadcast_budget_bytes
     forest: DataFrame | None = None
 
     converged = False
     for _ in range(max_rounds):
+        ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        if use_broadcast:
+            ca, cb = F.broadcast(ca), F.broadcast(cb)
+        else:
+            ca, cb = ca.hint("shuffle_hash"), cb.hint("shuffle_hash")
         ec = (
-            e.join(
-                comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
-                "a",
-            )
-            .join(
-                comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
-                "b",
-            )
+            e.join(ca, "a")
+            .join(cb, "b")
             .filter(F.col("ca") != F.col("cb"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -273,6 +273,58 @@ def test_ktruss_crafted_and_random(spark):
             assert truss(pairs, k) == ref(pairs, k), (seed, k)
 
 
+def test_edge_support_pinned_mode_matches_and_skips_exchange(spark):
+    """edge_support's pinned mode (k_truss above its pin threshold) must
+    return identical supports to the default localCheckpoint mode, hand
+    the persisted oriented table back via _pins, and — with broadcast
+    disabled, i.e. the at-scale strategy — plan the wedge self-join
+    with NO Exchange above either InMemoryTableScan (round-8 audit:
+    the pin exists so a peel round never re-shuffles its hottest
+    self-join once past broadcast size)."""
+    import random
+
+    from citegraph_spark.operators.graph import edge_support
+
+    rng = random.Random(77)
+    pairs = {(rng.randrange(25), rng.randrange(25)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    und = (
+        spark.createDataFrame(pairs, "src long, dst long")
+        .selectExpr("least(src, dst) as a", "greatest(src, dst) as b")
+        .distinct()
+    )
+    base = {(r["a"], r["b"]): r["support"] for r in edge_support(und).collect()}
+    pins = []
+    pinned_df = edge_support(und, _pins=pins)
+    pinned = {(r["a"], r["b"]): r["support"] for r in pinned_df.collect()}
+    assert pinned == base
+    assert len(pins) == 1
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import contextlib
+        import io
+
+        pins2 = []
+        df = edge_support(und, _pins=pins2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        # both self-join branches read the cached u-partitioned layout
+        assert p.count("InMemoryTableScan") >= 2
+        # and nothing re-shuffles on u — the cached layout already
+        # provides that partitioning
+        assert "Exchange hashpartitioning(u#" not in p
+        for h in pins2:
+            h.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for h in pins:
+        h.unpersist()
+
+
 def test_double_sweep_exact_on_path(spark):
     """On a tree (path), the double-sweep bound is the exact diameter."""
     from citegraph_spark.plans.entry_queries import QUERIES
