@@ -29,6 +29,10 @@ Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
              user; the same skewed join measured with AQE skew-split
              off, on, and via the manual salted_join, plus the
              map-side-combine aggregation path)
+             or "iterative" (hits / sssp_bounded / multi_source_bfs —
+             the rest of the round-7 persist-fix family; seeds pinned
+             to copy 0 so per-round state is constant while edges grow
+             Kx)
 """
 
 from __future__ import annotations
@@ -115,6 +119,76 @@ def pipeline_tier(spark, k: int) -> dict:
             df = df.unionByName(p)
         return df
 
+    def incremental_status_count(d):
+        """Mirror of the registered dedup_incremental plan's core shape
+        (plans/pipeline_queries.py): md5-bucket >= 80 is the NEW batch,
+        PPJoin prefix-filtered posting join new x existing under one
+        global rare-first order, exact-Jaccard >= 0.8 verify. Counts
+        the flagged near-dups — the wall/shuffle profile the 100 TB
+        continuous-ingest path runs on."""
+        from citegraph_spark.functions import text as tx
+
+        t = 0.8
+        dd = (
+            d.select("doc_id", "text", tx.tokens(F.col("text")).alias("_toks"))
+            .select(
+                "doc_id",
+                F.array_distinct(tx.shingles(F.col("_toks"))).alias("sh"),
+                (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                 .cast("bigint") % 100).alias("b"),
+            )
+            .persist()
+        )
+        posting = dd.select("doc_id", "b", F.explode("sh").alias("s"))
+        dfreq = posting.groupBy("s").agg(F.count("*").alias("df"))
+        ordered = (
+            posting.join(dfreq, "s")
+            .groupBy("doc_id", "b")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "s"))),
+                    lambda x: x["s"],
+                ).alias("os")
+            )
+        )
+        n = F.size("os")
+        plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+        pre = ordered.select(
+            "doc_id", "b", n.alias("n"), F.slice("os", F.lit(1), plen).alias("prefix")
+        )
+        np_ = pre.filter(F.col("b") >= 80).select(
+            F.col("doc_id").alias("n_id"), F.col("n").alias("nn"),
+            F.explode("prefix").alias("s"),
+        )
+        ep = pre.filter(F.col("b") < 80).select(
+            F.col("doc_id").alias("e_id"), F.col("n").alias("ne"),
+            F.explode("prefix").alias("s"),
+        )
+        cand = (
+            np_.join(ep, "s")
+            .filter(F.greatest("nn", "ne") * F.lit(t) <= F.least("nn", "ne"))
+            .select("n_id", "e_id")
+            .distinct()
+        )
+        n_sh = dd.filter(F.col("b") >= 80).select(
+            F.col("doc_id").alias("n_id"), F.col("sh").alias("n_sh")
+        )
+        e_sh = dd.filter(F.col("b") < 80).select(
+            F.col("doc_id").alias("e_id"), F.col("sh").alias("e_sh")
+        )
+        inter = F.size(F.array_intersect("n_sh", "e_sh"))
+        union = F.size("n_sh") + F.size("e_sh") - inter
+        out = (
+            cand.join(n_sh, "n_id")
+            .join(e_sh, "e_id")
+            .filter(inter / union.cast("double") >= t)
+            .select("n_id")
+            .distinct()
+            .count()
+        )
+        dd.unpersist()
+        return out
+
     results: dict[str, dict] = {}
     for scale, copies in (("1x", 1), ("%dx" % k, k)):
         d = docs_x(copies).localCheckpoint(eager=True)
@@ -123,6 +197,7 @@ def pipeline_tier(spark, k: int) -> dict:
             "dedup_exact": lambda: exact_canonical(d, "doc_id", "text").count(),
             "minhash_lsh_pairs": lambda: minhash_lsh_pairs(d, threshold=0.8).count(),
             "simhash_near_pairs": lambda: simhash_near_pairs(d, max_hamming=3).count(),
+            "dedup_incremental": lambda: incremental_status_count(d),
             # DEFAULT ARGS on purpose (round 7): n_cells=None derives the
             # cell count inside the operator (ivf_cell_count — constant
             # cell size, n_cells ∝ N), so this measures what a caller who
@@ -139,6 +214,82 @@ def pipeline_tier(spark, k: int) -> dict:
             wall = round(time.time() - t0, 1)
             m = _delta(_metrics(spark), before)
             results[f"{name}@{scale}"] = {"wall_s": wall, "result": out, **m}
+            print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
+    return results
+
+
+def iterative_tier(spark, k: int) -> dict:
+    """1x vs Kx for the rest of the round-7 persist-fix family
+    (VERDICT r7 item 6): pagerank and hyperball carry 100x records in
+    BASELINE.md; hits / sssp_bounded / multi_source_bfs share the fixed
+    code path (static edge table persisted pre-partitioned, per-round
+    state broadcast or SHUFFLE_HASH-built) but had no record. Seeds and
+    landmarks live in copy 0, so the reached ball — the per-round state
+    — stays CONSTANT while the edge table grows Kx: exactly the regime
+    where a silently re-shuffled static side would dominate, and where
+    the fix should show flat stage counts per round with shuffle growing
+    only with the O(E) one-time partitioning."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.graph import (
+        bidirectional,
+        hits,
+        multi_source_bfs,
+        sssp_bounded,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("from"),
+        F.col("l_partkey").cast("long").alias("to"),
+    )
+    landmarks = [
+        r[0]
+        for r in li.select("from").distinct().orderBy("from").limit(4).collect()
+    ]
+
+    def citations(copies: int):
+        parts = [
+            li.select(
+                (F.col("from") + F.lit(i * OFFSET)).alias("from"),
+                (F.col("to") + F.lit(i * OFFSET)).alias("to"),
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    results: dict[str, dict] = {}
+    for scale, copies in (("1x", 1), ("%dx" % k, k)):
+        cit = citations(copies).localCheckpoint(eager=True)
+        n_edges = cit.count()
+        edges = cit.select(F.col("from").alias("src"), F.col("to").alias("dst"))
+        und = bidirectional(cit, dedup=True).select("src", "dst")
+        wedges = edges.withColumn(
+            "w", ((F.col("src") * 31 + F.col("dst") * 17) % 97 + 1).cast("double")
+        )
+        ops = {
+            "hits_10it": lambda: hits(edges, iterations=10).count(),
+            "sssp_bounded_10r": lambda: sssp_bounded(
+                wedges, source=int(landmarks[0]), rounds=10
+            ).count(),
+            "msbfs_6r": lambda: multi_source_bfs(
+                und, sources=[int(x) for x in landmarks], rounds=6
+            ).count(),
+        }
+        for name, fn in ops.items():
+            before = _metrics(spark)
+            t0 = time.time()
+            out = fn()
+            wall = round(time.time() - t0, 1)
+            m = _delta(_metrics(spark), before)
+            results[f"{name}@{scale}"] = {
+                "wall_s": wall,
+                "result": out,
+                "n_edges": n_edges,
+                **m,
+            }
             print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
     return results
 
@@ -395,6 +546,10 @@ def main(k: int = 10, tier: str = "graph") -> int:
         return 0
     if tier == "relational":
         results = relational_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
+    if tier == "iterative":
+        results = iterative_tier(spark, k)
         print(json.dumps(results, indent=1))
         return 0
     if tier == "skew":
