@@ -200,6 +200,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """(vec_id, cell, is_primary): nearest cell per vector plus n_probe-1
     runner-up probe cells. One numpy pass per Arrow batch, no shuffle.
@@ -207,8 +208,13 @@ def ivf_assignments(
     `centroids`: a trained coarse quantizer (e.g. `clustering.kmeans_fit`
     — L2-normalized here); default is the deterministic min-id quantizer.
     `n_cells=None` (default) derives the cell count from the corpus size
-    via `ivf_cell_count` (one count() job), so callers cannot hit the
-    fixed-cell quadratic failure mode by omission."""
+    via `ivf_cell_count`, so callers cannot hit the fixed-cell quadratic
+    failure mode by omission. That derivation costs ONE count() Spark
+    job over `emb` — if `emb` is an uncached multi-stage plan, the whole
+    plan runs once just for the count (ADVICE r7), so a caller that has
+    already materialized the corpus size should pass it via `n` (ignored
+    unless the auto-sizing path actually needs it), or pin `n_cells`
+    outright as the registry entries do."""
     spark = emb.sparkSession
     if centroids is not None:
         cents = np.asarray(centroids, dtype=np.float64)
@@ -217,7 +223,7 @@ def ivf_assignments(
         cents = cents / norms
     else:
         if n_cells is None:
-            n_cells = ivf_cell_count(emb.count())
+            n_cells = ivf_cell_count(n if n is not None else emb.count())
         cents = _ivf_centroids(emb, n_cells, id_col, vec_col)
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -256,6 +262,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k cosine: each query probes its n_probe nearest
     cells and scores only vectors whose PRIMARY cell is probed — the
@@ -274,9 +281,11 @@ def ivf_topk(
     100 TB caller cannot hit the quadratic mode by omission; the rule's
     floor keeps sweep-scale behavior (N <= 512 → 16 cells) identical to
     the historical fixed default. Pass explicit n_cells (or trained
-    centroids, one per target cell) to override.
+    centroids, one per target cell) to override; pass `n` (a corpus
+    count the caller already materialized) to keep auto-sizing without
+    the extra count() job over an uncached plan (ADVICE r7).
     """
-    assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col, centroids)
+    assign = ivf_assignments(emb, n_cells, n_probe, id_col, vec_col, centroids, n=n)
     probes = assign.select(F.col("vec_id").alias("a"), "cell")
     index = assign.filter("is_primary").select(F.col("vec_id").alias("b"), "cell")
     cand = (
