@@ -219,13 +219,15 @@ _RECHECK_FIRST = [
     "similarity_pq", "similarity_ivf_trained",
     # round-8 contraction-family audit fixes (VERDICT item 4): the MSF
     # static edge table is now pinned a-partitioned with budget-gated
-    # broadcast/shuffle_hash comp joins, and edge_support grew a pinned
-    # mode k_truss uses past broadcast size — both gates' code paths
-    # changed after their r7 rows, so both re-queue (this pushes the
-    # r7-overlap to 6, one over the verdict's ~5 target; freshness
+    # broadcast/shuffle_hash comp joins; edge_support grew a pinned
+    # mode k_truss uses past broadcast size; and cc_star persists each
+    # star phase's min-map (Catalyst planned the O(E') aggregate twice
+    # per phase — no ReusedExchange). All three gates' code paths
+    # changed after their r7 rows, so all three re-queue (this pushes
+    # the r7-overlap to 7, two over the verdict's ~5 target; freshness
     # outranks overlap, and the audit mandate said "any found static
     # re-shuffle fixed").
-    "graph_mst_gate", "graph_ktruss_gate",
+    "graph_mst_gate", "graph_ktruss_gate", "graph_cc_star_gate",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2
