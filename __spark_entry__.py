@@ -220,11 +220,13 @@ _RECHECK_FIRST = [
     # round-8 contraction-family audit fixes (VERDICT item 4): the MSF
     # static edge table is now pinned a-partitioned with budget-gated
     # broadcast/shuffle_hash comp joins; edge_support grew a pinned
-    # mode k_truss uses past broadcast size; and cc_star persists each
-    # star phase's min-map (Catalyst planned the O(E') aggregate twice
-    # per phase — no ReusedExchange). All three gates' code paths
-    # changed after their r7 rows, so all three re-queue (this pushes
-    # the r7-overlap to 7, two over the verdict's ~5 target; freshness
+    # mode k_truss uses past broadcast size; and cc_star's convergence
+    # check carries counts across rounds (one fewer job per round; a
+    # min-map persist was ALSO tried, measured slower at every scale,
+    # and reverted — the negative result is pinned in the operator's
+    # comment and EXPLAINS.md). All three gates' code paths changed
+    # after their r7 rows, so all three re-queue (this pushes the
+    # r7-overlap to 7, two over the verdict's ~5 target; freshness
     # outranks overlap, and the audit mandate said "any found static
     # re-shuffle fixed").
     "graph_mst_gate", "graph_ktruss_gate", "graph_cc_star_gate",

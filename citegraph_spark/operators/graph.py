@@ -1850,7 +1850,19 @@ def connected_components_star(
             F.least(F.min("n"), F.first("u")).alias("m")
         )
 
+    # NOTE (round-8 audit, measured negative result — do not "fix"
+    # this again): each star phase references its min-map TWICE (join
+    # side + self-attachment union branch) and Catalyst plans the
+    # aggregate subtree twice (no ReusedExchange, verified on the
+    # executed plan). Materializing it once via persist was tried and
+    # LOSES at every tested scale (same-box A/B: sf0.1 21.6 s unpinned
+    # vs 25.2 s pinned; same-session 30x/18M-edge runs: 88.0 s
+    # unpinned, 98.4 s pinned, 55.1 s unpinned again) — the round's
+    # cost is dominated by the distinct + join shuffles, and the
+    # persist barrier serializes work AQE otherwise pipelines. The
+    # duplicate aggregate is the cheaper evil; leave it.
     converged = False
+    n_cur = cur.count()
     for _ in range(max_rounds):
         # large-star
         adj = _adj(cur)
@@ -1888,11 +1900,15 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # carried counts: ss/cur are both checkpointed, so the equality
+        # check needs only ONE new count job per round (the previous
+        # round's n_cur is reused)
+        n_ss = ss.count()
         same = (
-            ss.count() == cur.count()
+            n_ss == n_cur
             and ss.exceptAll(cur).limit(1).count() == 0
         )
-        cur = ss
+        cur, n_cur = ss, n_ss
         if same:
             converged = True
             break
