@@ -33,11 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def minimum_spanning_forest(
-    edges: DataFrame,
-    max_rounds: int = 20,
-    broadcast_budget_bytes: int = 256 << 20,
-) -> DataFrame:
+def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Borůvka MSF over an undirected weighted graph.
 
     edges: (src, dst, weight) — interpreted undirected; parallel edges
@@ -45,6 +41,17 @@ def minimum_spanning_forest(
     minimum weight; self-loops dropped. Returns (a, b, weight): the
     unique minimum spanning forest under the (weight, a, b) total
     order, one component per connected component of the input.
+
+    Join-strategy note (round-8 100x A/B): the per-round label joins
+    deliberately carry NO broadcast()/hint() override. Forcing the
+    comp side was measured and LOSES both ways at 60M edges —
+    broadcast mode re-ships the O(V) comp table (177 MB at 100x) twice
+    per merge round (84 s -> 118-153 s), and forced SHUFFLE_HASH was
+    worse still (186 s, 2.0 GB shuffle). With AQE left free and only
+    the static side's LAYOUT pinned (below), wall stays at the
+    unpinned baseline (85.1 vs 83.9 s) while total shuffle drops 25%
+    (1,527 -> 1,150 MB) — the right trade on a cluster, where shuffle
+    is network.
     """
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -79,24 +86,12 @@ def minimum_spanning_forest(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    # same two-mode strategy as pagerank's per-round join: a comp table
-    # under the budget broadcasts (the whole label attach then runs with
-    # ZERO exchange — the cached e streams, nothing shuffles), while an
-    # over-budget comp becomes the SHUFFLE_HASH build against the
-    # a-partitioned edge cache (comp's O(V) shuffle per round is
-    # inherent — it rewires; the point of the pin is that the O(E) side
-    # never re-shuffles or re-sorts in either mode).
-    use_broadcast = comp.count() * 48 <= broadcast_budget_bytes
     forest: DataFrame | None = None
 
     converged = False
     for _ in range(max_rounds):
         ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
         cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
-        if use_broadcast:
-            ca, cb = F.broadcast(ca), F.broadcast(cb)
-        else:
-            ca, cb = ca.hint("shuffle_hash"), cb.hint("shuffle_hash")
         ec = (
             e.join(ca, "a")
             .join(cb, "b")
