@@ -230,6 +230,30 @@ _RECHECK_FIRST = [
     # outranks overlap, and the audit mandate said "any found static
     # re-shuffle fixed").
     "graph_mst_gate", "graph_ktruss_gate", "graph_cc_star_gate",
+    # round-8 cut_lineage refactor: every iterative operator's round
+    # state now truncates lineage via lineage.cut_lineage —
+    # localCheckpoint by default (plan-identical to the call it
+    # replaces, pinned by tests/test_lineage.py) with DFS-backed
+    # reliable checkpoint behind spark.citegraph.reliableCheckpoint for
+    # multi-hour cluster jobs where executor loss must not kill the
+    # query. Default-path semantics are unchanged, but the code path of
+    # every entry below DID change, so all 27 (31 affected minus the 4
+    # already queued above) re-queue under the freshness rule —
+    # freshness outranks window overlap and outranks drainage speed;
+    # the ~15 remaining window slots still drain the oldest
+    # certifications. List derived by transitive call-site taint over
+    # the plans/functions packages (call or import references only;
+    # docstring/CTE-name false positives excluded).
+    "dedup_clusters", "graph_pagerank", "graph_hits", "graph_sssp",
+    "graph_ppr", "graph_kcore", "graph_scc", "graph_hyperball",
+    "graph_effective_diameter_approx", "hyperball_accuracy_gate",
+    "graph_diameter_double_sweep", "graph_closeness_sampled",
+    "graph_cocitation_triangles", "graph_clustering_coefficient",
+    "graph_link_prediction", "graph_betweenness_sampled",
+    "fixture_harmonic_centrality", "fixture_betweenness",
+    "scc_partition_gate", "graph_mis_gate", "graph_matching_gate",
+    "bpe_train_merges", "coreset_kcenter", "revenue_concentration",
+    "pack_sequences", "equidepth_histogram_prices", "skyline_parts",
 ]
 
 # Ordering of the not-yet-checked entries. PRIORITY FIRST: the rounds-1/2

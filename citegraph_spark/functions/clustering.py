@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 __all__ = ["kmeans_fit", "kmeans_assign", "kmeans_summary"]
 
 
@@ -226,7 +228,7 @@ def kcenter_greedy(
         )
         cur = cur.withColumn("_mind", F.least(F.col("_mind"), d))
         if rank % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(cut_lineage)
         # farthest-first: max mind, ties to the smallest id
         best = cur.agg(
             F.max_by(

@@ -33,7 +33,8 @@ Spark-first design — NO Python UDFs, no RDDs:
   republish per round. Past the budget (1e9-node graphs at 100 TB
   scale), the same plan degrades gracefully to a shuffled hash join +
   exchange, still linear in |E|*m per round.
-- Round state is materialized with `localCheckpoint` (row-level block
+- Round state is materialized with `cut_lineage` (localCheckpoint by
+  default, reliable checkpoint behind the session knob; row-level block
   store, also truncates lineage) rather than `persist` — the columnar
   cache encode of 65 columns costs ~10x the checkpoint. Whole-stage
   codegen is disabled around the loop: Janino recompiles the huge
@@ -56,6 +57,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+from ..lineage import cut_lineage
 
 
 def _alpha(m: int) -> float:
@@ -255,7 +258,7 @@ def hyperball_hopplot(
     # materialize the raw edge lineage ONCE, with codegen still on (it
     # may hang off arbitrary upstream joins); everything below reads
     # this row-level checkpoint
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage)
     # codegen off: Janino would recompile the huge 64-column class for
     # every round's distinct plan. AQE coalescing off: the per-round
     # state is small enough that AQE would squash it to ONE partition,
@@ -268,7 +271,7 @@ def hyperball_hopplot(
     try:
         counters = init_counters_dense(
             edges.select(F.col("src").alias("node")), p=p
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         n = counters.count()
         use_broadcast = n * (m + 32) <= broadcast_budget_bytes
         # self-loops make absorb a pure join+agg (each node's own ball
@@ -306,7 +309,7 @@ def hyperball_hopplot(
                 .select(edges_aug["src"].alias("node"), *cols)
                 .groupBy("node")
                 .agg(*[F.max(c).alias(c) for c in cols])
-            ).localCheckpoint(eager=True)
+            ).transform(cut_lineage)
             total = estimate_total_dense(nxt, p=p)
             counters = nxt
             # release superseded round state promptly: Python's lazy

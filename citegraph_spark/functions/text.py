@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 # Language-marker stopwords for the n-gram/lexicon language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "to"),
@@ -141,7 +143,7 @@ def bpe_train(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str, str, 
     syms = vocab.select(
         F.col("cnt").cast("long").alias("cnt"),
         char_symbols(F.col("tok")).alias("symbols"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -169,5 +171,5 @@ def bpe_train(vocab: DataFrame, n_merges: int = 8) -> list[tuple[int, str, str, 
         merges.append((step, a, b, c))
         syms = syms.select(
             "cnt", bpe_merge_pair(F.col("symbols"), a, b).alias("symbols")
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     return merges

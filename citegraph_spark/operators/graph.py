@@ -9,7 +9,9 @@ Analytics.scala:152-414). Here everything is DataFrame ops:
 - hop-plot (G4-G9): frontier BFS over *pairs* — the frontier carries
   12-byte (src, dst) rows instead of the reference's O(d)-length path
   arrays, the `seen` set is canonical (unordered) pairs, and lineage is
-  truncated with localCheckpoint so per-round counts don't recompute
+  truncated with cut_lineage (localCheckpoint by default; DFS-backed
+  checkpoint behind spark.citegraph.reliableCheckpoint — lineage.py)
+  so per-round counts don't recompute
   history (the reference recomputes the full lineage every round —
   SURVEY.md §4.3).
 
@@ -29,6 +31,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+from ..lineage import cut_lineage
 
 
 # ---------------------------------------------------------------- density
@@ -275,8 +279,8 @@ def connected_pairs_by_distance(
             # truncate lineage: each round unions onto the last, and without
             # this the d-th count recomputes all prior rounds (the
             # reference's unbounded-lineage flaw, SURVEY.md §4.3)
-            next_seen = next_seen.localCheckpoint(eager=True)
-            next_frontier = next_frontier.localCheckpoint(eager=True)
+            next_seen = next_seen.transform(cut_lineage)
+            next_frontier = next_frontier.transform(cut_lineage)
         else:
             next_seen = next_seen.persist(StorageLevel.MEMORY_AND_DISK)
             next_frontier = next_frontier.persist(StorageLevel.MEMORY_AND_DISK)
@@ -446,7 +450,7 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         if it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.transform(cut_lineage)
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         n_changed = (
@@ -537,7 +541,7 @@ def triangle_stats(und_edges: DataFrame) -> DataFrame:
         )
         .select("e.u", "e.v")
     )
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(cut_lineage)
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -617,13 +621,13 @@ def pagerank(
     import gc
 
     spark = edges.sparkSession
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     use_broadcast = n * 48 <= broadcast_budget_bytes
@@ -659,7 +663,7 @@ def pagerank(
         teleport = F.when(is_seed, F.lit((1.0 - damping) / len(seeds))).otherwise(
             F.lit(0.0)
         )
-    ranks = nodes.select("node", init_rank.alias("rank")).localCheckpoint(eager=True)
+    ranks = nodes.select("node", init_rank.alias("rank")).transform(cut_lineage)
     for it in range(1, iterations + 1):
         # fallback build side: SHUFFLE_HASH, not sort-merge — the rank
         # table is the per-round hash build (its shuffle is O(nodes)),
@@ -675,7 +679,7 @@ def pagerank(
             .select("node", (teleport + F.lit(damping) * F.col("_s")).alias("rank"))
         )
         if it % checkpoint_every == 0 or it == iterations:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(cut_lineage)
         ranks = nxt
         gc.collect()
     # the final ranks are checkpointed (it == iterations), so they no
@@ -701,7 +705,7 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     a handful of rounds (peel depth, not diameter); a path graph is the
     k=2 worst case, hence the max_rounds backstop.
     """
-    edges = und_edges.localCheckpoint(eager=True)
+    edges = und_edges.transform(cut_lineage)
     n_edges = edges.count()
     converged = False
     for _ in range(max_rounds):
@@ -726,7 +730,7 @@ def k_core(und_edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
                 F.col("b") == F.col("kb"),
                 "left_semi",
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         m = nxt.count()
         if m == n_edges:
@@ -809,7 +813,7 @@ def label_propagation(
             .select("node", (-F.col("top.neg")).alias("community"))
         )
         if it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.transform(cut_lineage)
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         n_changed = (
@@ -857,13 +861,13 @@ def strongly_connected_components(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     all_nodes = (
         edges.select(F.col("src").cast("long").alias("node"))
         .unionByName(edges.select(F.col("dst").cast("long").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     # ---- phase 1: trim acyclic fringe (cannot be on any cycle)
@@ -877,7 +881,7 @@ def strongly_connected_components(
         nxt = (
             live.join(core.withColumnRenamed("node", "_s"), live["src"] == F.col("_s"), "left_semi")
             .join(core.withColumnRenamed("node", "_d"), live["dst"] == F.col("_d"), "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         n_next = nxt.count()
         live = nxt
@@ -892,7 +896,7 @@ def strongly_connected_components(
             live.select(F.col("src").alias("node"))
             .unionByName(live.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if nodes.isEmpty():
             break
@@ -907,7 +911,7 @@ def strongly_connected_components(
                 color.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             n_changed = (
                 new_color.alias("n")
@@ -946,7 +950,7 @@ def strongly_connected_components(
                 confirmed.unionByName(cand)
                 .groupBy("node")
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             if new_confirmed.count() == confirmed.count():
                 confirmed = new_confirmed
@@ -967,7 +971,7 @@ def strongly_connected_components(
         live = (
             live.join(done.withColumnRenamed("node", "_s"), live["src"] == F.col("_s"), "left_anti")
             .join(done.withColumnRenamed("node", "_d"), live["dst"] == F.col("_d"), "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     # outer peel exhausted with live edges remaining: those nodes would
@@ -1033,12 +1037,12 @@ def hits(
     import gc
 
     spark = edges.sparkSession
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     use_broadcast = n * 24 <= broadcast_budget_bytes
@@ -1080,7 +1084,7 @@ def hits(
             .agg(F.sum("h_c").alias("hub"), F.sum("a_c").alias("auth"))
         )
         if it % checkpoint_every == 0 or it == iterations:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(cut_lineage)
         state = nxt
         gc.collect()
     # final state is checkpointed — the cached message table can go
@@ -1115,7 +1119,7 @@ def link_prediction(
     # scanned 3 more times below (both wedge sides via mid, the anti
     # build) — materialize it once instead of recomputing its exchanges
     # per consumer
-    und_edges = und_edges.localCheckpoint(eager=True)
+    und_edges = und_edges.transform(cut_lineage)
     nbrs = (
         und_edges.select(F.col("a").alias("z"), F.col("b").alias("x"))
         .unionByName(und_edges.select(F.col("b").alias("z"), F.col("a").alias("x")))
@@ -1133,7 +1137,7 @@ def link_prediction(
         .select("z", "x", "deg")
         # both sides of the wedge self-join read this: compute the
         # degree-join once, not twice
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     left = mid.select("z", F.col("x").alias("u"), "deg")
     right = mid.select(F.col("z").alias("z2"), F.col("x").alias("v"))
@@ -1227,7 +1231,7 @@ def sssp_bounded(
             .agg(F.min("d").alias("dist"))
         )
         if it % checkpoint_every == 0 or it == rounds:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(cut_lineage)
         dist = nxt
         gc.collect()
     e_aug.unpersist()
@@ -1301,7 +1305,7 @@ def multi_source_bfs(
             .agg(F.min("d").alias("dist"))
         )
         if it % checkpoint_every == 0 or it == rounds:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(cut_lineage)
         dist = nxt
         gc.collect()
     e_aug.unpersist()
@@ -1362,7 +1366,7 @@ def local_clustering(und_edges: DataFrame, top_k: int = 100) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     paths = (
         e.alias("e1")
@@ -1474,11 +1478,11 @@ def harmonic_centrality(
             .agg(F.max("_seen").alias("_seen"))
             .filter(F.col("_seen") == 0)
             .select("src", "node", F.lit(d).alias("dist"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).transform(cut_lineage)
         frontier = nxt
     edges.unpersist()
     return (
@@ -1567,7 +1571,7 @@ def betweenness_sampled(
         srcs.select(
             F.col("id").alias("src"), F.col("id").alias("node"),
             F.lit(1.0).alias("sigma"),
-        ).localCheckpoint()
+        ).transform(cut_lineage)
     ]
     seen = levels[0].select("src", "node")
     for _d in range(1, max_d + 1):
@@ -1589,12 +1593,12 @@ def betweenness_sampled(
             .agg(F.sum("sigma").alias("sigma"), F.max("_seen").alias("_seen"))
             .filter(F.col("_seen") == 0)
             .select("src", "node", "sigma")
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("src", "node")).localCheckpoint()
+        seen = seen.unionByName(nxt.select("src", "node")).transform(cut_lineage)
 
     # backward: delta over levels deep -> shallow; contribution of w to
     # predecessor v is (sigma_v / sigma_w) * (1 + delta_w)
@@ -1620,7 +1624,7 @@ def betweenness_sampled(
             .join(w_side, ["src", "w"])
             .groupBy("src", F.col("v").alias("node"))
             .agg(F.sum(F.col("sigma") * F.col("w_term")).alias("delta"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         delta = contrib
         bc_parts.append(contrib.filter(F.col("node") != F.col("src")))
@@ -1665,9 +1669,7 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active = adj.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    active = adj.select(F.col("src").alias("node")).distinct().transform(cut_lineage)
     cur = adj
     mis: DataFrame | None = None
 
@@ -1689,7 +1691,7 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
             pri.join(nbr_min, "node", "left")
             .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
             .select("node")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         mis = sel if mis is None else mis.unionByName(sel)
         removed = (
@@ -1700,13 +1702,11 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
             )
             .distinct()
         )
-        active = active.join(removed, "node", "left_anti").localCheckpoint(
-            eager=True
-        )
+        active = active.join(removed, "node", "left_anti").transform(cut_lineage)
         cur = (
             cur.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     adj.unpersist()
@@ -1747,7 +1747,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     matched: DataFrame | None = None
 
@@ -1780,7 +1780,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             )
             .filter((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         matched = sel if matched is None else matched.unionByName(sel)
         mv = (
@@ -1792,7 +1792,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             pe.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         pe.unpersist()
 
@@ -1837,7 +1837,7 @@ def connected_components_star(
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     def _adj(e: DataFrame) -> DataFrame:
@@ -1881,7 +1881,7 @@ def connected_components_star(
                 )
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         # small-star
         adj2 = _adj(ls)
@@ -1898,7 +1898,7 @@ def connected_components_star(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         # carried counts: ss/cur are both checkpointed, so the equality
         # check needs only ONE new count job per round (the previous
@@ -1992,7 +1992,7 @@ def edge_support(
         _pins.append(e)
         e.count()  # materialize the pinned layout before the self-join
     else:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(cut_lineage)
     paths = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -2045,7 +2045,7 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     need = k - 2
     if need <= 0:
@@ -2071,9 +2071,7 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         else:
             sup = edge_support(cur)
         keep = sup.filter(F.col("support") >= need).select("a", "b")
-        nxt = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
-            eager=True
-        )
+        nxt = cur.join(keep, ["a", "b"], "left_semi").transform(cut_lineage)
         # the eager checkpoint materialized the whole round; release
         # the round's pinned oriented-edge cache before the next peel
         for p in pins:

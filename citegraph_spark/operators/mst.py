@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..lineage import cut_lineage
+
 
 def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Borůvka MSF over an undirected weighted graph.
@@ -84,7 +86,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     forest: DataFrame | None = None
 
@@ -131,7 +133,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
 
         picked = chosen.select("a", "b", "weight").distinct()
         forest = picked if forest is None else forest.unionByName(picked)
-        forest = forest.localCheckpoint(eager=True)
+        forest = forest.transform(cut_lineage)
 
         # merge components along the chosen pointers (comp -> other).
         # Every comp with a cross edge has exactly one pointer; mutual
@@ -156,7 +158,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
                 .otherwise(F.col("y.other"))
                 .alias("parent"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         jumps = 0
         while True:
@@ -170,7 +172,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
                     "parent",
                 )
                 .select("comp", F.col("grand").alias("parent"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             jumps += 1
             # depth halves per doubling — checking convergence every
@@ -193,7 +195,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
                 "node",
                 F.coalesce("parent", "comp").alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         ec.unpersist()
         chosen.unpersist()

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 
 def group_count(df: DataFrame, key: str, alias: str = "count") -> DataFrame:
     """A1/A2: hash aggregate count per key (partial agg map-side, free)."""
@@ -236,7 +238,7 @@ def global_rank(
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run per job
+        .transform(cut_lineage)  # pin pids: range sampling must not re-run per job
     )
     sizes = sorted(
         (r["_pid"], r["cnt"])
@@ -276,7 +278,7 @@ def global_cumsum(
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run
+        .transform(cut_lineage)  # pin pids: range sampling must not re-run
     )
     sizes = sorted(
         (r["_pid"], r["s"])
@@ -430,7 +432,7 @@ def skyline_2d(
     ranged = (
         g.repartitionByRange(n_parts, F.col("_x"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin pids: range sampling must not re-run
+        .transform(cut_lineage)  # pin pids: range sampling must not re-run
     )
     mins = sorted(
         (r["_pid"], r["m"])
