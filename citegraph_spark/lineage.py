@@ -24,6 +24,13 @@ for long iterative jobs). Call sites use `df.transform(cut_lineage)` —
 the same chain position as the `.localCheckpoint(eager=True)` they
 replace, and the default path forwards to exactly that call
 (test-pinned in tests/test_lineage.py).
+
+Operational note for long jobs: reliable checkpoints accumulate one
+directory per round under the checkpoint dir. Set
+`spark.cleaner.referenceTracking.cleanCheckpoints=true` so checkpoints
+whose DataFrames go out of scope are deleted by the ContextCleaner, or
+point the dir at a storage-lifecycle-managed path — otherwise a
+1000-round job leaves 1000 round-state snapshots on the DFS.
 """
 
 from __future__ import annotations
