@@ -60,3 +60,34 @@ def test_reliable_mode_matches_default_and_writes_files(spark, edges, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable mode produced no checkpoint files"
+
+
+def test_checkpoint_dir_conf_is_honored_at_startup(tmp_path):
+    """deploy/spark-cluster.conf enables reliable mode with TWO conf
+    keys and no driver code — that only works if Spark honors
+    spark.checkpoint.dir as a SUBMIT-TIME conf (it is static: read at
+    SparkContext startup, CANNOT_MODIFY_CONFIG on a live session, which
+    is exactly the properties-file deployment path). Pin it in a fresh
+    JVM the way spark-submit would supply it."""
+    import subprocess
+    import sys as _sys
+
+    d = str(tmp_path / "conf_ckpt")
+    probe = (
+        "from pyspark.sql import SparkSession\n"
+        "import os, sys\n"
+        f"d = {d!r}\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.checkpoint.dir', d)\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .appName('ckpt_conf_probe').getOrCreate())\n"
+        "out = spark.range(100).checkpoint(eager=True)\n"
+        "n = out.count()\n"
+        "files = [f for _, _, fs in os.walk(d) for f in fs]\n"
+        "spark.stop()\n"
+        "sys.exit(0 if (n == 100 and files) else 1)\n"
+    )
+    res = subprocess.run(
+        [_sys.executable, "-c", probe], capture_output=True, timeout=300
+    )
+    assert res.returncode == 0, res.stderr.decode()[-2000:]
