@@ -91,3 +91,55 @@ def test_checkpoint_dir_conf_is_honored_at_startup(tmp_path):
         [_sys.executable, "-c", probe], capture_output=True, timeout=300
     )
     assert res.returncode == 0, res.stderr.decode()[-2000:]
+
+
+def test_deploy_recipe_two_keys_end_to_end(tmp_path):
+    """The exact deploy/spark-cluster.conf recipe — BOTH keys supplied
+    at session build, zero driver code — must route a real iterative
+    operator's round state through reliable checkpoints: pagerank on a
+    fresh session with spark.citegraph.reliableCheckpoint=true +
+    spark.checkpoint.dir writes checkpoint files and returns the same
+    ranks as the in-suite default session."""
+    import subprocess
+    import sys as _sys
+
+    d = str(tmp_path / "deploy_ckpt")
+    probe = (
+        "import sys, os\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from citegraph_spark.operators.graph import pagerank\n"
+        f"d = {d!r}\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.citegraph.reliableCheckpoint', 'true')\n"
+        "         .config('spark.checkpoint.dir', d)\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .appName('deploy_recipe_probe').getOrCreate())\n"
+        "edges = spark.createDataFrame(\n"
+        "    [(1, 2), (2, 3), (3, 1), (3, 4)], 'src long, dst long')\n"
+        "rows = sorted((r['node'], round(r['rank'], 9))\n"
+        "              for r in pagerank(edges, iterations=3).collect())\n"
+        "files = [f for _, _, fs in os.walk(d) for f in fs]\n"
+        "spark.stop()\n"
+        "print(repr(rows))\n"
+        "sys.exit(0 if files else 1)\n"
+    )
+    res = subprocess.run(
+        [_sys.executable, "-c", probe], capture_output=True, timeout=300
+    )
+    assert res.returncode == 0, res.stderr.decode()[-2000:]
+    # cross-process determinism: same ranks as an in-process default run
+    from citegraph_spark.operators.graph import pagerank
+    from citegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="deploy_recipe_ref", shuffle_partitions=4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    expected = sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(edges, iterations=3).collect()
+    )
+    got = eval(res.stdout.decode().strip().splitlines()[-1])
+    assert got == expected

@@ -168,3 +168,90 @@ def test_streaming_incremental_rollup_matches_batch(spark):
         (r["day"], r["event_type"]): (r["n_events"], r["value_sum"]) for r in rows
     }
     assert got == batch and got
+
+
+def test_windowed_state_tracks_keyspace_not_volume(spark, tmp_path):
+    """The 100x rehearsal's headline claim, pinned at test scale: replay
+    the same event-time range at 1x and 3x volume (user/event ids
+    shifted, ts unchanged) and the windowed aggregate's state row count
+    is IDENTICAL — state ~ windows x types, never ~ events — while the
+    result still equals the batch aggregate on the same input."""
+    import json as _json
+
+    from citegraph_spark.streaming.events import (
+        _events_read_schema,
+        _normalize_ts,
+        streaming_windowed_agg,
+    )
+
+    _, ts_is_long = _events_read_schema(spark, f"{SF_DIR}/events.parquet")
+    ev = _normalize_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), ts_is_long
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+    state_rows = {}
+    for copies in (1, 3):
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        indir = str(tmp_path / f"in_{copies}x")
+        df.repartition(2).write.mode("overwrite").parquet(indir)
+        static = spark.read.parquet(indir)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(indir)
+        )
+        name = f"state_keyspace_{copies}x"
+        q = (
+            streaming_windowed_agg(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{copies}x"))
+            .start()
+        )
+        q.processAllAvailable()
+        progress = [
+            p if isinstance(p, dict) else _json.loads(
+                p.json() if callable(p.json) else p.json
+            )
+            for p in q.recentProgress
+        ]
+        q.stop()
+        q.awaitTermination(30)
+        ops = [p["stateOperators"] for p in reversed(progress) if p.get("stateOperators")]
+        state_rows[copies] = sum(o["numRowsTotal"] for o in ops[0])
+        got = {tuple(r) for r in spark.table(name).collect()}
+        batch = {
+            tuple(r)
+            for r in static.groupBy(
+                F.window("ts", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "value_sum",
+            )
+            .collect()
+        }
+        assert got == batch, f"stream != batch at {copies}x"
+    assert state_rows[1] == state_rows[3] > 0, state_rows
