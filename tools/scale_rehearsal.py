@@ -40,6 +40,11 @@ Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
              keyspace is constant while input volume grows Kx — the
              regime where watermark-bounded state either holds or
              doesn't)
+             or "text" (text-analysis layer: one-pass stats/quality/
+             lang-ID scoring, fingerprint dedup scan, TF-IDF postings
+             aggregate, BPE training — per-doc suffix-token replication
+             like the pipeline tier, so all per-doc work runs Kx while
+             vocabulary-bounded reductions stay ~flat)
 """
 
 from __future__ import annotations
@@ -807,6 +812,135 @@ def streaming_tier(spark, k: int) -> dict:
     return results
 
 
+def text_tier(spark, k: int) -> dict:
+    """1x vs Kx over the text-analysis layer (the last family without a
+    measured rehearsal record). Docs replicate with the pipeline tier's
+    per-copy suffix token, so replicas are distinct documents and every
+    per-doc expression runs Kx times. The four ops cover the family's
+    four physical shapes:
+
+    - stats_quality_langid: tokens + length/punct/stopword stats +
+      quality score + language-ID votes in ONE narrow pass, reduced to a
+      3-value aggregate. No wide shuffle at all — the shape every per-doc
+      scoring filter has; wall must be ~linear in docs.
+    - fingerprint_distinct: md5 canonical-form fingerprint, then
+      countDistinct — one shuffle keyed by fingerprint (cardinality =
+      distinct normal forms, here ~docs). The exact-dedup scan shape.
+    - tfidf_top25: explode -> per-term hash aggregate -> broadcast
+      1-row corpus size -> top-k heap (mirror of the registered
+      tfidf_top_terms plan). Shuffle is the postings aggregate, linear
+      in corpus; reduced output bounded by the VOCABULARY.
+    - bpe_train_8: weighted vocab aggregate (corpus-linear scan, vocab-
+      bounded shuffle) + 8 merge rounds that touch ONLY the vocab table —
+      past the initial scan, merge-round cost must be ~flat in corpus
+      size because vocab cardinality is corpus-bounded, not corpus-
+      linear (copies add one `copytokI` type each, noise)."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions import text as tx
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    def docs_x(copies: int):
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * OFFSET)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytok{i}")).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def stats_quality_langid(d):
+        t = d.select("doc_id", "text", tx.tokens(F.col("text")).alias("toks"))
+        n_tokens = F.size("toks")
+        punct_ratio = F.when(F.length("text") == 0, 0.0).otherwise(
+            tx.punct_count(F.col("text")) / F.length("text")
+        )
+        stop_ratio = F.when(n_tokens == 0, 0.0).otherwise(
+            tx.stopword_count(F.col("toks")) / n_tokens
+        )
+        scored = t.select(
+            "doc_id",
+            tx.quality_score(n_tokens, punct_ratio, stop_ratio).alias("q"),
+            *[
+                c.alias(f"_v_{lang}")
+                for lang, c in tx.lang_votes(F.col("toks")).items()
+            ],
+        )
+        col_votes = {lang: F.col(f"_v_{lang}") for lang in tx.LANG_MARKERS}
+        row = (
+            scored.select("q", tx.predict_lang(col_votes).alias("pl"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("q"), 6).alias("avg_q"),
+                F.countDistinct("pl").alias("n_langs"),
+            )
+            .first()
+        )
+        return [row["n"], float(row["avg_q"]), row["n_langs"]]
+
+    def fingerprint_distinct(d):
+        return (
+            d.select(tx.fingerprint(F.col("text")).alias("fp"))
+            .agg(F.countDistinct("fp"))
+            .first()[0]
+        )
+
+    def tfidf_top25(d):
+        t = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+        n_total = t.select(F.count("*").alias("n_total"))
+        tf = t.select("doc_id", F.explode("toks").alias("term"))
+        stats = tf.groupBy("term").agg(
+            F.count("*").alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        top = (
+            stats.crossJoin(F.broadcast(n_total))
+            .filter(F.col("df") < F.col("n_total"))
+            .select(
+                "term",
+                F.round(
+                    F.col("tf_total") * F.log(F.col("n_total") / F.col("df")), 6
+                ).alias("tfidf"),
+            )
+            .orderBy(F.desc("tfidf"), "term")
+            .limit(25)
+            .collect()
+        )
+        return len(top)
+
+    def bpe_train_8(d):
+        vocab = (
+            d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return len(tx.bpe_train(vocab, n_merges=8))
+
+    results: dict[str, dict] = {}
+    for scale, copies in (("1x", 1), ("%dx" % k, k)):
+        d = docs_x(copies).localCheckpoint(eager=True)
+        ops = {
+            "stats_quality_langid": lambda: stats_quality_langid(d),
+            "fingerprint_distinct": lambda: fingerprint_distinct(d),
+            "tfidf_top25": lambda: tfidf_top25(d),
+            "bpe_train_8": lambda: bpe_train_8(d),
+        }
+        for name, fn in ops.items():
+            before = _metrics(spark)
+            t0 = time.time()
+            out = fn()
+            wall = round(time.time() - t0, 1)
+            m = _delta(_metrics(spark), before)
+            results[f"{name}@{scale}"] = {"wall_s": wall, "result": out, **m}
+            print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
+    return results
+
+
 def main(k: int = 10, tier: str = "graph") -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -843,6 +977,10 @@ def main(k: int = 10, tier: str = "graph") -> int:
         return 0
     if tier == "streaming":
         results = streaming_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
+    if tier == "text":
+        results = text_tier(spark, k)
         print(json.dumps(results, indent=1))
         return 0
 
