@@ -45,6 +45,12 @@ Usage: python tools/scale_rehearsal.py [K] [tier]   (default 10 graph)
              aggregate, BPE training — per-doc suffix-token replication
              like the pipeline tier, so all per-doc work runs Kx while
              vocabulary-bounded reductions stay ~flat)
+             or "multimodal" (opaque binary payloads + typed metadata
+             through the Arrow-batched mapInPandas UDFs: meta-only
+             scan, featurize, 1:N frame explosion, WAV encode/decode —
+             measures Python-worker throughput and confirms zero wide
+             shuffle; the decode stub stands in for real codecs, the
+             plumbing is what's measured)
 """
 
 from __future__ import annotations
@@ -941,6 +947,124 @@ def text_tier(spark, k: int) -> dict:
     return results
 
 
+def multimodal_tier(spark, k: int) -> dict:
+    """1x vs Kx over the multimodal layer: opaque binary payloads +
+    typed metadata, processed by Arrow-batched mapInPandas UDFs. The
+    decode step is the container-limitation stub (deterministic byte
+    histogram — functions/multimodal.py); everything this tier measures
+    is the part that IS real and survives a codec swap: the binary
+    schema, the Arrow batch boundary, the Python-worker throughput, and
+    the 1:N frame explosion. Four physical shapes:
+
+    - meta_scan: metadata aggregate that never touches the payload —
+      the column-pruned shape a 100 TB multimodal table is designed for.
+    - extract_features: one mapInPandas pass, one output row per input
+      row — the image featurize shape; wall measures Arrow round-trip +
+      Python featurize throughput.
+    - sample_frames: the 1:N explosion (4 frames per payload) — output
+      row count must be exactly 4x docs at both scales.
+    - audio_encode_decode: real RIFF/WAVE encode + chunk-walk decode +
+      integer stats per row — the heaviest per-row Python work in the
+      family.
+
+    All four are embarrassingly parallel: ZERO wide shuffle expected at
+    either scale (the only exchanges are the final 1-row aggregates)."""
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.functions import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    def docs_x(copies: int):
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * OFFSET)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytok{i}")).alias("text"),
+            )
+            for i in range(copies)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def meta_scan(d):
+        b = mm.to_binary_payload(d, "doc_id", "text")
+        r = b.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        ).first()
+        return [r["n"], r["total_bytes"]]
+
+    def extract_features(d):
+        b = mm.to_binary_payload(d, "doc_id", "text")
+        r = (
+            mm.extract_features(b)
+            .agg(
+                F.count("*").alias("n"),
+                # dim 3 = bytes 96-127 (lowercase ASCII) — the densest
+                # histogram bucket for text payloads, so the checksum is
+                # actually sensitive (dim 0 would sum to 0.0)
+                F.round(F.sum(F.element_at("feature", 4)), 3).alias("f3_sum"),
+            )
+            .first()
+        )
+        return [r["n"], float(r["f3_sum"])]
+
+    def sample_frames(d):
+        b = mm.to_binary_payload(d, "doc_id", "text", modality="video")
+        r = (
+            mm.sample_frames(b)
+            .agg(
+                F.count("*").alias("n_frames"),
+                F.countDistinct("frame_idx").alias("n_idx"),
+            )
+            .first()
+        )
+        return [r["n_frames"], r["n_idx"]]
+
+    def audio_encode_decode(d):
+        import pandas as pd
+
+        def batches(it):
+            import numpy as np
+
+            for pdf in it:
+                zcr = []
+                for text in pdf["text"]:
+                    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                    samples = ((raw.astype(np.int64) - 100) * 256).astype(np.int16)
+                    st = mm.audio_stats(mm.encode_wav(samples, 8000))
+                    zcr.append(st["zcr"])
+                yield pd.DataFrame({"zcr": zcr})
+
+        r = (
+            d.mapInPandas(batches, schema="zcr int")
+            .agg(F.count("*").alias("n"), F.sum("zcr").alias("zcr_sum"))
+            .first()
+        )
+        return [r["n"], r["zcr_sum"]]
+
+    results: dict[str, dict] = {}
+    for scale, copies in (("1x", 1), ("%dx" % k, k)):
+        d = docs_x(copies).localCheckpoint(eager=True)
+        ops = {
+            "meta_scan": lambda: meta_scan(d),
+            "extract_features": lambda: extract_features(d),
+            "sample_frames": lambda: sample_frames(d),
+            "audio_encode_decode": lambda: audio_encode_decode(d),
+        }
+        for name, fn in ops.items():
+            before = _metrics(spark)
+            t0 = time.time()
+            out = fn()
+            wall = round(time.time() - t0, 1)
+            m = _delta(_metrics(spark), before)
+            results[f"{name}@{scale}"] = {"wall_s": wall, "result": out, **m}
+            print(json.dumps({f"{name}@{scale}": results[f"{name}@{scale}"]}))
+    return results
+
+
 def main(k: int = 10, tier: str = "graph") -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import functions as F
@@ -981,6 +1105,10 @@ def main(k: int = 10, tier: str = "graph") -> int:
         return 0
     if tier == "text":
         results = text_tier(spark, k)
+        print(json.dumps(results, indent=1))
+        return 0
+    if tier == "multimodal":
+        results = multimodal_tier(spark, k)
         print(json.dumps(results, indent=1))
         return 0
 
