@@ -852,7 +852,16 @@ def graph_cc_star_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp: dict = {}
     for v in parent:
         comp.setdefault(find(v), []).append(v)
-    ref = {v: min(ms) for ms in comp.values() for v in ms}
+    # one min() PER COMPONENT, then fan out: the tempting one-liner
+    # `{v: min(ms) for ms in comp.values() for v in ms}` re-scans the
+    # member list once per member — O(m^2) per component, ~9 s on this
+    # subgraph's one giant ~25k-node component and HOURS at the 500k-edge
+    # guard ceiling if the graph is well-connected
+    ref: dict = {}
+    for ms in comp.values():
+        m = min(ms)
+        for v in ms:
+            ref[v] = m
     raw.unpersist()
     return spark.createDataFrame(
         [(len(ref), got == ref)],

@@ -197,7 +197,14 @@ def _uf_components(pairs):
     comp = {}
     for v in parent:
         comp.setdefault(find(v), []).append(v)
-    return {v: min(members) for members in comp.values() for v in members}
+    # min once per component (the per-member one-liner is O(m^2) — see
+    # graph_cc_star_gate's replay)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
 
 
 def test_cc_star_long_chain(spark):
