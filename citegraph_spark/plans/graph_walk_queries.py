@@ -552,9 +552,14 @@ def graph_mst_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             ((F.col("a") * 31 + F.col("b") * 17) % 997 + 1).cast("double"),
         )
+        # persisted like the sibling gates: raw is read 4 times below
+        # (guard count, operator input, replay collect, node count) and
+        # would otherwise re-run the scan + distinct shuffle each time
+        .persist()
     )
     n_induced = raw.limit(500_001).count()
     if n_induced > 500_000:
+        raw.unpersist()
         raise ValueError(
             "graph_mst_gate: induced subgraph exceeds 500k edges; "
             "raise the induction modulus for this data scale"
@@ -575,6 +580,7 @@ def graph_mst_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    raw.unpersist()
     return spark.createDataFrame(
         [(n_nodes, got == ref)],
         "n_nodes long, forest_matches_kruskal boolean",
