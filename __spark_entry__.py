@@ -228,7 +228,12 @@ _RECHECK_FIRST = [
     # after their r7 rows, so all three re-queue (this pushes the
     # r7-overlap to 7, two over the verdict's ~5 target; freshness
     # outranks overlap, and the audit mandate said "any found static
-    # re-shuffle fixed").
+    # re-shuffle fixed"). Late round-8 additions to the same three:
+    # the cc_star gate's union-find replay lost an O(m^2)
+    # min-per-member fanout (one min per component now — 8.8 s of the
+    # 14.2 s gate, hours at the 500k-edge guard on a connected graph)
+    # and the MST gate now persists its 4x-read induced edge table
+    # like the sibling gates. Output values unchanged in both.
     "graph_mst_gate", "graph_ktruss_gate", "graph_cc_star_gate",
     # round-8 cut_lineage refactor: every iterative operator's round
     # state now truncates lineage via lineage.cut_lineage —
