@@ -630,6 +630,7 @@ def graph_mis_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_induced = raw.limit(500_001).count()
     if n_induced > 500_000:
+        raw.unpersist()
         raise ValueError(
             "graph_mis_gate: induced subgraph exceeds 500k edges; "
             "raise the induction modulus for this data scale"
@@ -737,6 +738,7 @@ def graph_matching_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_induced = raw.limit(500_001).count()
     if n_induced > 500_000:
+        raw.unpersist()
         raise ValueError(
             "graph_matching_gate: induced subgraph exceeds 500k edges; "
             "raise the induction modulus for this data scale"
@@ -831,6 +833,7 @@ def graph_cc_star_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_induced = raw.limit(500_001).count()
     if n_induced > 500_000:
+        raw.unpersist()
         raise ValueError(
             "graph_cc_star_gate: induced subgraph exceeds 500k edges; "
             "raise the induction modulus for this data scale"
@@ -922,6 +925,7 @@ def graph_ktruss_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = proj.count()
     if n_edges > 500_000:
+        proj.unpersist()
         raise ValueError(
             "graph_ktruss_gate: projection exceeds 500k edges; raise the "
             "bucket modulus for this data scale"
