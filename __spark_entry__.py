@@ -212,6 +212,12 @@ _R7_CHECKED = [
 #      r2-latest ones — a 50-entry sweep reaches all r1 and 27 of r2;
 #      the last ~9 r2 entries lead round 9.
 _RECHECK_FIRST = [
+    # round-8 late fix: range_join_binned's exact re-filter now compares
+    # native (microsecond) values instead of second-truncated longs —
+    # found by the first sf0.1 oracle sweep (a purchase 59.87 ms BEFORE
+    # its click passed the second-granular predicate). Both consumers'
+    # code paths changed after their r7 rows, so both re-queue first.
+    "events_click_attribution", "range_join_events_orders",
     "graph_lpa",
     # round-8 ADVICE.md edits (n_cells pin / certificate sampling /
     # count reuse) — code paths changed after their r7 rows

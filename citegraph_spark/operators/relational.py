@@ -160,21 +160,32 @@ def range_join_binned(
     right row), and every join strategy (broadcast/SMJ/AQE skew split)
     applies. Pick bin_width ~ typical interval span.
     """
-    def as_long(df: DataFrame, name: str):
-        # TIMESTAMP_NTZ has no direct long cast; route via TIMESTAMP
+    def norm(df: DataFrame, name: str):
+        # TIMESTAMP_NTZ has no direct numeric cast; route via TIMESTAMP
         # (session TZ is pinned to UTC in session.py, so this is stable)
         c = F.col(name)
         if dict(df.dtypes)[name].startswith("timestamp"):
             c = c.cast("timestamp")
-        return c.cast("long")
+        return c
 
-    lo, hi = as_long(right, right_lo), as_long(right, right_hi)
+    # Bin assignment may truncate to whole seconds (monotonic, so a point
+    # inside [lo, hi] always lands in a bin in [floor(lo), floor(hi)]),
+    # but the exact re-filter must NOT: timestamp→long drops fractional
+    # seconds, and a purchase 60 ms BEFORE a click would pass a
+    # second-granular `pt >= lo` (found by the sf0.1 cross-SF oracle
+    # sweep — one such sub-second-inverted pair exists there and in none
+    # of the smaller corpora). The re-filter therefore compares the
+    # NATIVE values (microsecond-exact for timestamps, width-exact for
+    # integers); only the bin expressions take the long cast.
+    lo_s, hi_s = norm(right, right_lo).cast("long"), norm(right, right_hi).cast("long")
+    lo, hi = norm(right, right_lo), norm(right, right_hi)
     r_binned = right.withColumn(
         "_bin",
-        F.explode(F.sequence(F.floor(lo / bin_width), F.floor(hi / bin_width))),
+        F.explode(F.sequence(F.floor(lo_s / bin_width), F.floor(hi_s / bin_width))),
     )
-    pt = as_long(left, left_point)
-    l_binned = left.withColumn("_bin", F.floor(pt / bin_width))
+    pt_s = norm(left, left_point).cast("long")
+    pt = norm(left, left_point)
+    l_binned = left.withColumn("_bin", F.floor(pt_s / bin_width))
     on = ["_bin", key] if key else ["_bin"]
     return (
         l_binned.join(r_binned, on=on, how="inner")

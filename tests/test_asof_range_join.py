@@ -67,6 +67,41 @@ def test_range_join_binned_no_key(spark):
     assert got == {(1, 10), (2, 10), (3, 11)}
 
 
+def test_range_join_binned_subsecond_exact(spark):
+    """The exact re-filter must honor sub-second timestamp order: a point
+    60 ms BEFORE the interval's lower bound (same whole second) is OUT,
+    one 60 ms after the upper bound (same whole second) is OUT, and the
+    exact bounds are IN. Pins the sf0.1 cross-SF sweep finding where a
+    second-granular re-filter admitted a purchase that preceded its
+    click by 59.87 ms."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 14, 10, 49, 26, 417201)
+    lo = base
+    hi = base + dt.timedelta(minutes=30)
+    right = spark.createDataFrame(
+        [(1, lo, hi)], "k int, lo timestamp_ntz, hi timestamp_ntz"
+    )
+    pts = [
+        (10, base - dt.timedelta(milliseconds=60)),   # same second, before lo
+        (11, base),                                   # == lo: in
+        (12, base + dt.timedelta(milliseconds=60)),   # in
+        (13, hi),                                     # == hi: in
+        (14, hi + dt.timedelta(milliseconds=60)),     # same second, past hi
+    ]
+    left = spark.createDataFrame(
+        [(pid, 1, p) for pid, p in pts], "pid int, k int, p timestamp_ntz"
+    )
+    got = {
+        r["pid"]
+        for r in range_join_binned(
+            left, right, key="k", left_point="p", right_lo="lo",
+            right_hi="hi", bin_width=30 * 60,
+        ).collect()
+    }
+    assert got == {11, 12, 13}
+
+
 # ------------------------------------------------- global rank / histogram
 
 
