@@ -218,6 +218,11 @@ _RECHECK_FIRST = [
     # its click passed the second-granular predicate). Both consumers'
     # code paths changed after their r7 rows, so both re-queue first.
     "events_click_attribution", "range_join_events_orders",
+    # round-8 late fix 2 (same sf0.1 sweep): events_ewma now quantizes
+    # with an explicit floor(x*1e6+0.5)/1e6 stated identically in both
+    # engines — engine round() implementations disagree within an ulp
+    # of the .5 boundary (6 of 100k rows at sf0.1).
+    "events_ewma",
     "graph_lpa",
     # round-8 ADVICE.md edits (n_cells pin / certificate sampling /
     # count reuse) — code paths changed after their r7 rows

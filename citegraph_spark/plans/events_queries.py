@@ -1051,10 +1051,10 @@ WITH seq AS (
   FROM events
 )
 SELECT event_id,
-       round(
-         list_reduce(w, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc),
-         6
-       ) AS ewma
+       floor(
+         list_reduce(w, (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)
+         * 1000000 + 0.5
+       ) / 1000000 AS ewma
 FROM seq ORDER BY event_id
 """,
 )
@@ -1066,8 +1066,16 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, no UDF. Bounding the window is what makes EWMA
     window-expressible at all (the unbounded recurrence is inherently
     sequential); 20 samples at alpha=0.3 carries (1-alpha)^20 ~ 0.0008
-    of older mass, below the 6-dp rounding. The fold order (oldest
-    first) is stated identically in both engines."""
+    of older mass, below the 6-dp quantization. The fold order (oldest
+    first) is stated identically in both engines, so the raw doubles
+    are bit-identical — but engine round() implementations disagree
+    when raw*1e6 sits within an ulp of .5 (6 of 100k rows at sf0.1:
+    Spark rounds the exact binary value via BigDecimal HALF_UP, DuckDB
+    rounds through the multiply). The output therefore quantizes with
+    an explicit floor(x*1e6 + 0.5)/1e6 stated identically in both
+    engines: every operation is the same IEEE double op on the same
+    bits, so the quantized result is deterministic across engines at
+    any corpus size."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1077,16 +1085,14 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_id", F.collect_list("value").over(w).alias("w")
     )
+    raw = F.aggregate(
+        F.expr("slice(w, 2, size(w) - 1)"),
+        F.element_at("w", 1),
+        lambda acc, x: _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc,
+    )
     return seq.select(
         "event_id",
-        F.round(
-            F.aggregate(
-                F.expr("slice(w, 2, size(w) - 1)"),
-                F.element_at("w", 1),
-                lambda acc, x: _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc,
-            ),
-            6,
-        ).alias("ewma"),
+        (F.floor(raw * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("ewma"),
     ).orderBy("event_id")
 
 
