@@ -160,13 +160,16 @@ def range_join_binned(
     right row), and every join strategy (broadcast/SMJ/AQE skew split)
     applies. Pick bin_width ~ typical interval span.
     """
-    def norm(df: DataFrame, name: str):
+    def as_long(df: DataFrame, name: str):
         # TIMESTAMP_NTZ has no direct numeric cast; route via TIMESTAMP
-        # (session TZ is pinned to UTC in session.py, so this is stable)
+        # (session TZ is pinned to UTC in session.py, so this is stable;
+        # the cast exists ONLY on this bin path — the exact re-filter
+        # below compares native column values and never leaves the NTZ
+        # domain, so re-filter correctness does not depend on the TZ pin)
         c = F.col(name)
         if dict(df.dtypes)[name].startswith("timestamp"):
             c = c.cast("timestamp")
-        return c
+        return c.cast("long")
 
     # Bin assignment may truncate to whole seconds (monotonic, so a point
     # inside [lo, hi] always lands in a bin in [floor(lo), floor(hi)]),
@@ -176,21 +179,25 @@ def range_join_binned(
     # sweep — one such sub-second-inverted pair exists there and in none
     # of the smaller corpora). The re-filter therefore compares the
     # NATIVE values (microsecond-exact for timestamps, width-exact for
-    # integers); only the bin expressions take the long cast.
-    lo_s, hi_s = norm(right, right_lo).cast("long"), norm(right, right_hi).cast("long")
-    lo, hi = norm(right, right_lo), norm(right, right_hi)
-    r_binned = right.withColumn(
+    # integers). The filter operands are materialized as internal
+    # _pt/_lo/_hi columns on their OWN frame before the join, so name
+    # resolution cannot bind the wrong side when left and right happen
+    # to share a column named like the point/bound columns.
+    lo_s, hi_s = as_long(right, right_lo), as_long(right, right_hi)
+    r_binned = right.withColumn("_lo", F.col(right_lo)).withColumn(
+        "_hi", F.col(right_hi)
+    ).withColumn(
         "_bin",
         F.explode(F.sequence(F.floor(lo_s / bin_width), F.floor(hi_s / bin_width))),
     )
-    pt_s = norm(left, left_point).cast("long")
-    pt = norm(left, left_point)
-    l_binned = left.withColumn("_bin", F.floor(pt_s / bin_width))
+    l_binned = left.withColumn("_pt", F.col(left_point)).withColumn(
+        "_bin", F.floor(as_long(left, left_point) / bin_width)
+    )
     on = ["_bin", key] if key else ["_bin"]
     return (
         l_binned.join(r_binned, on=on, how="inner")
-        .filter((pt >= lo) & (pt <= hi))
-        .drop("_bin")
+        .filter((F.col("_pt") >= F.col("_lo")) & (F.col("_pt") <= F.col("_hi")))
+        .drop("_bin", "_pt", "_lo", "_hi")
     )
 
 

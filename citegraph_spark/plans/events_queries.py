@@ -1075,7 +1075,10 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit floor(x*1e6 + 0.5)/1e6 stated identically in both
     engines: every operation is the same IEEE double op on the same
     bits, so the quantized result is deterministic across engines at
-    any corpus size."""
+    any corpus size. The Spark floor returns LONG (DuckDB's stays
+    DOUBLE), so it is cast back to double explicitly; both expressions
+    assume |value*1e6| < 2^53, where long and double floors coincide
+    exactly (events.value is O(100), so raw*1e6 is O(1e8))."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1092,7 +1095,8 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.select(
         "event_id",
-        (F.floor(raw * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("ewma"),
+        (F.floor(raw * 1_000_000 + F.lit(0.5)).cast("double") / 1_000_000)
+        .alias("ewma"),
     ).orderBy("event_id")
 
 
