@@ -26,11 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-8 sweep (3 entries); then never-certified (0);
+# changed since the round-8 sweep (4 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
     'events_click_attribution',
     'events_ewma',
+    'graph_scc',
     'range_join_events_orders',
     'events_cohort_retention',
     'events_funnel',
@@ -242,7 +243,6 @@ _ROTATION = [
     'graph_mst_gate',
     'graph_pagerank',
     'graph_ppr',
-    'graph_scc',
     'graph_sssp',
     'hof_array_stats',
     'hyperball_accuracy_gate',

@@ -678,31 +678,58 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_scc",
     """
 WITH RECURSIVE
-cit AS (SELECT DISTINCT CAST(l_orderkey AS INT) AS f,
+cit AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS INT) AS f,
                CAST(l_partkey AS INT) AS t FROM lineitem),
 nodes AS (SELECT DISTINCT n FROM
           (SELECT f AS n FROM cit UNION ALL SELECT t FROM cit)),
 -- every node on a directed cycle appears as BOTH a source and a target
 -- (its cycle edges alone witness that), so all non-trivial SCCs live in
 -- the induced subgraph on cand; paths within an SCC also stay inside it
-cand AS (SELECT DISTINCT f AS n FROM cit WHERE f IN (SELECT t FROM cit)),
-ie AS (SELECT f, t FROM cit
+cand AS MATERIALIZED (SELECT DISTINCT f AS n FROM cit
+                      WHERE f IN (SELECT t FROM cit)),
+ie AS MATERIALIZED (SELECT f, t FROM cit
        WHERE f IN (SELECT n FROM cand) AND t IN (SELECT n FROM cand)),
+-- seeded decomposition: extract the (expected-giant) SCC of the
+-- max-degree core node first via single-source forward/backward
+-- reachability (LINEAR in visited edges, unlike the all-pairs
+-- closure), then run the quadratic closure only on the residue.
+-- EXACT for ANY seed — a poor seed only costs time, never correctness.
+seed AS (
+  SELECT n FROM (
+    SELECT n, count(*) AS deg FROM (
+      SELECT f AS n FROM ie UNION ALL SELECT t FROM ie
+    ) GROUP BY n
+  ) ORDER BY deg DESC, n LIMIT 1
+),
+fwd AS (SELECT n AS v FROM seed UNION SELECT e.t FROM fwd JOIN ie e ON fwd.v = e.f),
+bwd AS (SELECT n AS v FROM seed UNION SELECT e.f FROM bwd JOIN ie e ON bwd.v = e.t),
+giant AS MATERIALIZED (SELECT f2.v FROM fwd f2 JOIN bwd b2 ON f2.v = b2.v),
+res_e AS MATERIALIZED (SELECT f, t FROM ie
+          WHERE f NOT IN (SELECT v FROM giant)
+            AND t NOT IN (SELECT v FROM giant)),
 reach AS (
-  SELECT f AS a, t AS b FROM ie
+  SELECT f AS a, t AS b FROM res_e
   UNION
-  SELECT r.a, e.t FROM reach r JOIN ie e ON r.b = e.f
+  SELECT r.a, e.t FROM reach r JOIN res_e e ON r.b = e.f
 ),
 mutual AS (
   SELECT r1.a AS v, r1.b AS u
   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 ),
-lab AS (
+res_lab AS (
   SELECT c.n AS v, LEAST(c.n, COALESCE(MIN(m.u), c.n)) AS lbl
-  FROM cand c LEFT JOIN mutual m ON c.n = m.v GROUP BY c.n
+  FROM cand c LEFT JOIN mutual m ON c.n = m.v
+  WHERE c.n NOT IN (SELECT v FROM giant)
+  GROUP BY c.n
 ),
-sizes AS (SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl),
-nontriv AS (SELECT sz, count(*) AS cnt FROM sizes WHERE sz > 1 GROUP BY sz)
+res_sizes AS (SELECT lbl, count(*) AS sz FROM res_lab GROUP BY lbl),
+nontriv_all AS (
+  SELECT sz FROM res_sizes WHERE sz > 1
+  UNION ALL
+  SELECT count(*) AS sz FROM giant HAVING count(*) > 1
+),
+nontriv AS MATERIALIZED (SELECT sz, count(*) AS cnt
+                         FROM nontriv_all GROUP BY sz)
 SELECT CAST(scc_size AS BIGINT) AS scc_size,
        CAST(n_sccs AS BIGINT) AS n_sccs FROM (
   SELECT 1 AS scc_size,
@@ -720,16 +747,24 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping orderkey/partkey id ranges create one giant SCC plus
     singletons — (scc_size, n_sccs) is the stable, compact contract.
 
-    Hash-verified (upgraded from rows-only in round 5): the DuckDB
-    oracle trims to the src∩dst core — every node of a directed cycle
-    appears as both a source and a target, and intra-SCC paths stay
-    inside the SCC, so the induced subgraph preserves exactly the
-    non-trivial SCCs — then computes the transitive closure of that
-    core (~2k nodes at sweep SF) with a recursive CTE and labels each
-    node by the minimum mutually-reachable node. Singleton count is
+    Hash-verified (upgraded from rows-only in round 5; oracle made
+    sf0.1-capable in round 9): the DuckDB oracle trims to the src∩dst
+    core — every node of a directed cycle appears as both a source and
+    a target, and intra-SCC paths stay inside the SCC, so the induced
+    subgraph preserves exactly the non-trivial SCCs. An all-pairs
+    closure of the core is quadratic in the giant SCC (>90 GB at sf0.1,
+    the round-8 sweep hole), so the oracle decomposes: the SCC of the
+    max-degree core node is extracted first via single-source
+    forward/backward recursive reachability (linear in visited edges),
+    and the quadratic closure runs only on the residue (~400 of ~19.6k
+    core nodes at sf0.1). The decomposition is exact for ANY seed — a
+    poor seed costs time, never correctness. CTEs referenced more than
+    once are MATERIALIZED (DuckDB otherwise re-inlines the recursion
+    per reference: 111 s -> 0.3 s at sf0.1). Singleton count is
     recovered as |V| minus the non-trivial mass. The operator is
     additionally verified against a driver-side Tarjan on crafted and
-    random graphs in tests."""
+    random graphs in tests, and at full 600k-edge sf0.1 scale by
+    scc_partition_gate's Tarjan replay."""
     from ..operators.graph import strongly_connected_components
 
     edges = _citations(spark, sf_dir).select(
