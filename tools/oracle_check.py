@@ -1,12 +1,24 @@
-"""Local mimic of the driver's t2 correctness gate.
+"""Local mimic of the driver's t2 correctness gate — now multi-SF.
 
-Runs every `queries()` entry at sf=0.01 via Spark AND its `oracle_sql()`
-via DuckDB, then compares row count, column names, and an
-order-insensitive value hash (columns sorted by name, rows sorted,
-floats rounded to 9 significant-ish decimals before hashing).
+Runs every `queries()` entry via Spark AND its `oracle_sql()` via
+DuckDB, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, floats rounded to 9
+significant-ish decimals before hashing).
 
-Usage: python tools/oracle_check.py [name ...]
-Scale factor: set ORACLE_SF_DIR (default /root/testdata/sf0.01).
+The cross-SF sweep is a STANDING per-round gate (round-8 verdict item
+4): its first sf0.1 run caught two boundary-collision defect classes
+(sub-second truncation, .5-ulp engine rounding) that seven rounds of
+single-SF sweeps could not see. Run it at all three SFs each round and
+record the three lines in BASELINE.md.
+
+Usage: python tools/oracle_check.py [name ...] [--sf-dirs D1,D2,...]
+                                    [--json OUT.json]
+  names       subset of registry entries (default: all 229)
+  --sf-dirs   comma-separated testdata dirs; default $ORACLE_SF_DIR or
+              /root/testdata/sf0.01
+  --json      write {sf_dir: {name: {status, secs, rows}}} — feeds
+              tools/registry_costs.json (cheap-first sweep ordering)
+              and the BASELINE.md record
 """
 
 from __future__ import annotations
@@ -48,7 +60,71 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def main(names: list[str]) -> int:
+def check_one(spark, con, qs, oracles, name: str, sf_dir: str) -> dict:
+    """Run one entry Spark-vs-DuckDB at sf_dir; return a result record."""
+    t0 = time.time()
+    rec = {"status": "OK", "secs": 0.0, "rows": 0}
+    try:
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        rec["rows"] = len(srows)
+    except Exception as ex:
+        print(f"FAIL  {name}: spark error: {ex}")
+        rec.update(status="FAIL", secs=time.time() - t0)
+        return rec
+    if name not in oracles:
+        rec.update(status="ROWS-ONLY", secs=time.time() - t0)
+        print(f"ROWS-ONLY  {name}: {len(srows)} rows ({rec['secs']:.1f}s)")
+        return rec
+    try:
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(r) for r in res.fetchall()]
+    except Exception as ex:
+        print(f"FAIL  {name}: duckdb error: {ex}")
+        rec.update(status="FAIL", secs=time.time() - t0)
+        return rec
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+    if not problems:
+        hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+        if hs != hd:
+            problems.append(f"value-hash spark={hs} duckdb={hd}")
+            for a, b in list(
+                zip(sorted(map(str, srows)), sorted(map(str, drows)))
+            )[:300]:
+                if a != b:
+                    problems.append(
+                        f"  first diff:\n  spark : {a}\n  duckdb: {b}"
+                    )
+                    break
+    rec["secs"] = time.time() - t0
+    if problems:
+        print(f"FAIL  {name}: " + "; ".join(problems[:3]))
+        rec["status"] = "FAIL"
+    else:
+        print(f"OK    {name}: {len(srows)} rows, hash match ({rec['secs']:.1f}s)")
+    return rec
+
+
+def main(argv: list[str]) -> int:
+    names: list[str] = []
+    sf_dirs = [SF_DIR]
+    json_out = None
+    it = iter(argv)
+    for a in it:
+        if a == "--sf-dirs":
+            sf_dirs = [d if "/" in d else f"/root/testdata/{d}"
+                       for d in next(it).split(",")]
+        elif a == "--json":
+            json_out = next(it)
+        else:
+            names.append(a)
+
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
     from citegraph_spark.session import get_spark
@@ -61,58 +137,37 @@ def main(names: list[str]) -> int:
 
     print(
         f"engines: pyspark={pyspark.__version__} "
-        f"duckdb={duckdb.__version__} (sf_dir={SF_DIR})"
+        f"duckdb={duckdb.__version__} (sf_dirs={sf_dirs})"
     )
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-
     qs, oracles = e.queries(), e.oracle_sql()
     selected = names or list(qs)
-    n_fail = 0
-    for name in selected:
-        t0 = time.time()
-        try:
-            sdf = qs[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as ex:
-            print(f"FAIL  {name}: spark error: {ex}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"ROWS-ONLY  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(r) for r in res.fetchall()]
-        except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {ex}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if not problems:
-            hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
-            if hs != hd:
-                problems.append(f"value-hash spark={hs} duckdb={hd}")
-                for a, b in list(zip(sorted(map(str, srows)), sorted(map(str, drows))))[:300]:
-                    if a != b:
-                        problems.append(f"  first diff:\n  spark : {a}\n  duckdb: {b}")
-                        break
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems[:3]))
-            n_fail += 1
-        else:
-            print(f"OK    {name}: {len(srows)} rows, hash match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(selected) - n_fail}/{len(selected)} passed")
-    return 1 if n_fail else 0
+    report: dict[str, dict] = {}
+    n_fail_total = 0
+    for sf_dir in sf_dirs:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        t_sf = time.time()
+        per = {name: check_one(spark, con, qs, oracles, name, sf_dir)
+               for name in selected}
+        con.close()
+        report[sf_dir] = per
+        n_fail = sum(1 for r in per.values() if r["status"] == "FAIL")
+        n_fail_total += n_fail
+        print(
+            f"\nSF {sf_dir}: {len(selected) - n_fail}/{len(selected)} passed "
+            f"({time.time() - t_sf:.0f}s)"
+        )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    return 1 if n_fail_total else 0
 
 
 if __name__ == "__main__":
