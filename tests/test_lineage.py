@@ -1,8 +1,10 @@
 """cut_lineage: default path is exactly localCheckpoint; the reliable
 knob reroutes every iterative operator's round state through DFS-backed
-checkpoint with identical results. This is the one-knob cluster
-fault-tolerance story (lineage.py) — local[*] cannot rehearse an
-executor loss, so the pin is: same results, real checkpoint files."""
+checkpoint with identical results — and (round-9) the durability claim
+itself is exercised under a REAL executor kill: local-cluster[2,1,1536]
+runs executors as separate JVMs, tests/_kill_probe.py SIGKILLs one
+mid-iteration, and reliable mode must complete row-identically while
+default localCheckpoint mode must die on the lost blocks."""
 
 from __future__ import annotations
 
@@ -143,3 +145,100 @@ def test_deploy_recipe_two_keys_end_to_end(tmp_path):
     )
     got = eval(res.stdout.decode().strip().splitlines()[-1])
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# executor-loss fault injection (round-9 verdict item 2)
+# ---------------------------------------------------------------------------
+
+_PROBE = os.path.join(os.path.dirname(__file__), "_kill_probe.py")
+_KILL_SF = os.environ.get("KILLTEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _run_probe(mode, ckpt_dir, extra=()):
+    import subprocess
+    import sys as _sys
+
+    res = subprocess.run(
+        [_sys.executable, _PROBE, mode, str(ckpt_dir), _KILL_SF, *extra],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    full = res.stdout + res.stderr
+    tail = "\n".join(full.splitlines()[-40:])
+    return res.returncode, res.stdout, tail, full
+
+
+def _parse_result(stdout):
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            parts = line.split()
+            return {
+                "hash": parts[1],
+                "rows": int(parts[2].split("=")[1]),
+                "killed": parts[3].split("=")[1],
+            }
+    return None
+
+
+def test_reliable_checkpoint_survives_executor_kill(tmp_path):
+    """THE durability claim of lineage.py, finally exercised for real:
+    pagerank (12 rounds, sf0.01 parquet edges, separate executor JVMs
+    via local-cluster) with one executor SIGKILLed after the first
+    reliable checkpoint lands must complete AND produce rows identical
+    to an undisturbed run of the same config. Spark reschedules the
+    dead executor's tasks; lost round state replays from the DFS-backed
+    checkpoint files instead of the (truncated) lineage."""
+    rc_kill, out_kill, tail_kill, _ = _run_probe("reliable", tmp_path / "kill")
+    assert rc_kill == 0, f"reliable mode died on executor loss:\n{tail_kill}"
+    got = _parse_result(out_kill)
+    assert got is not None, tail_kill
+    assert got["killed"] != "None", (
+        "watcher never killed an executor — the survival claim was not "
+        f"exercised:\n{tail_kill}"
+    )
+
+    rc_ref, out_ref, tail_ref, _ = _run_probe(
+        "reliable", tmp_path / "ref", extra=("--no-kill",)
+    )
+    assert rc_ref == 0, tail_ref
+    ref = _parse_result(out_ref)
+    assert ref["killed"] == "None"
+    assert got["rows"] == ref["rows"]
+    assert got["hash"] == ref["hash"], (
+        "post-kill recovery changed the result: "
+        f"{got} vs undisturbed {ref}"
+    )
+
+
+def test_default_localcheckpoint_dies_on_executor_kill(tmp_path):
+    """Negative control — proves the kill itself has teeth: the same
+    SIGKILL under default localCheckpoint mode must fail the query
+    (blocks lived only on the dead executor; truncated lineage cannot
+    recompute them). Guards against a silently no-op watcher making the
+    positive test vacuous."""
+    rc, out, tail, full = _run_probe("default", tmp_path / "kill")
+    if rc == 0:
+        got = _parse_result(out)
+        # the only acceptable success is a kill that landed after the
+        # final round no longer needed the blocks — rerun once to derisk
+        assert got and got["killed"] != "None", tail
+        rc, out, tail, full = _run_probe("default", tmp_path / "kill2")
+    assert rc != 0, (
+        "default localCheckpoint mode survived an executor kill twice — "
+        f"either the watcher is broken or the blocks were replicated:\n{tail}"
+    )
+    # the canonical signature is "Checkpoint block rdd_N_M not found";
+    # under scheduler races the same root cause can surface as a block
+    # fetch / executor-loss failure instead — any of these certify that
+    # the job died on the killed executor's state, not on our code
+    signatures = (
+        "Checkpoint block",
+        "BlockNotFound",
+        "block not found",
+        "FetchFailed",
+        "ExecutorLostFailure",
+        "Command exited with code 137",
+    )
+    assert any(s in full for s in signatures), tail
