@@ -26,238 +26,238 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-8 sweep (4 entries); then never-certified (0);
+# changed since the round-8 sweep (9 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'dedup_prefix_filter',
+    'dedup_edit_distance',
+    'dedup_incremental',
     'events_click_attribution',
     'events_ewma',
-    'graph_scc',
     'range_join_events_orders',
+    'graph_scc',
+    'graph_hyperball',
+    'graph_effective_diameter_approx',
     'events_cohort_retention',
-    'events_funnel',
     'events_hierarchical_rollup',
+    'events_funnel',
     'events_scd2_history',
-    'bpe_top_merges',
-    'cube_flag_status',
-    'dedup_exact',
-    'distinct_flag_status',
-    'events_gap_fill',
-    'events_transitions',
-    'except_all_supplier_flags',
-    'filter_project_pushdown',
-    'grouping_sets_revenue',
-    'heavy_hitters_exact',
-    'intersect_customer_nations',
-    'loader_normalize_ids',
-    'multi_join_region_revenue',
     'multimodal_meta',
-    'orders_above_customer_avg',
-    'outer_join_nation_presence',
-    'pivot_status_by_flag',
-    'q17_small_quantity_revenue',
-    'q18_large_orders',
-    'q19_disjunctive_filter',
-    'q3_unshipped_revenue',
-    'rollup_returns',
+    'text_fingerprint',
+    'unpivot_part_measures',
+    'text_token_count',
+    'heavy_hitters_exact',
     'sample_stratified',
+    'distinct_flag_status',
+    'split_train_test',
+    'text_rolling_hash',
     'sample_weighted',
     'semi_join_active_parts',
-    'split_train_test',
-    'text_fingerprint',
     'text_lang_id',
     'text_quality',
-    'text_rolling_hash',
+    'filter_project_pushdown',
+    'intersect_customer_nations',
+    'outer_join_nation_presence',
+    'pivot_status_by_flag',
     'text_stats',
-    'text_token_count',
-    'tfidf_top_terms',
     'union_nation_keys',
-    'unpivot_part_measures',
+    'dedup_exact',
+    'orders_above_customer_avg',
+    'q19_disjunctive_filter',
+    'rollup_returns',
+    'events_transitions',
+    'cube_flag_status',
+    'grouping_sets_revenue',
+    'q17_small_quantity_revenue',
+    'except_all_supplier_flags',
+    'tfidf_top_terms',
+    'bpe_top_merges',
+    'loader_normalize_ids',
+    'q3_unshipped_revenue',
     'window_rank_lag',
-    'approx_distinct_parts',
-    'approx_percentile_prices',
-    'contamination_check',
-    'csv_sink_roundtrip',
-    'dedup_edit_distance',
-    'dedup_embedding_cosine',
-    'dedup_minhash_lsh',
-    'dedup_ngram_jaccard',
-    'dedup_prefix_filter',
-    'dedup_simhash',
-    'dedup_simhash_pairs',
-    'doc_repetition_signals',
+    'events_gap_fill',
+    'q18_large_orders',
+    'multi_join_region_revenue',
+    'sketch_mergeable_distinct',
+    'shuffle_shard_stats',
+    'salted_join_event_nations',
+    'ngram_top_bigrams',
+    'q13_customer_distribution',
+    'sample_domain_mix',
+    'gopher_quality_filter',
     'dq_orders_checks',
+    'contamination_check',
     'events_sliding_window',
+    'q16_supplier_part_counts',
+    'csv_sink_roundtrip',
+    'sql_api_region_revenue',
+    'q7_volume_shipping',
+    'multimodal_features',
+    'dedup_ngram_jaccard',
+    'q9_product_profit',
+    'approx_distinct_parts',
+    'dedup_embedding_cosine',
+    'percentile_prices',
+    'q8_market_share',
+    'q2_min_cost_supplier',
+    'similarity_topk_cosine',
+    'heavy_hitters_mg',
+    'q11_important_stock',
+    'window_ntile_cume',
+    'approx_percentile_prices',
+    'doc_repetition_signals',
+    'multimodal_frames',
     'fixture_density',
+    'heavy_hitters_cms',
+    'dedup_simhash',
+    'dedup_minhash_lsh',
+    'dedup_simhash_pairs',
     'fixture_effective_diameter',
     'fixture_hopplot',
-    'gopher_quality_filter',
-    'heavy_hitters_cms',
-    'heavy_hitters_mg',
-    'multimodal_features',
-    'multimodal_frames',
-    'ngram_top_bigrams',
-    'percentile_prices',
-    'q11_important_stock',
-    'q13_customer_distribution',
-    'q16_supplier_part_counts',
-    'q2_min_cost_supplier',
-    'q7_volume_shipping',
-    'q8_market_share',
-    'q9_product_profit',
-    'salted_join_event_nations',
-    'sample_domain_mix',
-    'shuffle_shard_stats',
-    'similarity_topk_cosine',
-    'sketch_mergeable_distinct',
-    'sql_api_region_revenue',
-    'window_ntile_cume',
-    'ab_mann_whitney',
-    'ab_welch_ttest',
-    'arrow_token_count',
-    'basket_lift_top',
-    'bootstrap_ci_daily_mean',
-    'cdc_apply_changes',
-    'chi2_flag_status',
-    'corr_lineitem_measures',
-    'dq_key_skew',
-    'events_autocorr',
-    'events_cusum_changepoint',
-    'events_dau_wau',
-    'events_forecast_backtest',
-    'events_inter_arrival',
-    'events_seasonal_decompose',
-    'events_sessionize',
-    'events_user_entropy',
-    'graph_assortativity',
-    'graph_powerlaw_fit',
-    'graph_temporal_reachability',
-    'kmeans_quality_gate',
-    'logreg_train_gate',
-    'mad_outlier_prices',
-    'markov_next_event_eval',
-    'naive_bayes_lang',
-    'orders_open_backlog',
-    'pca_power_gate',
     'pipeline_truncation_report',
-    'regression_price_on_qty',
-    'streaming_windowed_append',
-    'text_accent_fold',
-    'text_heaps_law',
-    'text_js_divergence',
     'text_zipf_fit',
+    'arrow_token_count',
+    'text_accent_fold',
+    'corr_lineitem_measures',
+    'graph_powerlaw_fit',
+    'events_seasonal_decompose',
+    'events_forecast_backtest',
+    'events_cusum_changepoint',
+    'cdc_apply_changes',
+    'events_sessionize',
+    'regression_price_on_qty',
+    'events_inter_arrival',
+    'bootstrap_ci_daily_mean',
+    'events_user_entropy',
+    'text_heaps_law',
+    'events_autocorr',
+    'dq_key_skew',
+    'ab_welch_ttest',
+    'markov_next_event_eval',
     'xml_sink_roundtrip',
-    'bloom_semi_join_revenue',
-    'bucketed_join_roundtrip',
-    'dedup_boilerplate_lines',
-    'dedup_incremental',
-    'doc_lm_surprisal',
-    'doc_novelty_trigrams',
-    'dq_benford_first_digit',
-    'dq_psi_drift',
-    'events_anomaly_iqr',
-    'events_decayed_counts',
-    'events_session_window',
-    'events_twap',
+    'mad_outlier_prices',
+    'orders_open_backlog',
+    'chi2_flag_status',
+    'ab_mann_whitney',
+    'graph_temporal_reachability',
+    'basket_lift_top',
+    'events_dau_wau',
+    'text_js_divergence',
+    'graph_assortativity',
+    'naive_bayes_lang',
+    'logreg_train_gate',
+    'streaming_windowed_append',
+    'kmeans_quality_gate',
+    'pca_power_gate',
     'events_variant_props',
-    'feature_hashing',
-    'fixture_motif_triangles',
-    'graph_random_walks',
-    'json_sink_roundtrip',
-    'kmv_set_ops',
-    'label_knn_agreement',
-    'motif_fanout_top',
-    'multimodal_audio',
-    'orc_sink_roundtrip',
-    'parquet_partitioned_roundtrip',
-    'parquet_schema_evolution',
-    'parquet_upsert_merge',
-    'parquet_zorder_roundtrip',
-    'similarity_ann_lsh',
-    'streaming_dedup',
-    'streaming_enrich',
-    'streaming_incremental_rollup',
-    'streaming_join',
-    'streaming_session_window',
-    'streaming_sessionize',
-    'streaming_state_inspect',
-    'streaming_stateful_counts',
-    'streaming_windowed',
+    'dq_benford_first_digit',
+    'events_anomaly_iqr',
     'text_html_strip',
     'text_pii_redact',
+    'events_decayed_counts',
+    'events_twap',
+    'motif_fanout_top',
+    'dq_psi_drift',
+    'doc_lm_surprisal',
+    'multimodal_audio',
+    'graph_random_walks',
+    'kmv_set_ops',
+    'events_session_window',
+    'feature_hashing',
+    'json_sink_roundtrip',
+    'dedup_boilerplate_lines',
+    'label_knn_agreement',
+    'parquet_schema_evolution',
+    'orc_sink_roundtrip',
     'tokenize_to_ids',
-    'anti_join_idle_customers',
-    'attr_join_customer_orders',
-    'customer_rfm_segments',
-    'double_vertex_join',
-    'events_kaplan_meier',
-    'graph_adjacency',
-    'graph_canonical_pairs',
-    'graph_degree_distribution',
-    'graph_density',
-    'graph_hopplot_d2',
-    'graph_out_degree',
-    'graph_snapshot_edge_count',
-    'kmeans_embeddings',
-    'q10_returned_items',
-    'q12_ship_priority_class',
-    'q14_promo_revenue',
-    'q15_top_supplier',
-    'q1_pricing_summary',
-    'q20_part_promotion',
-    'q21_waiting_suppliers',
-    'q22_global_sales_opportunity',
-    'q4_order_priority',
-    'q5_local_supplier_volume',
+    'parquet_partitioned_roundtrip',
+    'parquet_zorder_roundtrip',
+    'parquet_upsert_merge',
+    'streaming_enrich',
+    'bucketed_join_roundtrip',
+    'streaming_incremental_rollup',
+    'similarity_ann_lsh',
+    'streaming_session_window',
+    'bloom_semi_join_revenue',
+    'streaming_windowed',
+    'fixture_motif_triangles',
+    'streaming_dedup',
+    'streaming_stateful_counts',
+    'streaming_sessionize',
+    'streaming_state_inspect',
+    'doc_novelty_trigrams',
+    'streaming_join',
     'q6_forecast_revenue',
     'running_total_orders',
     'scalar_functions_showcase',
+    'q14_promo_revenue',
+    'anti_join_idle_customers',
+    'graph_out_degree',
+    'q4_order_priority',
+    'q15_top_supplier',
+    'attr_join_customer_orders',
+    'q1_pricing_summary',
+    'q12_ship_priority_class',
+    'q22_global_sales_opportunity',
+    'customer_rfm_segments',
+    'graph_density',
+    'q10_returned_items',
+    'graph_snapshot_edge_count',
+    'events_kaplan_meier',
+    'q20_part_promotion',
+    'graph_degree_distribution',
+    'q5_local_supplier_volume',
     'udtf_chunk_split',
-    'asof_join_events_orders',
-    'bpe_train_merges',
-    'coreset_kcenter',
-    'dedup_clusters',
-    'equidepth_histogram_prices',
+    'graph_adjacency',
+    'q21_waiting_suppliers',
+    'graph_canonical_pairs',
+    'double_vertex_join',
+    'graph_hopplot_d2',
+    'kmeans_embeddings',
     'events_json_map_agg',
     'events_json_props',
-    'events_moving_avg_time',
-    'events_top_users_per_type',
-    'events_windowed_agg',
     'file_lineage_counts',
-    'fixture_betweenness',
-    'fixture_harmonic_centrality',
-    'graph_betweenness_sampled',
-    'graph_cc_star_gate',
-    'graph_closeness_sampled',
-    'graph_clustering_coefficient',
-    'graph_cocitation_triangles',
-    'graph_diameter_double_sweep',
-    'graph_effective_diameter_approx',
-    'graph_hits',
-    'graph_hyperball',
-    'graph_kcore',
-    'graph_ktruss_gate',
-    'graph_link_prediction',
-    'graph_lpa',
-    'graph_matching_gate',
-    'graph_mis_gate',
-    'graph_mst_gate',
-    'graph_pagerank',
-    'graph_ppr',
-    'graph_sssp',
-    'hof_array_stats',
-    'hyperball_accuracy_gate',
+    'events_top_users_per_type',
     'null_safe_join_status',
-    'pack_sequences',
+    'events_moving_avg_time',
+    'events_windowed_agg',
     'pipeline_end_to_end',
-    'revenue_concentration',
-    'scc_partition_gate',
-    'similarity_ivf',
-    'similarity_ivf_trained',
-    'similarity_pq',
-    'similarity_recall_gate',
-    'skyline_parts',
+    'pack_sequences',
     'stats_moments',
     'winsorized_prices',
+    'asof_join_events_orders',
+    'skyline_parts',
+    'equidepth_histogram_prices',
+    'revenue_concentration',
+    'similarity_ivf',
+    'bpe_train_merges',
+    'fixture_betweenness',
+    'fixture_harmonic_centrality',
+    'graph_closeness_sampled',
+    'hof_array_stats',
+    'graph_betweenness_sampled',
+    'graph_link_prediction',
+    'graph_ppr',
+    'graph_pagerank',
+    'similarity_pq',
+    'graph_clustering_coefficient',
+    'graph_hits',
+    'graph_cocitation_triangles',
+    'graph_sssp',
+    'graph_matching_gate',
+    'coreset_kcenter',
+    'graph_cc_star_gate',
+    'graph_mis_gate',
+    'dedup_clusters',
+    'graph_diameter_double_sweep',
+    'similarity_ivf_trained',
+    'graph_ktruss_gate',
+    'graph_kcore',
+    'graph_lpa',
+    'graph_mst_gate',
+    'similarity_recall_gate',
+    'scc_partition_gate',
+    'hyperball_accuracy_gate',
 ]
 # --- END GENERATED ROTATION ---
 

@@ -129,8 +129,8 @@ est AS (
          len(list_filter(v, x -> x = 0)) AS zeros
   FROM ball WHERE d > 0
 ),
-nn AS (SELECT count(*) AS n FROM nodes),
-tot AS (
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+tot AS MATERIALIZED (
   SELECT d, sum(CASE WHEN (0.709 * 4096 / denom) <= 160 AND zeros > 0
                      THEN 64 * ln(64.0 / zeros)
                      ELSE 0.709 * 4096 / denom END) AS total
@@ -146,11 +146,11 @@ def hyperball_oracle_sql(max_d: int = 2) -> str:
     return (
         _hyperball_core(max_d)
         + f""",
-stab AS (
+stab AS MATERIALIZED (
   SELECT t.d, abs(t.total - p.total) / p.total < 0.001 AS stable
   FROM tot t JOIN tot p ON p.d = t.d - 1
 ),
-stop_d AS (SELECT coalesce(min(d), {max_d}) AS sd FROM stab WHERE stable)
+stop_d AS MATERIALIZED (SELECT coalesce(min(d), {max_d}) AS sd FROM stab WHERE stable)
 SELECT CAST(t.d AS INT) AS d,
        CAST(round(greatest(0.0, (t.total - nn.n) / 2.0), 2) AS DOUBLE) AS est_pairs
 FROM tot t, nn
@@ -167,20 +167,20 @@ def effective_diameter_oracle_sql(max_d: int = 20) -> str:
     return (
         _hyperball_core(max_d)
         + f""",
-stab AS (
+stab AS MATERIALIZED (
   SELECT t.d, abs(t.total - p.total) / p.total < 0.001 AS stable
   FROM tot t JOIN tot p ON p.d = t.d - 1
 ),
-stop_d AS (SELECT coalesce(min(d), {max_d}) AS sd FROM stab WHERE stable),
-counts AS (
+stop_d AS MATERIALIZED (SELECT coalesce(min(d), {max_d}) AS sd FROM stab WHERE stable),
+counts AS MATERIALIZED (
   SELECT t.d, greatest(0.0, (t.total - nn.n) / 2.0) AS pairs
   FROM tot t, nn WHERE t.d > 0 AND t.d <= (SELECT sd FROM stop_d)
 ),
-pct AS (
+pct AS MATERIALIZED (
   SELECT d, pairs / (SELECT pairs FROM counts ORDER BY d DESC LIMIT 1) AS percent
   FROM counts
 ),
-crossing AS (
+crossing AS MATERIALIZED (
   SELECT lo.d + (0.9 - lo.percent) / (hi.percent - lo.percent) AS d_star
   FROM pct lo JOIN pct hi ON hi.d = lo.d + 1
   WHERE lo.percent <= 0.9 AND hi.percent > 0.9
