@@ -26,11 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-8 sweep (9 entries); then never-certified (0);
+# changed since the round-8 sweep (10 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
     'dedup_prefix_filter',
     'dedup_edit_distance',
+    'doc_novelty_trigrams',
     'dedup_incremental',
     'events_click_attribution',
     'events_ewma',
@@ -185,7 +186,6 @@ _ROTATION = [
     'streaming_stateful_counts',
     'streaming_sessionize',
     'streaming_state_inspect',
-    'doc_novelty_trigrams',
     'streaming_join',
     'q6_forecast_revenue',
     'running_total_orders',

@@ -1085,13 +1085,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_novelty_trigrams",
     f"""
-WITH g AS (
+WITH g AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_transform(range(1, len({_TOKS}) - 1),
                 i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) AS ng
   FROM documents
 ),
-cnt AS (SELECT ng, count(*) AS c FROM g GROUP BY 1),
+cnt AS MATERIALIZED (SELECT ng, count(*) AS c FROM g GROUP BY 1),
 per_doc AS (
   SELECT g.doc_id,
          CAST(count(*) AS BIGINT) AS total,
