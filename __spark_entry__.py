@@ -26,59 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-8 sweep (10 entries); then never-certified (0);
+# changed since the round-9 sweep (0 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
-    'dedup_prefix_filter',
-    'dedup_edit_distance',
-    'doc_novelty_trigrams',
-    'dedup_incremental',
-    'events_click_attribution',
-    'events_ewma',
-    'range_join_events_orders',
-    'graph_scc',
-    'graph_hyperball',
-    'graph_effective_diameter_approx',
-    'events_cohort_retention',
-    'events_hierarchical_rollup',
-    'events_funnel',
-    'events_scd2_history',
-    'multimodal_meta',
-    'text_fingerprint',
-    'unpivot_part_measures',
-    'text_token_count',
-    'heavy_hitters_exact',
-    'sample_stratified',
-    'distinct_flag_status',
-    'split_train_test',
-    'text_rolling_hash',
-    'sample_weighted',
-    'semi_join_active_parts',
-    'text_lang_id',
-    'text_quality',
-    'filter_project_pushdown',
-    'intersect_customer_nations',
-    'outer_join_nation_presence',
-    'pivot_status_by_flag',
-    'text_stats',
-    'union_nation_keys',
-    'dedup_exact',
-    'orders_above_customer_avg',
-    'q19_disjunctive_filter',
-    'rollup_returns',
-    'events_transitions',
-    'cube_flag_status',
-    'grouping_sets_revenue',
-    'q17_small_quantity_revenue',
-    'except_all_supplier_flags',
-    'tfidf_top_terms',
-    'bpe_top_merges',
-    'loader_normalize_ids',
-    'q3_unshipped_revenue',
-    'window_rank_lag',
-    'events_gap_fill',
-    'q18_large_orders',
-    'multi_join_region_revenue',
     'sketch_mergeable_distinct',
     'shuffle_shard_stats',
     'salted_join_event_nations',
@@ -258,6 +208,56 @@ _ROTATION = [
     'similarity_recall_gate',
     'scc_partition_gate',
     'hyperball_accuracy_gate',
+    'multimodal_meta',
+    'text_fingerprint',
+    'unpivot_part_measures',
+    'text_token_count',
+    'heavy_hitters_exact',
+    'sample_stratified',
+    'distinct_flag_status',
+    'split_train_test',
+    'text_rolling_hash',
+    'sample_weighted',
+    'semi_join_active_parts',
+    'text_lang_id',
+    'text_quality',
+    'filter_project_pushdown',
+    'intersect_customer_nations',
+    'outer_join_nation_presence',
+    'pivot_status_by_flag',
+    'text_stats',
+    'union_nation_keys',
+    'dedup_exact',
+    'orders_above_customer_avg',
+    'q19_disjunctive_filter',
+    'rollup_returns',
+    'events_transitions',
+    'cube_flag_status',
+    'events_click_attribution',
+    'grouping_sets_revenue',
+    'q17_small_quantity_revenue',
+    'events_cohort_retention',
+    'except_all_supplier_flags',
+    'events_hierarchical_rollup',
+    'tfidf_top_terms',
+    'events_ewma',
+    'bpe_top_merges',
+    'loader_normalize_ids',
+    'q3_unshipped_revenue',
+    'window_rank_lag',
+    'events_gap_fill',
+    'range_join_events_orders',
+    'q18_large_orders',
+    'events_funnel',
+    'multi_join_region_revenue',
+    'events_scd2_history',
+    'doc_novelty_trigrams',
+    'dedup_incremental',
+    'dedup_prefix_filter',
+    'graph_scc',
+    'graph_hyperball',
+    'dedup_edit_distance',
+    'graph_effective_diameter_approx',
 ]
 # --- END GENERATED ROTATION ---
 

@@ -62,13 +62,50 @@ def test_rotation_covers_registry():
     )
 
 
-def test_latest_green_rounds_ignore_err_rows():
+def test_latest_green_rounds_ignore_err_rows(tmp_path):
+    # Pinned against a FIXTURE artifact set, not the repo's live
+    # CORRECTNESS files — the rotation is designed to advance per-entry
+    # latest rounds, so any live-entry round pin goes red the moment the
+    # driver re-certifies that entry (round-9 verdict item 1).
+    def art(rnd: int, rows: dict) -> tuple[int, "Path"]:
+        p = tmp_path / f"CORRECTNESS_r{rnd:02d}.json"
+        p.write_text(__import__("json").dumps(rows))
+        return rnd, p
+
+    green = {"err": None, "hash_match": True}
+    fixtures = [
+        art(1, {"a": {"err": "boom", "hash_match": None},   # err never certifies
+                "b": green,
+                "c": {"err": None, "hash_match": False}}),  # mismatch never certifies
+        art(2, {"a": green, "c": {"err": "late", "hash_match": None}}),
+    ]
+    latest = staleness.latest_green_rounds(fixtures)
+    assert latest == {"a": 2, "b": 1}
+    assert "c" not in latest  # never green in any round
+
+
+@pytest.mark.skipif(not _git_available(), reason="no git history")
+def test_latest_green_rounds_live_invariants():
+    # Only invariants that survive rotation advancement touch live data:
+    # every certified name is a registered entry, and rounds are sane.
     latest = staleness.latest_green_rounds()
-    # r1 recorded an err row for graph_hyperball; its first GREEN row is
-    # later — an err row must never certify
-    assert latest["graph_hyperball"] >= 6
-    # entries certified once in r1 and never since
-    assert latest["events_cohort_retention"] == 1
+    from citegraph_spark.plans import entry_queries
+
+    unknown = set(latest) - set(entry_queries.QUERIES)
+    assert not unknown, f"certified names not in the registry: {unknown}"
+    max_rnd = max(r for r, _ in staleness.artifact_paths())
+    assert all(1 <= r <= max_rnd for r in latest.values())
+
+
+@pytest.mark.skipif(not _git_available(), reason="no git history")
+def test_sync_refuses_uncommitted_latest_artifact(monkeypatch):
+    # ADVICE r9: running `sync` while the newest CORRECTNESS file is
+    # uncommitted must fail loudly, not silently write a rotation with no
+    # freshness head.
+    monkeypatch.setattr(staleness, "artifact_commit", lambda rnd: None)
+    with pytest.raises(SystemExit, match="no resolvable commit"):
+        staleness.sync()
+    assert staleness.check() == 1
 
 
 # --------------------------------------------------------------------------

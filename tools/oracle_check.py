@@ -12,13 +12,17 @@ single-SF sweeps could not see. Run it at all three SFs each round and
 record the three lines in BASELINE.md.
 
 Usage: python tools/oracle_check.py [name ...] [--sf-dirs D1,D2,...]
-                                    [--json OUT.json]
-  names       subset of registry entries (default: all 229)
-  --sf-dirs   comma-separated testdata dirs; default $ORACLE_SF_DIR or
-              /root/testdata/sf0.01
-  --json      write {sf_dir: {name: {status, secs, rows}}} — feeds
-              tools/registry_costs.json (cheap-first sweep ordering)
-              and the BASELINE.md record
+                                    [--json OUT.json] [--costs-json OUT.json]
+  names        subset of registry entries (default: all 229)
+  --sf-dirs    comma-separated testdata dirs; default $ORACLE_SF_DIR or
+               /root/testdata/sf0.01
+  --json       write the full nested report
+               {sf_dir: {name: {status, secs, rows}}} (BASELINE.md record)
+  --costs-json write the FLAT {name: secs} map that
+               staleness.load_costs() consumes (cheap-first sweep
+               ordering) — per-name max secs across the given sf_dirs.
+               The nested --json output is NOT that format; use this
+               flag to refresh tools/registry_costs.json.
 """
 
 from __future__ import annotations
@@ -115,6 +119,7 @@ def main(argv: list[str]) -> int:
     names: list[str] = []
     sf_dirs = [SF_DIR]
     json_out = None
+    costs_out = None
     it = iter(argv)
     for a in it:
         if a == "--sf-dirs":
@@ -122,6 +127,8 @@ def main(argv: list[str]) -> int:
                        for d in next(it).split(",")]
         elif a == "--json":
             json_out = next(it)
+        elif a == "--costs-json":
+            costs_out = next(it)
         else:
             names.append(a)
 
@@ -167,6 +174,16 @@ def main(argv: list[str]) -> int:
         with open(json_out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
+    if costs_out:
+        import json
+
+        flat: dict[str, float] = {}
+        for per in report.values():
+            for name, rec in per.items():
+                flat[name] = max(flat.get(name, 0.0), round(rec["secs"], 2))
+        with open(costs_out, "w") as f:
+            json.dump(flat, f, indent=1, sort_keys=True)
+        print(f"wrote {costs_out} (flat name->secs, staleness.load_costs format)")
     return 1 if n_fail_total else 0
 
 

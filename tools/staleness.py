@@ -83,11 +83,18 @@ def artifact_paths() -> list[tuple[int, Path]]:
     return out
 
 
-def latest_green_rounds() -> dict[str, int]:
+def latest_green_rounds(
+    paths: list[tuple[int, Path]] | None = None,
+) -> dict[str, int]:
     """Per entry, the most recent round whose driver row is green
-    (err is null AND hash_match true). Non-green rows never certify."""
+    (err is null AND hash_match true). Non-green rows never certify.
+
+    `paths` overrides the repo's live artifacts — tests pin behavior
+    against fixture artifact sets instead of live files the rotation is
+    designed to advance.
+    """
     latest: dict[str, int] = {}
-    for rnd, p in artifact_paths():
+    for rnd, p in (artifact_paths() if paths is None else paths):
         for name, row in json.loads(p.read_text()).items():
             if row.get("err") is None and row.get("hash_match") is True:
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -96,7 +103,10 @@ def latest_green_rounds() -> dict[str, int]:
 
 def artifact_commit(rnd: int) -> str | None:
     """Commit whose tree the round-`rnd` sweep certified (the artifact is
-    committed on top of the code it tested)."""
+    committed on top of the code it tested). None when the artifact has
+    never been committed (e.g. the driver just wrote it to the worktree)
+    — callers must treat that as "freshness rule unenforceable", not as
+    "nothing stale"."""
     try:
         out = subprocess.run(
             ["git", "-C", str(ROOT), "log", "-1", "--format=%H", "--",
@@ -104,7 +114,7 @@ def artifact_commit(rnd: int) -> str | None:
             capture_output=True, text=True, check=True,
         ).stdout.strip()
         return out or None
-    except Exception:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 
@@ -337,6 +347,7 @@ def derive() -> dict:
     last_rnd = rounds[-1] if rounds else None
 
     stale_now: set[str] = set()
+    freshness_enforced = False
     if last_rnd is not None:
         rev = artifact_commit(last_rnd)
         if rev:
@@ -345,6 +356,7 @@ def derive() -> dict:
                 for n in names:
                     if wt.fingerprint(n) != snap.fingerprint(n):
                         stale_now.add(n)
+                freshness_enforced = True
             except subprocess.CalledProcessError:
                 pass
 
@@ -389,6 +401,10 @@ def derive() -> dict:
         "never": never,
         "latest": latest,
         "last_round": last_rnd,
+        # False = the latest artifact has no resolvable commit (uncommitted
+        # worktree file / git unavailable) so stale-now detection could not
+        # run — the freshness rule is NOT being enforced for this round.
+        "freshness_enforced": freshness_enforced,
     }
 
 
@@ -423,8 +439,18 @@ def render_block(d: dict) -> str:
     return "\n".join(lines)
 
 
+_FRESHNESS_WARNING = (
+    "WARNING: the latest CORRECTNESS artifact (r{rnd}) has no resolvable "
+    "commit — it exists in the worktree but was never committed, or git is "
+    "unavailable. Stale-now detection DID NOT RUN: a rotation written now "
+    "has no freshness head. Commit the artifact first, then re-run."
+)
+
+
 def sync() -> None:
     d = derive()
+    if d["last_round"] is not None and not d["freshness_enforced"]:
+        raise SystemExit(_FRESHNESS_WARNING.format(rnd=d["last_round"]))
     text = ENTRY_FILE.read_text()
     block = render_block(d)
     if MARK_BEGIN in text:
@@ -442,6 +468,9 @@ def sync() -> None:
 
 def check() -> int:
     d = derive()
+    if d["last_round"] is not None and not d["freshness_enforced"]:
+        print(_FRESHNESS_WARNING.format(rnd=d["last_round"]))
+        return 1
     hist: dict[int, int] = {}
     for n in d["order"]:
         hist[d["latest"].get(n, 0)] = hist.get(d["latest"].get(n, 0), 0) + 1
