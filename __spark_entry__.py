@@ -26,9 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-9 sweep (0 entries); then never-certified (0);
+# changed since the round-9 sweep (4 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'graph_clustering_coefficient',
+    'graph_kcore',
+    'scc_partition_gate',
+    'graph_scc',
     'sketch_mergeable_distinct',
     'shuffle_shard_stats',
     'salted_join_event_nations',
@@ -190,7 +194,6 @@ _ROTATION = [
     'graph_ppr',
     'graph_pagerank',
     'similarity_pq',
-    'graph_clustering_coefficient',
     'graph_hits',
     'graph_cocitation_triangles',
     'graph_sssp',
@@ -202,11 +205,9 @@ _ROTATION = [
     'graph_diameter_double_sweep',
     'similarity_ivf_trained',
     'graph_ktruss_gate',
-    'graph_kcore',
     'graph_lpa',
     'graph_mst_gate',
     'similarity_recall_gate',
-    'scc_partition_gate',
     'hyperball_accuracy_gate',
     'multimodal_meta',
     'text_fingerprint',
@@ -254,7 +255,6 @@ _ROTATION = [
     'doc_novelty_trigrams',
     'dedup_incremental',
     'dedup_prefix_filter',
-    'graph_scc',
     'graph_hyperball',
     'dedup_edit_distance',
     'graph_effective_diameter_approx',

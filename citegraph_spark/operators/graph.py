@@ -831,25 +831,103 @@ def label_propagation(
     return labels
 
 
+def _tarjan_scc(pairs: list[tuple[int, int]]) -> list[frozenset]:
+    """Exact SCC partition of a driver-local directed edge list —
+    ITERATIVE Tarjan (explicit stack, no recursion limit). Shared by
+    the small-residue fast path of strongly_connected_components and
+    by scc_partition_gate's independent reference replay (the gate runs
+    the operator with local_threshold=0, so the two sides never share
+    an execution path)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes: set = set()
+    for a, b in pairs:
+        adj[a].append(b)
+        nodes.update((a, b))
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    st: list = []
+    out: list[frozenset] = []
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                st.append(v)
+                on.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.append(frozenset(comp))
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+    return out
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 50,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """SCC of a DIRECTED graph: TRIM + coloring (parallel FW-BW, Orzan).
 
     Phase 1 — trim: a node with zero in-degree or zero out-degree cannot
     be on a cycle, so it is a singleton SCC; peel such nodes iteratively
-    (each round: two distincts + two semi joins — a DAG trims to empty in
+    (each peel: two distincts + two semi joins — a DAG trims to empty in
     topological-depth rounds, so the common near-acyclic citation graph
-    never reaches the expensive phase). Phase 2 — coloring on the cyclic
-    residue: propagate the max node id FORWARD to a fixpoint (color
-    classes), then from each root (color(r)=r) propagate a confirmation
-    flag BACKWARD restricted to the root's color class; confirmed nodes
-    are exactly root's SCC (root→v forward ∧ v→root backward), emitted
-    and peeled — every color class peels one SCC per outer round. All
-    nodes never emitted by phase 2 (trimmed or edge-orphaned) are
-    singleton SCCs, emitted in one final anti-join. Output: (node, scc),
-    scc = the component's max node id.
+    never reaches the expensive phase). Peels are NOT lazily batched
+    between materializations: each peel references its input 4× (srcs,
+    dsts, and the semi-join left side), so a k-deep lazy chain grows the
+    logical plan ~4^k and Catalyst planning dominates (measured: an
+    8-deep chain never finished planning at sf0.01). One materialized
+    peel per round is the stable shape. Phase 2 — coloring on the cyclic
+    residue:
+    propagate the max node id FORWARD to a fixpoint (color classes),
+    then from each root (color(r)=r) propagate a confirmation flag
+    BACKWARD restricted to the root's color class; confirmed nodes are
+    exactly root's SCC (root→v forward ∧ v→root backward), emitted and
+    peeled — every color class peels one SCC per outer round. All nodes
+    never emitted by phase 2 (trimmed or edge-orphaned) are singleton
+    SCCs, emitted in one final anti-join. Output: (node, scc), scc = the
+    component's max node id.
+
+    Once the live residue fits `local_threshold` edges (checked at the
+    free count points), it is collected and solved EXACTLY by iterative
+    Tarjan on the driver — the standard shrinking-residue endgame: on a
+    1000-executor cluster, distributed rounds that peel a handful of
+    edges each are pure scheduling overhead, while the residue of a
+    trimmed 100 TB citation graph is a few MB. The 500k default matches
+    scc_partition_gate's driver-size budget (≈8 MB of edge pairs; Tarjan
+    is linear and sub-second there). `local_threshold=0` disables the
+    fast path (scc_partition_gate uses that to keep its
+    distributed-vs-Tarjan comparison honest). Labels are identical
+    either way — the partition is unique and both paths emit max-id.
 
     Round shape matches connected_components: equi join + max-aggregate,
     localCheckpoint lineage truncation, no RDDs/UDFs. Worst case (one
@@ -870,10 +948,29 @@ def strongly_connected_components(
         .transform(cut_lineage)
     )
 
+    def _local_residue(residue: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        pairs = [(r["src"], r["dst"]) for r in residue.collect()]
+        rows = [
+            (int(n), int(max(comp)))
+            for comp in _tarjan_scc(pairs)
+            for n in comp
+        ]
+        # Arrow path: createDataFrame on a plain tuple list falls back to
+        # row-at-a-time pickling (measured 8.9 s for 19k rows); the same
+        # rows through a pandas frame upload as one Arrow batch (<0.5 s).
+        pdf = pd.DataFrame(rows, columns=["node", "scc"], dtype="int64")
+        return spark.createDataFrame(pdf, "node long, scc long")
+
     # ---- phase 1: trim acyclic fringe (cannot be on any cycle)
     n_edges = live.count()
+    went_local = False
     for _ in range(max_rounds):
         if n_edges == 0:
+            break
+        if local_threshold and n_edges <= local_threshold:
+            went_local = True
             break
         srcs = live.select(F.col("src").alias("node")).distinct()
         dsts = live.select(F.col("dst").alias("node")).distinct()
@@ -888,6 +985,13 @@ def strongly_connected_components(
         if n_next == n_edges:
             break
         n_edges = n_next
+
+    if went_local:
+        labeled = _local_residue(live)
+        singletons = all_nodes.join(
+            labeled.select("node"), "node", "left_anti"
+        ).select("node", F.col("node").alias("scc"))
+        return labeled.unionByName(singletons)
 
     # ---- phase 2: coloring on the cyclic residue
     out_parts: list[DataFrame] = []
@@ -1346,12 +1450,22 @@ def local_clustering(und_edges: DataFrame, top_k: int = 100) -> DataFrame:
     one (u→v, u→w, v→w) path and oriented out-degree is O(sqrt |E|), so
     the wedge join survives power-law skew); each enumerated triangle
     then credits all three corners via a 3-way explode — one extra
-    narrow pass, no second join."""
+    narrow pass, no second join.
+
+    `und_edges` and `deg` are each referenced from several branches of
+    the plan (deg build, orientation join, closing-edge join; deg again
+    in the final cc join), so both are lineage-cut ONCE up front —
+    otherwise Spark re-executes the caller's projection subtree (for
+    graph_clustering_coefficient, a 600k×600k self-join + distinct) at
+    every reference, the plan-side analog of DuckDB re-inlining a CTE
+    (round-10 profile: 10.2 s → ~5 s at sf0.1)."""
+    und_edges = und_edges.transform(cut_lineage)
     deg = (
         und_edges.select(F.col("a").alias("node"))
         .unionByName(und_edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .transform(cut_lineage)
     )
     e = (
         und_edges.join(deg.alias("da"), F.col("a") == F.col("da.node"))

@@ -354,15 +354,18 @@ def scc_partition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trim + Orzan coloring — its raw labels stay rows-only): on the
     hash-induced subgraph (both endpoints % 4 == 0, ~1/16 of the edges),
     the component PARTITION produced distributed must equal a
-    driver-side iterative Tarjan run exactly, compared as canonical
-    min-node-id labelings. The subgraph induction keeps the reference
-    run driver-sized at any sweep SF while still exercising the full
-    distributed code path on real data; full-graph equivalence at
-    fixture scale is separately covered by the crafted/random-graph
-    Tarjan tests."""
+    driver-side iterative Tarjan run exactly, compared as partitions
+    (sets of node sets — labels cancel). The operator runs with
+    local_threshold=0 so its small-residue Tarjan fast path is DISABLED
+    here: the gate's whole point is distributed-path-vs-reference, and
+    the reference side is the only _tarjan_scc call. The subgraph
+    induction keeps the reference run driver-sized at any sweep SF
+    while still exercising the full distributed code path on real data;
+    full-graph equivalence at fixture scale is separately covered by
+    the crafted/random-graph Tarjan tests."""
     from collections import defaultdict
 
-    from ..operators.graph import strongly_connected_components
+    from ..operators.graph import _tarjan_scc, strongly_connected_components
 
     edges = (
         _citations(spark, sf_dir)
@@ -380,56 +383,14 @@ def scc_partition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raise the induction modulus for this data scale"
         )
     got = defaultdict(set)
-    for r in strongly_connected_components(edges).collect():
+    for r in strongly_connected_components(edges, local_threshold=0).collect():
         got[r["scc"]].add(r["node"])
     dist_partition = {frozenset(v) for v in got.values()}
 
-    # driver-side ITERATIVE Tarjan (explicit stack — no recursion limit)
+    # independent driver-side reference: iterative Tarjan
     pairs = [(r["src"], r["dst"]) for r in edges.collect()]
-    adj = defaultdict(list)
-    nodes = set()
-    for a, b in pairs:
-        adj[a].append(b)
-        nodes.update((a, b))
-    index, low, on, st, out = {}, {}, set(), [], []
-    counter = 0
-    for root in sorted(nodes):
-        if root in index:
-            continue
-        work = [(root, 0)]
-        while work:
-            v, pi = work[-1]
-            if pi == 0:
-                index[v] = low[v] = counter
-                counter += 1
-                st.append(v)
-                on.add(v)
-            recurse = False
-            for i in range(pi, len(adj[v])):
-                w = adj[v][i]
-                if w not in index:
-                    work[-1] = (v, i + 1)
-                    work.append((w, 0))
-                    recurse = True
-                    break
-                if w in on:
-                    low[v] = min(low[v], index[w])
-            if recurse:
-                continue
-            if low[v] == index[v]:
-                comp = []
-                while True:
-                    w = st.pop()
-                    on.discard(w)
-                    comp.append(w)
-                    if w == v:
-                        break
-                out.append(frozenset(comp))
-            work.pop()
-            if work:
-                p = work[-1][0]
-                low[p] = min(low[p], low[v])
-    ref_partition = set(out)
+    nodes = {n for p in pairs for n in p}
+    ref_partition = set(_tarjan_scc(pairs))
     return spark.createDataFrame(
         [(len(nodes), dist_partition == ref_partition)],
         "n_nodes bigint, partitions_match_tarjan boolean",

@@ -435,11 +435,45 @@ def test_kcore_scc_raise_on_round_exhaustion(spark):
     assert k_core(path, k=2).count() == 0  # a path has no 2-core
 
     # directed 10-cycle: nothing trims, forward coloring needs ~cycle
-    # length rounds -> cap of 2 is exhausted before the fixpoint
+    # length rounds -> cap of 2 is exhausted before the fixpoint.
+    # local_threshold=0 keeps the DISTRIBUTED path under test (the
+    # default small-residue Tarjan fast path would solve a 10-cycle
+    # locally and never reach the coloring loop).
     cyc = spark.createDataFrame(
         [(i, (i % 10) + 1) for i in range(1, 11)], "src long, dst long"
     )
     with pytest.raises(ConvergenceError):
-        strongly_connected_components(cyc, max_rounds=2)
-    got = strongly_connected_components(cyc).collect()
+        strongly_connected_components(cyc, max_rounds=2, local_threshold=0)
+    got = strongly_connected_components(cyc, local_threshold=0).collect()
     assert {r["scc"] for r in got} == {10} and len(got) == 10
+    # the default local fast path must produce the identical labeling
+    got_local = strongly_connected_components(cyc).collect()
+    assert sorted(map(tuple, got_local)) == sorted(map(tuple, got))
+
+
+def test_scc_local_fastpath_matches_distributed(spark):
+    """Random directed graphs: the small-residue Tarjan fast path and
+    the pure distributed trim+coloring path must emit the IDENTICAL
+    (node, scc=max-id) labeling — the partition is unique and both
+    paths label by component max."""
+    import random
+
+    from citegraph_spark.operators.graph import strongly_connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(1, n), rng.randrange(1, n))
+            for _ in range(90 + 30 * trial)
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src long, dst long"
+        )
+        dist = sorted(
+            map(tuple, strongly_connected_components(df, local_threshold=0).collect())
+        )
+        local = sorted(
+            map(tuple, strongly_connected_components(df).collect())
+        )
+        assert dist == local
