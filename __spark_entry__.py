@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-9 sweep (4 entries); then never-certified (0);
+# changed since the round-9 sweep (5 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'text_heaps_law',
     'graph_clustering_coefficient',
     'graph_kcore',
     'scc_partition_gate',
@@ -84,7 +85,6 @@ _ROTATION = [
     'events_inter_arrival',
     'bootstrap_ci_daily_mean',
     'events_user_entropy',
-    'text_heaps_law',
     'events_autocorr',
     'dq_key_skew',
     'ab_welch_ttest',

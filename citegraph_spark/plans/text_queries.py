@@ -1423,10 +1423,25 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lx = F.log(F.col("n_doc").cast("double"))
     ly = F.log("vocab")
+    # Degenerate-corpus guard (round-10 boundary replica finding): on a
+    # duplicate-heavy corpus every bigram first occurs before the first
+    # checkpoint, vocab is CONSTANT across marks, and F.corr's internal
+    # division by a zero variance raises DIVIDE_BY_ZERO under ANSI mode
+    # instead of reporting an undefined fit. try_divide forms of the
+    # same closed-form OLS slope and Pearson r return NULL there —
+    # matching DuckDB, whose corr()/x÷0 are NULL-on-degenerate — and
+    # are algebraically identical elsewhere (r = cov/(σx·σy)).
     return growth.agg(
         F.count("*").cast("bigint").alias("n_marks"),
-        F.round(F.covar_pop(lx, ly) / F.var_pop(lx), 4).alias("heaps_beta"),
-        F.round(F.corr(lx, ly), 4).alias("fit_corr"),
+        F.round(
+            F.try_divide(F.covar_pop(lx, ly), F.var_pop(lx)), 4
+        ).alias("heaps_beta"),
+        F.round(
+            F.try_divide(
+                F.covar_pop(lx, ly), F.stddev_pop(lx) * F.stddev_pop(ly)
+            ),
+            4,
+        ).alias("fit_corr"),
     )
 
 
