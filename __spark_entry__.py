@@ -30,233 +30,233 @@ def entry(spark: SparkSession) -> DataFrame:
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
     'text_heaps_law',
-    'graph_clustering_coefficient',
     'graph_kcore',
+    'graph_clustering_coefficient',
     'scc_partition_gate',
     'graph_scc',
     'sketch_mergeable_distinct',
     'shuffle_shard_stats',
-    'salted_join_event_nations',
-    'ngram_top_bigrams',
     'q13_customer_distribution',
-    'sample_domain_mix',
+    'salted_join_event_nations',
     'gopher_quality_filter',
+    'ngram_top_bigrams',
     'dq_orders_checks',
-    'contamination_check',
-    'events_sliding_window',
-    'q16_supplier_part_counts',
     'csv_sink_roundtrip',
+    'sample_domain_mix',
+    'events_sliding_window',
     'sql_api_region_revenue',
-    'q7_volume_shipping',
-    'multimodal_features',
-    'dedup_ngram_jaccard',
-    'q9_product_profit',
-    'approx_distinct_parts',
+    'q16_supplier_part_counts',
+    'contamination_check',
     'dedup_embedding_cosine',
-    'percentile_prices',
-    'q8_market_share',
-    'q2_min_cost_supplier',
-    'similarity_topk_cosine',
-    'heavy_hitters_mg',
+    'approx_distinct_parts',
+    'q9_product_profit',
     'q11_important_stock',
-    'window_ntile_cume',
-    'approx_percentile_prices',
+    'q7_volume_shipping',
+    'percentile_prices',
+    'similarity_topk_cosine',
     'doc_repetition_signals',
+    'heavy_hitters_mg',
+    'q2_min_cost_supplier',
+    'window_ntile_cume',
+    'q8_market_share',
+    'approx_percentile_prices',
     'multimodal_frames',
+    'multimodal_features',
     'fixture_density',
     'heavy_hitters_cms',
-    'dedup_simhash',
     'dedup_minhash_lsh',
     'dedup_simhash_pairs',
+    'dedup_simhash',
     'fixture_effective_diameter',
     'fixture_hopplot',
+    'dedup_ngram_jaccard',
     'pipeline_truncation_report',
-    'text_zipf_fit',
     'arrow_token_count',
     'text_accent_fold',
-    'corr_lineitem_measures',
     'graph_powerlaw_fit',
+    'corr_lineitem_measures',
+    'text_zipf_fit',
     'events_seasonal_decompose',
-    'events_forecast_backtest',
-    'events_cusum_changepoint',
-    'cdc_apply_changes',
-    'events_sessionize',
     'regression_price_on_qty',
+    'cdc_apply_changes',
     'events_inter_arrival',
-    'bootstrap_ci_daily_mean',
-    'events_user_entropy',
-    'events_autocorr',
+    'events_cusum_changepoint',
     'dq_key_skew',
-    'ab_welch_ttest',
-    'markov_next_event_eval',
+    'events_autocorr',
+    'events_sessionize',
+    'events_user_entropy',
+    'events_forecast_backtest',
+    'bootstrap_ci_daily_mean',
     'xml_sink_roundtrip',
     'mad_outlier_prices',
-    'orders_open_backlog',
     'chi2_flag_status',
+    'orders_open_backlog',
     'ab_mann_whitney',
-    'graph_temporal_reachability',
+    'markov_next_event_eval',
+    'ab_welch_ttest',
     'basket_lift_top',
-    'events_dau_wau',
+    'graph_temporal_reachability',
     'text_js_divergence',
+    'events_dau_wau',
     'graph_assortativity',
     'naive_bayes_lang',
     'logreg_train_gate',
     'streaming_windowed_append',
     'kmeans_quality_gate',
     'pca_power_gate',
-    'events_variant_props',
-    'dq_benford_first_digit',
-    'events_anomaly_iqr',
-    'text_html_strip',
     'text_pii_redact',
+    'text_html_strip',
+    'dq_benford_first_digit',
+    'events_variant_props',
+    'events_anomaly_iqr',
     'events_decayed_counts',
     'events_twap',
     'motif_fanout_top',
-    'dq_psi_drift',
-    'doc_lm_surprisal',
+    'feature_hashing',
     'multimodal_audio',
+    'dq_psi_drift',
+    'events_session_window',
+    'doc_lm_surprisal',
     'graph_random_walks',
     'kmv_set_ops',
-    'events_session_window',
-    'feature_hashing',
+    'tokenize_to_ids',
     'json_sink_roundtrip',
-    'dedup_boilerplate_lines',
-    'label_knn_agreement',
     'parquet_schema_evolution',
     'orc_sink_roundtrip',
-    'tokenize_to_ids',
+    'label_knn_agreement',
     'parquet_partitioned_roundtrip',
-    'parquet_zorder_roundtrip',
+    'dedup_boilerplate_lines',
     'parquet_upsert_merge',
-    'streaming_enrich',
-    'bucketed_join_roundtrip',
     'streaming_incremental_rollup',
+    'parquet_zorder_roundtrip',
+    'streaming_enrich',
+    'fixture_motif_triangles',
+    'bucketed_join_roundtrip',
     'similarity_ann_lsh',
-    'streaming_session_window',
     'bloom_semi_join_revenue',
     'streaming_windowed',
-    'fixture_motif_triangles',
-    'streaming_dedup',
-    'streaming_stateful_counts',
+    'streaming_session_window',
     'streaming_sessionize',
     'streaming_state_inspect',
+    'streaming_dedup',
+    'streaming_stateful_counts',
     'streaming_join',
     'q6_forecast_revenue',
     'running_total_orders',
+    'anti_join_idle_customers',
     'scalar_functions_showcase',
     'q14_promo_revenue',
-    'anti_join_idle_customers',
-    'graph_out_degree',
-    'q4_order_priority',
-    'q15_top_supplier',
-    'attr_join_customer_orders',
     'q1_pricing_summary',
-    'q12_ship_priority_class',
+    'attr_join_customer_orders',
+    'q4_order_priority',
+    'graph_out_degree',
+    'q15_top_supplier',
     'q22_global_sales_opportunity',
     'customer_rfm_segments',
+    'q12_ship_priority_class',
     'graph_density',
     'q10_returned_items',
-    'graph_snapshot_edge_count',
+    'double_vertex_join',
     'events_kaplan_meier',
-    'q20_part_promotion',
     'graph_degree_distribution',
-    'q5_local_supplier_volume',
+    'graph_snapshot_edge_count',
     'udtf_chunk_split',
+    'q20_part_promotion',
+    'q5_local_supplier_volume',
     'graph_adjacency',
     'q21_waiting_suppliers',
     'graph_canonical_pairs',
-    'double_vertex_join',
     'graph_hopplot_d2',
     'kmeans_embeddings',
+    'hof_array_stats',
     'events_json_map_agg',
-    'events_json_props',
     'file_lineage_counts',
+    'events_json_props',
     'events_top_users_per_type',
     'null_safe_join_status',
-    'events_moving_avg_time',
-    'events_windowed_agg',
     'pipeline_end_to_end',
-    'pack_sequences',
+    'events_windowed_agg',
+    'events_moving_avg_time',
     'stats_moments',
     'winsorized_prices',
+    'pack_sequences',
     'asof_join_events_orders',
     'skyline_parts',
     'equidepth_histogram_prices',
-    'revenue_concentration',
-    'similarity_ivf',
-    'bpe_train_merges',
-    'fixture_betweenness',
     'fixture_harmonic_centrality',
-    'graph_closeness_sampled',
-    'hof_array_stats',
+    'revenue_concentration',
+    'fixture_betweenness',
+    'similarity_ivf',
     'graph_betweenness_sampled',
-    'graph_link_prediction',
+    'bpe_train_merges',
+    'graph_closeness_sampled',
+    'similarity_pq',
+    'graph_cocitation_triangles',
+    'graph_matching_gate',
+    'graph_sssp',
     'graph_ppr',
     'graph_pagerank',
-    'similarity_pq',
     'graph_hits',
-    'graph_cocitation_triangles',
-    'graph_sssp',
-    'graph_matching_gate',
-    'coreset_kcenter',
     'graph_cc_star_gate',
+    'graph_link_prediction',
+    'coreset_kcenter',
     'graph_mis_gate',
+    'graph_ktruss_gate',
     'dedup_clusters',
     'graph_diameter_double_sweep',
     'similarity_ivf_trained',
-    'graph_ktruss_gate',
     'graph_lpa',
     'graph_mst_gate',
     'similarity_recall_gate',
     'hyperball_accuracy_gate',
-    'multimodal_meta',
     'text_fingerprint',
-    'unpivot_part_measures',
     'text_token_count',
+    'unpivot_part_measures',
     'heavy_hitters_exact',
-    'sample_stratified',
-    'distinct_flag_status',
-    'split_train_test',
-    'text_rolling_hash',
-    'sample_weighted',
-    'semi_join_active_parts',
-    'text_lang_id',
-    'text_quality',
-    'filter_project_pushdown',
-    'intersect_customer_nations',
-    'outer_join_nation_presence',
-    'pivot_status_by_flag',
-    'text_stats',
-    'union_nation_keys',
-    'dedup_exact',
-    'orders_above_customer_avg',
-    'q19_disjunctive_filter',
+    'multimodal_meta',
     'rollup_returns',
-    'events_transitions',
+    'dedup_exact',
+    'union_nation_keys',
+    'orders_above_customer_avg',
+    'text_stats',
     'cube_flag_status',
-    'events_click_attribution',
     'grouping_sets_revenue',
-    'q17_small_quantity_revenue',
-    'events_cohort_retention',
+    'sample_weighted',
+    'text_quality',
     'except_all_supplier_flags',
-    'events_hierarchical_rollup',
-    'tfidf_top_terms',
-    'events_ewma',
+    'q19_disjunctive_filter',
     'bpe_top_merges',
+    'events_hierarchical_rollup',
+    'events_transitions',
+    'q17_small_quantity_revenue',
+    'distinct_flag_status',
+    'events_click_attribution',
+    'sample_stratified',
+    'events_cohort_retention',
+    'split_train_test',
     'loader_normalize_ids',
-    'q3_unshipped_revenue',
-    'window_rank_lag',
+    'tfidf_top_terms',
+    'text_rolling_hash',
+    'intersect_customer_nations',
     'events_gap_fill',
+    'q3_unshipped_revenue',
+    'events_ewma',
+    'window_rank_lag',
+    'filter_project_pushdown',
+    'pivot_status_by_flag',
     'range_join_events_orders',
-    'q18_large_orders',
     'events_funnel',
+    'q18_large_orders',
+    'semi_join_active_parts',
+    'outer_join_nation_presence',
     'multi_join_region_revenue',
     'events_scd2_history',
+    'text_lang_id',
+    'dedup_prefix_filter',
+    'dedup_edit_distance',
     'doc_novelty_trigrams',
     'dedup_incremental',
-    'dedup_prefix_filter',
     'graph_hyperball',
-    'dedup_edit_distance',
     'graph_effective_diameter_approx',
 ]
 # --- END GENERATED ROTATION ---
