@@ -30,8 +30,10 @@ import shutil
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from citegraph_spark.streaming.events import (
+    _count_state_fn,
     _events_read_schema,
     _normalize_ts,
     streaming_windowed_agg,
@@ -163,6 +165,150 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
         "poisoned batch finalized no windows — move POISON"
     )
     assert _merged(spark, out) == ref
+
+
+def _run_counts_stream(
+    spark,
+    in_dir: str,
+    schema,
+    out_dir: str,
+    ckpt: str,
+    poison_marker: str | None,
+) -> Exception | None:
+    """Like _run_stream but over the applyInPandasWithState per-user
+    counter (GroupState), always with the idempotent batch-id sink —
+    this probe targets STATE recovery, not sink idempotence (test 2
+    already owns that axis)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    counted = raw.groupBy("user_id").applyInPandasWithState(
+        _count_state_fn,
+        outputStructType="user_id bigint, n_events bigint, value_sum double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(bdf, bid: int) -> None:
+        (
+            bdf.withColumn("_batch", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+        if poison_marker and bid == POISON and not os.path.exists(poison_marker):
+            with open(poison_marker, "w") as fh:
+                fh.write(str(bid))
+            raise RuntimeError("injected crash after sink write")
+
+    q = (
+        counted.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception as ex:
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass
+        return ex
+    q.stop()
+    q.awaitTermination(30)
+    return None
+
+
+def _final_totals(spark, out_dir: str) -> dict:
+    """Per-user final (n_events, value_sum): update mode emits a row only
+    for users PRESENT in a micro-batch, so the row from each user's
+    maximum _batch is their final counter state."""
+    rows = (
+        spark.read.parquet(out_dir)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("_batch").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_sum")
+        .collect()
+    )
+    return {r[0]: (r[1], r[2]) for r in rows}
+
+
+def test_restart_recovers_group_state_exactly_once(spark, tmp_path):
+    """applyInPandasWithState (GroupState) across a crash+restart — the
+    state-recovery surface the windowed-append probe does NOT cover:
+    the state store must roll back the failed batch-2 attempt's state
+    delta (its version never committed) and re-execute batch 2 from the
+    post-batch-1 state. A leaked delta double-counts every batch-2 user
+    (n_events inflated); a lost store under-counts — the batch ground
+    truth over the full input catches both directions."""
+    in_dir = str(tmp_path / "in")
+    schema = _write_replay(spark, in_dir)
+
+    # ground truth, computed in BATCH over the whole replay input
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in spark.read.parquet(in_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    # reference: uninterrupted stateful run
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    assert _run_counts_stream(spark, in_dir, schema, ref_out, ref_ckpt, None) is None
+    ref = _final_totals(spark, ref_out)
+    assert ref, "reference stateful run emitted nothing"
+
+    # crash inside batch 2, restart from the same checkpoint
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    marker = str(tmp_path / "poison_fired")
+    ex = _run_counts_stream(spark, in_dir, schema, out, ckpt, marker)
+    assert ex is not None and "injected crash" in str(ex)
+    assert os.path.exists(marker), "poison never fired — probe is vacuous"
+    assert _run_counts_stream(spark, in_dir, schema, out, ckpt, marker) is None
+
+    got = _final_totals(spark, out)
+    # exact equality vs the uninterrupted streaming run: the WAL pins
+    # identical per-batch file sets, so even float accumulation order
+    # matches batch-for-batch
+    assert got == ref
+    # ...and both agree with the batch ground truth (float tolerance:
+    # streaming accumulates per-batch pandas partial sums, batch sums in
+    # one pass — same values, different association)
+    assert set(got) == set(truth)
+    for user, (n, s) in got.items():
+        tn, ts = truth[user]
+        assert n == tn, f"user {user}: n_events {n} != batch truth {tn}"
+        assert abs(s - round(float(ts), 2)) < 1e-6, (
+            f"user {user}: value_sum {s} != batch truth {ts}"
+        )
+    # the poisoned batch really exercised state continuity: some batch-2
+    # user must ALSO appear in an earlier batch (its counter crossed the
+    # crash), otherwise the re-execution never read restored state
+    by_batch = (
+        spark.read.parquet(out)
+        .select("user_id", "_batch")
+        .distinct()
+        .collect()
+    )
+    earlier = {r[0] for r in by_batch if r[1] < POISON}
+    poisoned = {r[0] for r in by_batch if r[1] == POISON}
+    assert earlier & poisoned, (
+        "no user spans the crash boundary — replay layout makes the probe vacuous"
+    )
 
 
 def test_restart_without_idempotent_sink_duplicates_poisoned_batch(
