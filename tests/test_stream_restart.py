@@ -311,6 +311,57 @@ def test_restart_recovers_group_state_exactly_once(spark, tmp_path):
     )
 
 
+def test_restart_recovers_group_state_under_rocksdb(spark, tmp_path):
+    """Same GroupState crash+restart contract on the RocksDB state store
+    provider WITH changelog checkpointing — the configuration a large
+    keyspace actually runs (the default HDFSBackedStateStore keeps every
+    state row on the JVM heap; RocksDB spills to local disk and
+    changelog mode uploads per-batch deltas instead of full snapshots).
+    A checkpoint is bound to its provider for its lifetime, so the probe
+    uses fresh checkpoint dirs and keeps the provider constant across
+    the crash+restart pair."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    try:
+        in_dir = str(tmp_path / "in")
+        schema = _write_replay(spark, in_dir)
+        truth = {
+            r[0]: (r[1], r[2])
+            for r in spark.read.parquet(in_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        marker = str(tmp_path / "poison_fired")
+        ex = _run_counts_stream(spark, in_dir, schema, out, ckpt, marker)
+        assert ex is not None and "injected crash" in str(ex)
+        assert os.path.exists(marker)
+        assert _run_counts_stream(spark, in_dir, schema, out, ckpt, marker) is None
+
+        got = _final_totals(spark, out)
+        assert set(got) == set(truth)
+        for user, (n, s) in got.items():
+            tn, ts = truth[user]
+            assert n == tn
+            assert abs(s - round(float(ts), 2)) < 1e-6
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+        spark.conf.unset(changelog_key)
+
+
 def test_restart_without_idempotent_sink_duplicates_poisoned_batch(
     spark, tmp_path
 ):
