@@ -1,0 +1,68 @@
+"""Standing gate for the differential plan fuzzer (tools/plan_fuzz.py).
+
+A pinned block of seeds runs the same random relational plan through the
+Spark engine and DuckDB and requires driver-format hash agreement. Seeds
+are PINNED (not drawn fresh per run) so the suite stays deterministic —
+deep exploratory sweeps happen via the CLI and get recorded in
+BASELINE.md; any divergent seed found there gets added to PINNED_SEEDS
+after the fix, hypothesis-style.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.plan_fuzz import (
+    SF_DIR_DEFAULT,
+    gen_plan,
+    make_duckdb,
+    run_seed,
+    sample_literals,
+)
+
+PINNED_SEEDS = list(range(40))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = make_duckdb(SF_DIR_DEFAULT)
+    pools = sample_literals(con, SF_DIR_DEFAULT)
+    yield con, pools
+    con.close()
+
+
+def test_pinned_seed_block_agrees(spark, duck):
+    con, pools = duck
+    failures = []
+    for seed in PINNED_SEEDS:
+        ok, msg = run_seed(spark, con, pools, seed, SF_DIR_DEFAULT)
+        if not ok:
+            failures.append(f"seed={seed}: {msg}\n  sql: {gen_plan(seed, pools).sql()}")
+    assert not failures, "\n".join(failures)
+
+
+def test_generator_is_not_trivial(duck):
+    """The fuzzer only has teeth if its plans exercise the grammar: over
+    the pinned block, demand joins, filters, aggregates, having, distinct
+    and limit all appear, and that most plans return rows (a generator
+    whose filters select nothing would vacuously agree)."""
+    con, pools = duck
+    shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
+              "distinct": 0, "limit": 0, "nonempty": 0}
+    for seed in PINNED_SEEDS:
+        p = gen_plan(seed, pools)
+        shapes["join"] += bool(p.joins)
+        shapes["filter"] += bool(p.filters)
+        shapes["agg"] += bool(p.aggs)
+        shapes["having"] += p.having is not None
+        shapes["distinct"] += p.distinct
+        shapes["limit"] += p.limit is not None
+        n = con.execute(f"SELECT count(*) FROM ({p.sql()})").fetchone()[0]
+        shapes["nonempty"] += n > 0
+    assert shapes["join"] >= 5, shapes
+    assert shapes["filter"] >= 10, shapes
+    assert shapes["agg"] >= 10, shapes
+    assert shapes["having"] >= 1, shapes
+    assert shapes["distinct"] >= 3, shapes
+    assert shapes["limit"] >= 10, shapes
+    assert shapes["nonempty"] >= len(PINNED_SEEDS) * 0.7, shapes

@@ -1,0 +1,680 @@
+"""Differential plan fuzzer: random relational plans, two engines, one AST.
+
+The 229 registry oracles pin FIXED plans; this tool extends the same
+Spark-vs-DuckDB methodology to UNBOUNDED random plans. A seeded generator
+builds a small relational AST (scan -> FK joins -> filters -> aggregate/
+project -> having/distinct -> sort+limit) over the testdata tables, then
+renders the SAME tree twice — once as a PySpark DataFrame chain (through
+`sources.tables.load_table`, so the real scan path) and once as DuckDB SQL
+— and compares row count, column names, and the driver-format
+order-insensitive value hash (tools/oracle_check.table_hash).
+
+Why this catches what the fixed set can't: the fixed oracles cover each
+operator's intended use; random composition walks the cross-product of
+null propagation, three-valued logic, join-introduced nulls feeding
+aggregates, empty groups, duplicate-row DISTINCT/limit ties — the corners
+where engine dialects historically diverge (the r8 sf0.1 sweep found two
+such boundary classes in FIXED plans; this hunts the same class
+systematically).
+
+Determinism policy (mirrors the registry's): aggregation over doubles is
+rendered `round(agg(x), 2|6)` on BOTH sides (the repo-wide double-sum
+policy); LIMIT is only emitted after an ORDER BY over every output column
+with pinned null order, so the kept multiset is engine-independent even
+under ties; integer arithmetic is cast to BIGINT on both sides (Spark 4
+runs ANSI mode — int32 overflow would error, and DuckDB's promotion rules
+differ). Timestamp and nested columns are out of scope (the TZ story is
+pinned by the round-6 audit + fixed oracles; lists aren't comparable via
+the hash normalizer).
+
+Usage:
+  python tools/plan_fuzz.py [--n 200] [--seed0 0] [--sf-dir DIR] [--show N]
+
+tests/test_plan_fuzz.py runs a pinned seed block as a standing gate.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.oracle_check import table_hash  # noqa: E402
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# catalog: tables, typed columns, FK edges, literal-sampling rules
+# --------------------------------------------------------------------------
+
+# type in {"int", "double", "str"}; timestamp/list columns are excluded.
+TABLES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "str",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+        "o_totalprice": "double", "o_orderpriority": "str",
+    },
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "str", "l_linestatus": "str",
+    },
+    "documents": {
+        "doc_id": "int", "text": "str", "lang": "str", "source": "str",
+        "n_chars": "int",
+    },
+    "events": {
+        "event_id": "int", "user_id": "int", "event_type": "str",
+        "value": "double",
+    },
+}
+
+# fact-table FK -> (dim table, dim key); only natural keys so join
+# cardinality stays bounded by the fact side.
+FKS: dict[str, list[tuple[str, str, str]]] = {
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "orders": [("o_custkey", "customer", "c_custkey")],
+    "customer": [("c_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    "nation": [("n_regionkey", "region", "r_regionkey")],
+}
+
+# columns eligible as comparison/IN/LIKE literals (bounded, well-behaved
+# value domains); long free-text columns only feed length()/IS NULL.
+NO_LITERAL_COLS = {"text", "c_name", "s_name", "p_name"}
+
+# low-cardinality columns preferred as GROUP BY keys
+GROUPABLE = {
+    "r_name", "n_name", "c_mktsegment", "c_nationkey", "s_nationkey",
+    "p_brand", "p_type", "p_size", "o_orderstatus", "o_orderpriority",
+    "l_returnflag", "l_linestatus", "l_linenumber", "lang", "source",
+    "event_type", "n_regionkey", "r_regionkey",
+}
+
+
+def sample_literals(con, sf_dir: str) -> dict[tuple[str, str], list]:
+    """Deterministic per-column literal pools from the actual data.
+
+    Numerics: discrete quantiles (hit real values -> filters select rows).
+    Strings: most frequent values with a total tie-break order.
+    """
+    pools: dict[tuple[str, str], list] = {}
+    for t, cols in TABLES.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW _fz_{t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+        for c, ty in cols.items():
+            if c in NO_LITERAL_COLS:
+                continue
+            if ty in ("int", "double"):
+                row = con.execute(
+                    f"SELECT quantile_disc({c}, "
+                    f"[0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]) FROM _fz_{t} "
+                    f"WHERE {c} IS NOT NULL"
+                ).fetchone()
+                vals = list(dict.fromkeys(row[0] or []))
+            else:
+                vals = [
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT {c} FROM _fz_{t} WHERE {c} IS NOT NULL "
+                        f"GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 10"
+                    ).fetchall()
+                ]
+            if vals:
+                pools[(t, c)] = vals
+    return pools
+
+
+# --------------------------------------------------------------------------
+# expression AST — every node renders to both dialects
+# --------------------------------------------------------------------------
+
+
+def sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)  # full precision round-trip
+    return str(v)
+
+
+class Expr:
+    ty: str
+
+    def sql(self) -> str:
+        raise NotImplementedError
+
+    def spark(self, F):
+        raise NotImplementedError
+
+
+class Col(Expr):
+    def __init__(self, name: str, ty: str):
+        self.name, self.ty = name, ty
+
+    def sql(self):
+        return self.name
+
+    def spark(self, F):
+        return F.col(self.name)
+
+
+class Lit(Expr):
+    def __init__(self, v, ty: str):
+        self.v, self.ty = v, ty
+
+    def sql(self):
+        return sql_lit(self.v)
+
+    def spark(self, F):
+        return F.lit(self.v)
+
+
+class Cmp(Expr):
+    ty = "bool"
+    OPS = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "=": "=", "!=": "<>"}
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        self.op, self.a, self.b = op, a, b
+
+    def sql(self):
+        return f"({self.a.sql()} {self.OPS[self.op]} {self.b.sql()})"
+
+    def spark(self, F):
+        a, b = self.a.spark(F), self.b.spark(F)
+        return {
+            "<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b,
+            "=": a == b, "!=": a != b,
+        }[self.op]
+
+
+class IsNull(Expr):
+    ty = "bool"
+
+    def __init__(self, a: Expr, negate: bool):
+        self.a, self.negate = a, negate
+
+    def sql(self):
+        return f"({self.a.sql()} IS {'NOT ' if self.negate else ''}NULL)"
+
+    def spark(self, F):
+        c = self.a.spark(F)
+        return c.isNotNull() if self.negate else c.isNull()
+
+
+class InList(Expr):
+    ty = "bool"
+
+    def __init__(self, a: Expr, vals: list):
+        self.a, self.vals = a, vals
+
+    def sql(self):
+        return f"({self.a.sql()} IN ({', '.join(sql_lit(v) for v in self.vals)}))"
+
+    def spark(self, F):
+        return self.a.spark(F).isin(self.vals)
+
+
+class Between(Expr):
+    ty = "bool"
+
+    def __init__(self, a: Expr, lo, hi):
+        self.a, self.lo, self.hi = a, lo, hi
+
+    def sql(self):
+        return f"({self.a.sql()} BETWEEN {sql_lit(self.lo)} AND {sql_lit(self.hi)})"
+
+    def spark(self, F):
+        return self.a.spark(F).between(self.lo, self.hi)
+
+
+class Like(Expr):
+    ty = "bool"
+
+    def __init__(self, a: Expr, prefix: str):
+        self.a, self.prefix = a, prefix
+
+    def sql(self):
+        return f"({self.a.sql()} LIKE {sql_lit(self.prefix + '%')})"
+
+    def spark(self, F):
+        # prefix is stripped of %_\ at generation (DuckDB LIKE has no
+        # default escape char), so no escaping is needed on either side
+        return self.a.spark(F).like(self.prefix + "%")
+
+
+class BoolOp(Expr):
+    ty = "bool"
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        self.op, self.a, self.b = op, a, b
+
+    def sql(self):
+        return f"({self.a.sql()} {self.op} {self.b.sql()})"
+
+    def spark(self, F):
+        a, b = self.a.spark(F), self.b.spark(F)
+        return (a & b) if self.op == "AND" else (a | b)
+
+
+class Arith(Expr):
+    """Numeric arithmetic; int operands widened to BIGINT on both sides
+    (Spark 4 ANSI overflow vs DuckDB promotion would otherwise diverge)."""
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        self.op, self.a, self.b = op, a, b
+        self.ty = "double" if "double" in (a.ty, b.ty) else "int"
+
+    def _wrap_sql(self, e: Expr) -> str:
+        return f"CAST({e.sql()} AS BIGINT)" if e.ty == "int" else e.sql()
+
+    def _wrap_spark(self, e: Expr, F):
+        c = e.spark(F)
+        return c.cast("long") if e.ty == "int" else c
+
+    def sql(self):
+        return f"({self._wrap_sql(self.a)} {self.op} {self._wrap_sql(self.b)})"
+
+    def spark(self, F):
+        a, b = self._wrap_spark(self.a, F), self._wrap_spark(self.b, F)
+        return {"+": a + b, "-": a - b, "*": a * b}[self.op]
+
+
+class StrFn(Expr):
+    def __init__(self, fn: str, a: Expr, args: tuple = ()):
+        self.fn, self.a, self.args = fn, a, args
+        self.ty = "int" if fn == "length" else "str"
+
+    def sql(self):
+        if self.fn == "substr":
+            return f"substr({self.a.sql()}, {self.args[0]}, {self.args[1]})"
+        return f"{self.fn}({self.a.sql()})"
+
+    def spark(self, F):
+        c = self.a.spark(F)
+        if self.fn == "substr":
+            return F.substring(c, self.args[0], self.args[1])
+        return {"upper": F.upper, "lower": F.lower, "length": F.length}[self.fn](c)
+
+
+# --------------------------------------------------------------------------
+# plan AST
+# --------------------------------------------------------------------------
+
+
+class Plan:
+    """Linear plan: scan -> joins -> filters -> (agg | project) -> having
+    -> distinct -> sort+limit. `schema` tracks visible (name, ty) pairs."""
+
+    def __init__(self, base: str):
+        self.base = base
+        self.joins: list[tuple[str, str, str, str, Expr | None]] = []
+        # (fk_col, dim_table, dim_key, how, dim_prefilter)
+        self.filters: list[Expr] = []
+        self.group_keys: list[Col] = []
+        self.aggs: list[tuple[str, Col | None, str, int | None]] = []
+        # (fn, col, alias, round_digits)
+        self.projections: list[tuple[Expr, str]] = []  # (expr, alias)
+        self.having: Expr | None = None
+        self.distinct = False
+        self.limit: int | None = None
+
+    # ---- rendering: DuckDB SQL -------------------------------------------
+
+    def sql(self) -> str:
+        frm = self.base
+        for fk, dim, dk, how, pre in self.joins:
+            dim_src = dim
+            if pre is not None:
+                dim_src = f"(SELECT * FROM {dim} WHERE {pre.sql()})"
+            kw = "JOIN" if how == "inner" else "LEFT JOIN"
+            frm += f" {kw} {dim_src} AS {dim} ON {self.base}.{fk} = {dim}.{dk}"
+        where = ""
+        if self.filters:
+            where = " WHERE " + " AND ".join(f.sql() for f in self.filters)
+        if self.aggs:
+            sel = [f"{k.sql()} AS {a}" for k, a in zip(self.group_keys, self._key_aliases())]
+            for fn, col, alias, nd in self.aggs:
+                sel.append(f"{self._agg_sql(fn, col, nd)} AS {alias}")
+            gb = ""
+            if self.group_keys:
+                gb = " GROUP BY " + ", ".join(k.sql() for k in self.group_keys)
+            q = f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
+        else:
+            sel = [f"{e.sql()} AS {a}" for e, a in self.projections]
+            q = f"SELECT {', '.join(sel)} FROM {frm}{where}"
+        if self.having is not None:
+            q = f"SELECT * FROM ({q}) WHERE {self.having.sql()}"
+        if self.distinct:
+            q = f"SELECT DISTINCT * FROM ({q})"
+        if self.limit is not None:
+            cols = self.out_names()
+            ob = ", ".join(f"{c} ASC NULLS FIRST" for c in cols)
+            q = f"SELECT * FROM ({q}) ORDER BY {ob} LIMIT {self.limit}"
+        return q
+
+    @staticmethod
+    def _agg_sql(fn: str, col: Col | None, nd: int | None) -> str:
+        if fn == "count_star":
+            return "count(*)"
+        inner = {"count": "count", "count_distinct": "count(DISTINCT {})",
+                 "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
+        if fn == "count_distinct":
+            e = inner[fn].format(col.sql())
+        else:
+            e = f"{inner[fn]}({col.sql()})"
+        if nd is not None:
+            e = f"round({e}, {nd})"
+        return e
+
+    # ---- rendering: PySpark ----------------------------------------------
+
+    def spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from citegraph_spark.sources.tables import load_table
+
+        df = load_table(spark, sf_dir, self.base)
+        for fk, dim, dk, how, pre in self.joins:
+            d = load_table(spark, sf_dir, dim)
+            if pre is not None:
+                d = d.filter(pre.spark(F))
+            df = df.join(F.broadcast(d), on=df[fk] == d[dk], how=how)
+        for f in self.filters:
+            df = df.filter(f.spark(F))
+        if self.aggs:
+            aggs = []
+            for fn, col, alias, nd in self.aggs:
+                if fn == "count_star":
+                    e = F.count(F.lit(1))
+                elif fn == "count_distinct":
+                    e = F.countDistinct(col.spark(F))
+                else:
+                    e = {"count": F.count, "sum": F.sum, "min": F.min,
+                         "max": F.max, "avg": F.avg}[fn](col.spark(F))
+                if nd is not None:
+                    e = F.round(e, nd)
+                aggs.append(e.alias(alias))
+            keys = [k.spark(F).alias(a)
+                    for k, a in zip(self.group_keys, self._key_aliases())]
+            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        else:
+            df = df.select(*[e.spark(F).alias(a) for e, a in self.projections])
+        if self.having is not None:
+            df = df.filter(self.having.spark(F))
+        if self.distinct:
+            df = df.distinct()
+        if self.limit is not None:
+            df = df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+            df = df.limit(self.limit)
+        return df
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _key_aliases(self) -> list[str]:
+        return [f"k{i}" for i in range(len(self.group_keys))]
+
+    def out_names(self) -> list[str]:
+        if self.aggs:
+            return self._key_aliases() + [a for _, _, a, _ in self.aggs]
+        return [a for _, a in self.projections]
+
+
+# --------------------------------------------------------------------------
+# generator
+# --------------------------------------------------------------------------
+
+BASES = ["lineitem", "orders", "customer", "supplier", "part", "nation",
+         "events", "documents"]
+
+
+def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
+    rng = random.Random(seed)
+    base = rng.choice(BASES)
+    plan = Plan(base)
+    avail: list[tuple[str, str, str]] = [
+        (c, ty, base) for c, ty in TABLES[base].items()
+    ]
+
+    # 0-2 FK joins (chain only off the base table; diamond joins via
+    # nation would collide column names)
+    for fk, dim, dk in FKS.get(base, []):
+        if rng.random() < 0.45 and len(plan.joins) < 2:
+            how = "left" if rng.random() < 0.3 else "inner"
+            pre = None
+            if rng.random() < 0.4:
+                pre = gen_pred(rng, [(c, t, dim) for c, t in TABLES[dim].items()],
+                               pools, allow_bool=False)
+            plan.joins.append((fk, dim, dk, how, pre))
+            avail += [(c, ty, dim) for c, ty in TABLES[dim].items()]
+
+    # 0-2 filters
+    for _ in range(rng.randint(0, 2)):
+        p = gen_pred(rng, avail, pools, allow_bool=True)
+        if p is not None:
+            plan.filters.append(p)
+
+    numeric = [(c, ty, t) for c, ty, t in avail if ty in ("int", "double")]
+    if rng.random() < 0.55:
+        # aggregate form
+        gkeys = [a for a in avail if a[0] in GROUPABLE]
+        rng.shuffle(gkeys)
+        for c, ty, _t in gkeys[: rng.randint(0, 2)]:
+            plan.group_keys.append(Col(c, ty))
+        n_aggs = rng.randint(1, 3)
+        for i in range(n_aggs):
+            fn = rng.choice(
+                ["count_star", "count", "count_distinct", "sum", "min",
+                 "max", "avg"]
+            )
+            alias = f"a{i}"
+            if fn == "count_star":
+                plan.aggs.append((fn, None, alias, None))
+                continue
+            if fn in ("count", "count_distinct", "min", "max"):
+                c, ty, _t = rng.choice(avail)
+            else:
+                if not numeric:
+                    plan.aggs.append(("count_star", None, alias, None))
+                    continue
+                c, ty, _t = rng.choice(numeric)
+            nd = None
+            if fn == "avg":
+                nd = 6
+            elif fn in ("sum", "min", "max") and ty == "double":
+                nd = 2 if fn == "sum" else None
+            plan.aggs.append((fn, Col(c, ty), alias, nd))
+        if rng.random() < 0.35:
+            # having on a count-ish output
+            counts = [a for fn, _c, a, _nd in plan.aggs
+                      if fn in ("count_star", "count", "count_distinct")]
+            if counts:
+                a = rng.choice(counts)
+                plan.having = Cmp(
+                    rng.choice([">", ">="]), Col(a, "int"),
+                    Lit(rng.randint(1, 5), "int"),
+                )
+    else:
+        # projection form
+        cols = list(avail)
+        rng.shuffle(cols)
+        picked = cols[: rng.randint(1, min(4, len(cols)))]
+        for i, (c, ty, _t) in enumerate(picked):
+            plan.projections.append((Col(c, ty), f"p{i}"))
+        # optional computed column
+        if rng.random() < 0.6:
+            e = gen_scalar(rng, avail)
+            if e is not None:
+                plan.projections.append((e, f"p{len(plan.projections)}"))
+        if rng.random() < 0.4:
+            plan.distinct = True
+
+    if rng.random() < 0.45 or (not plan.aggs and not plan.distinct):
+        # always bound raw projections: deterministic sorted-limit
+        plan.limit = rng.choice([7, 50, 400])
+    return plan
+
+
+def gen_pred(rng, avail, pools, allow_bool: bool) -> Expr | None:
+    """One predicate over the available columns (literal pools permitting)."""
+    cands = [(c, ty, t) for c, ty, t in avail if (t, c) in pools]
+    mk: Expr | None = None
+    kind = rng.random()
+    if kind < 0.12 and avail:
+        c, ty, _t = rng.choice(avail)
+        mk = IsNull(Col(c, ty), negate=rng.random() < 0.5)
+    elif cands:
+        c, ty, t = rng.choice(cands)
+        pool = pools[(t, c)]
+        r = rng.random()
+        if ty == "str" and r < 0.25:
+            v = str(rng.choice(pool))
+            pref = "".join(ch for ch in v[: rng.randint(1, 4)]
+                           if ch not in "%_\\")
+            mk = Like(Col(c, ty), pref) if pref else None
+        elif r < 0.45:
+            k = rng.randint(1, min(4, len(pool)))
+            mk = InList(Col(c, ty), rng.sample(pool, k))
+        elif ty in ("int", "double") and r < 0.65:
+            lo, hi = sorted(rng.sample(pool, 2)) if len(pool) > 1 else (pool[0], pool[0])
+            mk = Between(Col(c, ty), lo, hi)
+        else:
+            op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+            mk = Cmp(op, Col(c, ty), Lit(rng.choice(pool), ty))
+    if mk is not None and allow_bool and rng.random() < 0.3:
+        other = gen_pred(rng, avail, pools, allow_bool=False)
+        if other is not None:
+            mk = BoolOp(rng.choice(["AND", "OR"]), mk, other)
+    return mk
+
+
+def gen_scalar(rng, avail) -> Expr | None:
+    """One computed scalar column."""
+    numeric = [(c, ty) for c, ty, _t in avail if ty in ("int", "double")]
+    strings = [(c, ty) for c, ty, _t in avail if ty == "str"]
+    r = rng.random()
+    if r < 0.5 and numeric:
+        (c1, t1), (c2, t2) = rng.choice(numeric), rng.choice(numeric)
+        return Arith(rng.choice(["+", "-", "*"]), Col(c1, t1), Col(c2, t2))
+    if strings:
+        c, ty = rng.choice(strings)
+        fn = rng.choice(["upper", "lower", "length", "substr"])
+        if fn == "substr":
+            return StrFn(fn, Col(c, ty), (rng.randint(1, 3), rng.randint(1, 8)))
+        return StrFn(fn, Col(c, ty))
+    return None
+
+
+# --------------------------------------------------------------------------
+# runner
+# --------------------------------------------------------------------------
+
+
+def run_seed(spark, con, pools, seed: int, sf_dir: str,
+             show: bool = False) -> tuple[bool, str]:
+    plan = gen_plan(seed, pools)
+    sql = plan.sql()
+    if show:
+        print(f"-- seed {seed}\n{sql}")
+    try:
+        sdf = plan.spark(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as ex:  # noqa: BLE001 — report, don't crash the sweep
+        return False, f"spark error: {ex}"
+    try:
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(r) for r in res.fetchall()]
+    except Exception as ex:  # noqa: BLE001
+        return False, f"duckdb error: {ex}"
+    if len(srows) != len(drows):
+        return False, f"rowcount spark={len(srows)} duckdb={len(drows)}"
+    if sorted(scols) != sorted(dcols):
+        return False, f"cols spark={sorted(scols)} duckdb={sorted(dcols)}"
+    hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+    if hs != hd:
+        diff = ""
+        for a, b in zip(sorted(map(str, srows)), sorted(map(str, drows))):
+            if a != b:
+                diff = f"\n  spark : {a}\n  duckdb: {b}"
+                break
+        return False, f"value-hash {hs} != {hd}{diff}"
+    return True, f"{len(srows)} rows"
+
+
+def make_duckdb(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def main(argv: list[str]) -> int:
+    n, seed0, show_n = 200, 0, 0
+    sf_dir = os.environ.get("FUZZ_SF_DIR", SF_DIR_DEFAULT)
+    it = iter(argv)
+    for a in it:
+        if a == "--n":
+            n = int(next(it))
+        elif a == "--seed0":
+            seed0 = int(next(it))
+        elif a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--show":
+            show_n = int(next(it))
+
+    from citegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_fuzz")
+    con = make_duckdb(sf_dir)
+    pools = sample_literals(con, sf_dir)
+    t0 = time.time()
+    n_fail = 0
+    for seed in range(seed0, seed0 + n):
+        ok, msg = run_seed(spark, con, pools, seed, sf_dir,
+                           show=seed - seed0 < show_n)
+        if not ok:
+            n_fail += 1
+            plan = gen_plan(seed, pools)
+            print(f"FAIL seed={seed}: {msg}\n  sql: {plan.sql()}")
+        elif (seed - seed0) % 25 == 24:
+            print(f"  ... {seed - seed0 + 1}/{n} ok ({time.time() - t0:.0f}s)")
+    print(
+        f"plan_fuzz: {n - n_fail}/{n} seeds agree "
+        f"(seeds {seed0}..{seed0 + n - 1}, sf_dir={sf_dir}, "
+        f"{time.time() - t0:.0f}s)"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
