@@ -20,7 +20,11 @@ from tools.plan_fuzz import (
     sample_literals,
 )
 
-PINNED_SEEDS = list(range(40))
+# 259/356/707/903: the first deep sweep's window-function divergences —
+# the synthetic lineitem breaks TPC-H (l_orderkey, l_linenumber)
+# uniqueness, so tie order leaked into running aggregates / lead until
+# the order key became the full unique column tuple.
+PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903]
 
 
 @pytest.fixture(scope="module")
@@ -48,16 +52,20 @@ def test_generator_is_not_trivial(duck):
     whose filters select nothing would vacuously agree)."""
     con, pools = duck
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
-              "distinct": 0, "limit": 0, "nonempty": 0}
+              "distinct": 0, "limit": 0, "window": 0, "case": 0,
+              "nonempty": 0}
     for seed in PINNED_SEEDS:
         p = gen_plan(seed, pools)
+        sql = p.sql()
         shapes["join"] += bool(p.joins)
         shapes["filter"] += bool(p.filters)
         shapes["agg"] += bool(p.aggs)
         shapes["having"] += p.having is not None
         shapes["distinct"] += p.distinct
         shapes["limit"] += p.limit is not None
-        n = con.execute(f"SELECT count(*) FROM ({p.sql()})").fetchone()[0]
+        shapes["window"] += "OVER (" in sql
+        shapes["case"] += "CASE WHEN" in sql
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
     assert shapes["join"] >= 5, shapes
     assert shapes["filter"] >= 10, shapes
@@ -65,4 +73,6 @@ def test_generator_is_not_trivial(duck):
     assert shapes["having"] >= 1, shapes
     assert shapes["distinct"] >= 3, shapes
     assert shapes["limit"] >= 10, shapes
+    assert shapes["window"] >= 3, shapes
+    assert shapes["case"] >= 1, shapes
     assert shapes["nonempty"] >= len(PINNED_SEEDS) * 0.7, shapes

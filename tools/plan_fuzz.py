@@ -86,6 +86,27 @@ TABLES: dict[str, dict[str, str]] = {
     },
 }
 
+# row-unique key per table: FK joins to unique-keyed dims never duplicate
+# fact rows, so these stay row-unique after any join chain — they pin the
+# total order that makes window functions engine-deterministic. NOTE the
+# synthetic lineitem does NOT honor TPC-H's (l_orderkey, l_linenumber)
+# uniqueness (~23% duplicate pairs — found by this fuzzer's first deep
+# sweep: 4 window seeds diverged on tie order), but its full non-timestamp
+# column tuple IS unique at every SF, so that is the order key.
+# sample_literals() re-verifies uniqueness against the live data so a
+# testdata regen can't silently reintroduce tie-dependent windows.
+PKS: dict[str, list[str]] = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+    ],
+    "documents": ["doc_id"], "events": ["event_id"],
+}
+
 # fact-table FK -> (dim table, dim key); only natural keys so join
 # cardinality stays bounded by the fact side.
 FKS: dict[str, list[tuple[str, str, str]]] = {
@@ -145,6 +166,16 @@ def sample_literals(con, sf_dir: str) -> dict[tuple[str, str], list]:
                 ]
             if vals:
                 pools[(t, c)] = vals
+    for t, key in PKS.items():
+        tup = ", ".join(key)
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT ({tup})) FROM _fz_{t}"
+        ).fetchone()
+        if n != d:
+            raise AssertionError(
+                f"PKS[{t!r}] = {key} is not row-unique in {sf_dir} "
+                f"({n} rows, {d} distinct) — window determinism contract broken"
+            )
     return pools
 
 
@@ -301,6 +332,77 @@ class Arith(Expr):
     def spark(self, F):
         a, b = self._wrap_spark(self.a, F), self._wrap_spark(self.b, F)
         return {"+": a + b, "-": a - b, "*": a * b}[self.op]
+
+
+class CaseWhen(Expr):
+    def __init__(self, pred: Expr, a: Expr, b: Expr):
+        self.pred, self.a, self.b = pred, a, b
+        self.ty = "double" if "double" in (a.ty, b.ty) else a.ty
+
+    def sql(self):
+        return (f"(CASE WHEN {self.pred.sql()} THEN {self.a.sql()} "
+                f"ELSE {self.b.sql()} END)")
+
+    def spark(self, F):
+        return F.when(self.pred.spark(F), self.a.spark(F)).otherwise(
+            self.b.spark(F))
+
+
+class WinFn(Expr):
+    """Window expression, engine-deterministic by construction:
+
+    - running sum/avg/count/min/max order by the row-unique PK with an
+      explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame (sum/avg only
+      over INT inputs — engines disagree on the accumulation-tree shape
+      for running double sums, so those stay out of scope);
+    - rank/dense_rank order by a value column (tie-insensitive outputs);
+    - row_number/lag/lead order by the PK (total order).
+    NULLS FIRST is pinned explicitly on both sides.
+    """
+
+    AGGS = ("sum", "avg", "count", "min", "max")
+
+    def __init__(self, fn: str, col: Col | None, part: Col | None,
+                 order_cols: list[Col]):
+        self.fn, self.col, self.part, self.order_cols = fn, col, part, order_cols
+        self.ty = ("double" if fn == "avg"
+                   else "int" if fn in ("count", "rank", "dense_rank",
+                                        "row_number", "sum")
+                   else col.ty)
+
+    def sql(self):
+        arg = self.col.sql() if self.col is not None else ""
+        if self.fn in ("lag", "lead"):
+            head = f"{self.fn}({arg}, 1)"
+        elif self.fn in ("rank", "dense_rank", "row_number"):
+            head = f"{self.fn}()"
+        else:
+            head = f"{self.fn}({arg})"
+        parts = []
+        if self.part is not None:
+            parts.append(f"PARTITION BY {self.part.sql()}")
+        parts.append("ORDER BY " + ", ".join(
+            f"{c.sql()} ASC NULLS FIRST" for c in self.order_cols))
+        if self.fn in self.AGGS:
+            parts.append("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+        return f"{head} OVER ({' '.join(parts)})"
+
+    def spark(self, F):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *( [self.part.spark(F)] if self.part is not None else [] )
+        ).orderBy(*[c.spark(F).asc_nulls_first() for c in self.order_cols])
+        if self.fn in self.AGGS:
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return {"sum": F.sum, "avg": F.avg, "count": F.count,
+                    "min": F.min, "max": F.max}[self.fn](
+                        self.col.spark(F)).over(w)
+        if self.fn in ("rank", "dense_rank", "row_number"):
+            return {"rank": F.rank, "dense_rank": F.dense_rank,
+                    "row_number": F.row_number}[self.fn]().over(w)
+        return {"lag": F.lag, "lead": F.lead}[self.fn](
+            self.col.spark(F), 1).over(w)
 
 
 class StrFn(Expr):
@@ -526,7 +628,12 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             plan.projections.append((Col(c, ty), f"p{i}"))
         # optional computed column
         if rng.random() < 0.6:
-            e = gen_scalar(rng, avail)
+            e = gen_scalar(rng, avail, pools)
+            if e is not None:
+                plan.projections.append((e, f"p{len(plan.projections)}"))
+        # optional window column (PKs stay row-unique through FK joins)
+        if rng.random() < 0.5:
+            e = gen_window(rng, base, avail)
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
         if rng.random() < 0.4:
@@ -571,14 +678,19 @@ def gen_pred(rng, avail, pools, allow_bool: bool) -> Expr | None:
     return mk
 
 
-def gen_scalar(rng, avail) -> Expr | None:
+def gen_scalar(rng, avail, pools) -> Expr | None:
     """One computed scalar column."""
     numeric = [(c, ty) for c, ty, _t in avail if ty in ("int", "double")]
     strings = [(c, ty) for c, ty, _t in avail if ty == "str"]
     r = rng.random()
-    if r < 0.5 and numeric:
+    if r < 0.4 and numeric:
         (c1, t1), (c2, t2) = rng.choice(numeric), rng.choice(numeric)
         return Arith(rng.choice(["+", "-", "*"]), Col(c1, t1), Col(c2, t2))
+    if r < 0.55 and numeric:
+        pred = gen_pred(rng, avail, pools, allow_bool=False)
+        if pred is not None:
+            (c1, t1), (c2, t2) = rng.choice(numeric), rng.choice(numeric)
+            return CaseWhen(pred, Col(c1, t1), Col(c2, t2))
     if strings:
         c, ty = rng.choice(strings)
         fn = rng.choice(["upper", "lower", "length", "substr"])
@@ -586,6 +698,34 @@ def gen_scalar(rng, avail) -> Expr | None:
             return StrFn(fn, Col(c, ty), (rng.randint(1, 3), rng.randint(1, 8)))
         return StrFn(fn, Col(c, ty))
     return None
+
+
+def gen_window(rng, base: str, avail) -> Expr | None:
+    """One window column; see WinFn for the determinism contract."""
+    pks = [Col(c, TABLES[base][c]) for c in PKS[base]]
+    part = None
+    groupable = [(c, ty) for c, ty, _t in avail if c in GROUPABLE]
+    if groupable and rng.random() < 0.7:
+        c, ty = rng.choice(groupable)
+        part = Col(c, ty)
+    fn = rng.choice(["sum", "avg", "count", "min", "max", "rank",
+                     "dense_rank", "row_number", "lag", "lead"])
+    if fn in ("rank", "dense_rank"):
+        c, ty, _t = rng.choice(avail)
+        return WinFn(fn, None, part, [Col(c, ty)])
+    if fn == "row_number":
+        return WinFn(fn, None, part, pks)
+    if fn in ("lag", "lead"):
+        c, ty, _t = rng.choice(avail)
+        return WinFn(fn, Col(c, ty), part, pks)
+    if fn in ("sum", "avg"):
+        ints = [(c, ty) for c, ty, _t in avail if ty == "int"]
+        if not ints:
+            return None
+        c, ty = rng.choice(ints)
+    else:
+        c, ty, _t = rng.choice(avail)
+    return WinFn(fn, Col(c, ty), part, pks)
 
 
 # --------------------------------------------------------------------------
