@@ -495,7 +495,8 @@ g AS (
 ),
 f AS (
   SELECT user_id, event_type, valid_from, n_events,
-         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, seg)
            AS valid_to
   FROM g
 )
@@ -536,7 +537,13 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    wlead = Window.partitionBy("user_id").orderBy("valid_from")
+    # seg tiebreak: two same-user segments can share valid_from when
+    # events tie on ts (none in this testdata — verified 0 at all three
+    # SFs — but routine in real streams); seg is unique per user and
+    # anchored to the same (ts, event_id) total order in both engines,
+    # so lead() stays deterministic under ties. Found by the plan
+    # fuzzer's window-tie audit (BASELINE.md round-10 fuzzer entry).
+    wlead = Window.partitionBy("user_id").orderBy("valid_from", "seg")
     f = g.withColumn("valid_to", F.lead("valid_from").over(wlead))
     return f.select(
         "user_id",
