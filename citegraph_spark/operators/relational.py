@@ -45,7 +45,11 @@ def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_col, k: int, rank_alias: str = "rn"
 ) -> DataFrame:
     """Top-k per group via row_number — the distributed top-k idiom: each
-    partition pre-ranks map-side, only k rows per group survive."""
+    partition pre-ranks map-side, only k rows per group survive.
+
+    `order_col` must be a total order within each group (add a unique
+    tiebreak column otherwise): row_number over a tied order returns an
+    arbitrary k-subset of the tied rows."""
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     return df.withColumn(rank_alias, F.row_number().over(w)).filter(
         F.col(rank_alias) <= k
