@@ -53,7 +53,7 @@ def test_generator_is_not_trivial(duck):
     con, pools = duck
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
               "distinct": 0, "limit": 0, "window": 0, "case": 0,
-              "nonempty": 0}
+              "lattice": 0, "setop": 0, "nonempty": 0}
     for seed in PINNED_SEEDS:
         p = gen_plan(seed, pools)
         sql = p.sql()
@@ -65,6 +65,8 @@ def test_generator_is_not_trivial(duck):
         shapes["limit"] += p.limit is not None
         shapes["window"] += "OVER (" in sql
         shapes["case"] += "CASE WHEN" in sql
+        shapes["lattice"] += p.group_mode != "plain"
+        shapes["setop"] += p.setop is not None
         n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
     assert shapes["join"] >= 5, shapes
@@ -75,4 +77,6 @@ def test_generator_is_not_trivial(duck):
     assert shapes["limit"] >= 10, shapes
     assert shapes["window"] >= 3, shapes
     assert shapes["case"] >= 1, shapes
+    assert shapes["lattice"] >= 1, shapes
+    assert shapes["setop"] >= 1, shapes
     assert shapes["nonempty"] >= len(PINNED_SEEDS) * 0.7, shapes

@@ -441,12 +441,16 @@ class Plan:
         # (fn, col, alias, round_digits)
         self.projections: list[tuple[Expr, str]] = []  # (expr, alias)
         self.having: Expr | None = None
+        self.group_mode = "plain"  # plain | rollup | cube
+        self.setop: tuple[str, list[Expr]] | None = None
+        # (UNION ALL | INTERSECT | EXCEPT, alternative filter list) —
+        # projection-form only; both operands share the projection list
         self.distinct = False
         self.limit: int | None = None
 
     # ---- rendering: DuckDB SQL -------------------------------------------
 
-    def sql(self) -> str:
+    def _core_sql(self, filters: list[Expr]) -> str:
         frm = self.base
         for fk, dim, dk, how, pre in self.joins:
             dim_src = dim
@@ -455,19 +459,31 @@ class Plan:
             kw = "JOIN" if how == "inner" else "LEFT JOIN"
             frm += f" {kw} {dim_src} AS {dim} ON {self.base}.{fk} = {dim}.{dk}"
         where = ""
-        if self.filters:
-            where = " WHERE " + " AND ".join(f.sql() for f in self.filters)
+        if filters:
+            where = " WHERE " + " AND ".join(f.sql() for f in filters)
         if self.aggs:
             sel = [f"{k.sql()} AS {a}" for k, a in zip(self.group_keys, self._key_aliases())]
+            if self.group_mode != "plain":
+                sel += [f"GROUPING({k.sql()}) AS g{i}"
+                        for i, k in enumerate(self.group_keys)]
             for fn, col, alias, nd in self.aggs:
                 sel.append(f"{self._agg_sql(fn, col, nd)} AS {alias}")
             gb = ""
             if self.group_keys:
-                gb = " GROUP BY " + ", ".join(k.sql() for k in self.group_keys)
-            q = f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
-        else:
-            sel = [f"{e.sql()} AS {a}" for e, a in self.projections]
-            q = f"SELECT {', '.join(sel)} FROM {frm}{where}"
+                keys = ", ".join(k.sql() for k in self.group_keys)
+                if self.group_mode == "plain":
+                    gb = f" GROUP BY {keys}"
+                else:
+                    gb = f" GROUP BY {self.group_mode.upper()}({keys})"
+            return f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
+        sel = [f"{e.sql()} AS {a}" for e, a in self.projections]
+        return f"SELECT {', '.join(sel)} FROM {frm}{where}"
+
+    def sql(self) -> str:
+        q = self._core_sql(self.filters)
+        if self.setop is not None:
+            op, alt = self.setop
+            q = f"SELECT * FROM (({q}) {op} ({self._core_sql(alt)}))"
         if self.having is not None:
             q = f"SELECT * FROM ({q}) WHERE {self.having.sql()}"
         if self.distinct:
@@ -494,7 +510,7 @@ class Plan:
 
     # ---- rendering: PySpark ----------------------------------------------
 
-    def spark(self, spark, sf_dir: str):
+    def _core_spark(self, spark, sf_dir: str, filters: list[Expr]):
         from pyspark.sql import functions as F
 
         from citegraph_spark.sources.tables import load_table
@@ -505,10 +521,13 @@ class Plan:
             if pre is not None:
                 d = d.filter(pre.spark(F))
             df = df.join(F.broadcast(d), on=df[fk] == d[dk], how=how)
-        for f in self.filters:
+        for f in filters:
             df = df.filter(f.spark(F))
         if self.aggs:
             aggs = []
+            if self.group_mode != "plain":
+                aggs += [F.grouping(k.spark(F)).alias(f"g{i}")
+                         for i, k in enumerate(self.group_keys)]
             for fn, col, alias, nd in self.aggs:
                 if fn == "count_star":
                     e = F.count(F.lit(1))
@@ -520,11 +539,29 @@ class Plan:
                 if nd is not None:
                     e = F.round(e, nd)
                 aggs.append(e.alias(alias))
-            keys = [k.spark(F).alias(a)
-                    for k, a in zip(self.group_keys, self._key_aliases())]
-            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+            if self.group_mode == "plain":
+                keys = [k.spark(F).alias(a)
+                        for k, a in zip(self.group_keys, self._key_aliases())]
+                df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+            else:
+                grouped = (df.rollup if self.group_mode == "rollup"
+                           else df.cube)(*[k.spark(F) for k in self.group_keys])
+                df = grouped.agg(*aggs)
+                for k, a in zip(self.group_keys, self._key_aliases()):
+                    df = df.withColumnRenamed(k.name, a)
         else:
             df = df.select(*[e.spark(F).alias(a) for e, a in self.projections])
+        return df
+
+    def spark(self, spark, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        df = self._core_spark(spark, sf_dir, self.filters)
+        if self.setop is not None:
+            op, alt = self.setop
+            other = self._core_spark(spark, sf_dir, alt)
+            df = {"UNION ALL": df.union, "INTERSECT": df.intersect,
+                  "EXCEPT": df.subtract}[op](other)
         if self.having is not None:
             df = df.filter(self.having.spark(F))
         if self.distinct:
@@ -541,7 +578,10 @@ class Plan:
 
     def out_names(self) -> list[str]:
         if self.aggs:
-            return self._key_aliases() + [a for _, _, a, _ in self.aggs]
+            names = list(self._key_aliases())
+            if self.group_mode != "plain":
+                names += [f"g{i}" for i in range(len(self.group_keys))]
+            return names + [a for _, _, a, _ in self.aggs]
         return [a for _, a in self.projections]
 
 
@@ -609,6 +649,10 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             elif fn in ("sum", "min", "max") and ty == "double":
                 nd = 2 if fn == "sum" else None
             plan.aggs.append((fn, Col(c, ty), alias, nd))
+        if plan.group_keys and rng.random() < 0.3:
+            # subtotal lattice: rollup/cube + GROUPING markers (the
+            # markers disambiguate subtotal NULLs from real NULL keys)
+            plan.group_mode = rng.choice(["rollup", "rollup", "cube"])
         if rng.random() < 0.35:
             # having on a count-ish output
             counts = [a for fn, _c, a, _nd in plan.aggs
@@ -638,6 +682,19 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
         if rng.random() < 0.4:
             plan.distinct = True
+        if rng.random() < 0.25:
+            # set operation: same projections, independent filter set.
+            # UNION ALL keeps multiset semantics; INTERSECT/EXCEPT are
+            # DISTINCT semantics in both dialects (Spark .intersect /
+            # .subtract), so all three are order-independent.
+            alt = []
+            for _ in range(rng.randint(0, 2)):
+                p = gen_pred(rng, avail, pools, allow_bool=True)
+                if p is not None:
+                    alt.append(p)
+            plan.setop = (
+                rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"]), alt
+            )
 
     if rng.random() < 0.45 or (not plan.aggs and not plan.distinct):
         # always bound raw projections: deterministic sorted-limit
