@@ -45,6 +45,21 @@ def test_pinned_seed_block_agrees(spark, duck):
     assert not failures, "\n".join(failures)
 
 
+def test_scrambled_partitioning_is_invariant(spark, duck):
+    """Partition-scramble leg: every scan round-robin-repartitioned, row
+    order destroyed — the hashes must not move (order-dependence net,
+    the scd2 defect class). A 12-seed slice keeps the in-suite cost low;
+    full blocks run via the CLI --scramble flag."""
+    con, pools = duck
+    failures = []
+    for seed in PINNED_SEEDS[:8] + PINNED_SEEDS[-4:]:
+        ok, msg = run_seed(spark, con, pools, seed, SF_DIR_DEFAULT,
+                           scramble=7)
+        if not ok:
+            failures.append(f"seed={seed}: {msg}")
+    assert not failures, "\n".join(failures)
+
+
 def test_generator_is_not_trivial(duck):
     """The fuzzer only has teeth if its plans exercise the grammar: over
     the pinned block, demand joins, filters, aggregates, having, distinct

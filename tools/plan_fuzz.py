@@ -29,6 +29,12 @@ the hash normalizer).
 
 Usage:
   python tools/plan_fuzz.py [--n 200] [--seed0 0] [--sf-dir DIR] [--show N]
+                            [--scramble K]
+
+--scramble K additionally round-robin-repartitions every scan into K
+partitions before the plan runs, scrambling row order the way a wide
+cluster would — the hashes must STILL agree, so any order-dependent
+plan construct is caught without needing a DuckDB disagreement.
 
 tests/test_plan_fuzz.py runs a pinned seed block as a standing gate.
 """
@@ -510,14 +516,24 @@ class Plan:
 
     # ---- rendering: PySpark ----------------------------------------------
 
-    def _core_spark(self, spark, sf_dir: str, filters: list[Expr]):
+    def _core_spark(self, spark, sf_dir: str, filters: list[Expr],
+                    scramble: int | None = None):
         from pyspark.sql import functions as F
 
         from citegraph_spark.sources.tables import load_table
 
-        df = load_table(spark, sf_dir, self.base)
+        def scan(name):
+            df = load_table(spark, sf_dir, name)
+            if scramble:
+                # round-robin repartition scrambles row order the way a
+                # wide cluster would — an order-dependent plan (the scd2
+                # defect class) changes its hash here
+                df = df.repartition(scramble)
+            return df
+
+        df = scan(self.base)
         for fk, dim, dk, how, pre in self.joins:
-            d = load_table(spark, sf_dir, dim)
+            d = scan(dim)
             if pre is not None:
                 d = d.filter(pre.spark(F))
             df = df.join(F.broadcast(d), on=df[fk] == d[dk], how=how)
@@ -553,13 +569,13 @@ class Plan:
             df = df.select(*[e.spark(F).alias(a) for e, a in self.projections])
         return df
 
-    def spark(self, spark, sf_dir: str):
+    def spark(self, spark, sf_dir: str, scramble: int | None = None):
         from pyspark.sql import functions as F
 
-        df = self._core_spark(spark, sf_dir, self.filters)
+        df = self._core_spark(spark, sf_dir, self.filters, scramble)
         if self.setop is not None:
             op, alt = self.setop
-            other = self._core_spark(spark, sf_dir, alt)
+            other = self._core_spark(spark, sf_dir, alt, scramble)
             df = {"UNION ALL": df.union, "INTERSECT": df.intersect,
                   "EXCEPT": df.subtract}[op](other)
         if self.having is not None:
@@ -791,13 +807,13 @@ def gen_window(rng, base: str, avail) -> Expr | None:
 
 
 def run_seed(spark, con, pools, seed: int, sf_dir: str,
-             show: bool = False) -> tuple[bool, str]:
+             show: bool = False, scramble: int | None = None) -> tuple[bool, str]:
     plan = gen_plan(seed, pools)
     sql = plan.sql()
     if show:
         print(f"-- seed {seed}\n{sql}")
     try:
-        sdf = plan.spark(spark, sf_dir)
+        sdf = plan.spark(spark, sf_dir, scramble=scramble)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
     except Exception as ex:  # noqa: BLE001 — report, don't crash the sweep
@@ -837,6 +853,7 @@ def make_duckdb(sf_dir: str):
 
 def main(argv: list[str]) -> int:
     n, seed0, show_n = 200, 0, 0
+    scramble: int | None = None
     sf_dir = os.environ.get("FUZZ_SF_DIR", SF_DIR_DEFAULT)
     it = iter(argv)
     for a in it:
@@ -848,6 +865,8 @@ def main(argv: list[str]) -> int:
             sf_dir = next(it)
         elif a == "--show":
             show_n = int(next(it))
+        elif a == "--scramble":
+            scramble = int(next(it))
 
     from citegraph_spark.session import get_spark
 
@@ -858,7 +877,7 @@ def main(argv: list[str]) -> int:
     n_fail = 0
     for seed in range(seed0, seed0 + n):
         ok, msg = run_seed(spark, con, pools, seed, sf_dir,
-                           show=seed - seed0 < show_n)
+                           show=seed - seed0 < show_n, scramble=scramble)
         if not ok:
             n_fail += 1
             plan = gen_plan(seed, pools)
