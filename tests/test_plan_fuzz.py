@@ -24,7 +24,10 @@ from tools.plan_fuzz import (
 # the synthetic lineitem breaks TPC-H (l_orderkey, l_linenumber)
 # uniqueness, so tie order leaked into running aggregates / lead until
 # the order key became the full unique column tuple.
-PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903]
+# 860/880: empty-input ROLLUP/CUBE — Spark emits no grand-total row
+# where DuckDB/PostgreSQL emit one (SQL standard); the oracle renderer
+# now states Spark's semantics with an EXISTS guard.
+PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903, 860, 880]
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +72,8 @@ def test_generator_is_not_trivial(duck):
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
               "distinct": 0, "limit": 0, "window": 0, "case": 0,
               "lattice": 0, "setop": 0, "nonempty": 0}
-    for seed in PINNED_SEEDS:
+    base_block = PINNED_SEEDS[:40]
+    for seed in base_block:
         p = gen_plan(seed, pools)
         sql = p.sql()
         shapes["join"] += bool(p.joins)
@@ -94,4 +98,6 @@ def test_generator_is_not_trivial(duck):
     assert shapes["case"] >= 1, shapes
     assert shapes["lattice"] >= 1, shapes
     assert shapes["setop"] >= 1, shapes
-    assert shapes["nonempty"] >= len(PINNED_SEEDS) * 0.7, shapes
+    # over the base block only: divergence-pin seeds are intentionally
+    # degenerate (e.g. the empty-input lattice pair)
+    assert shapes["nonempty"] >= len(base_block) * 0.7, shapes

@@ -481,7 +481,19 @@ class Plan:
                     gb = f" GROUP BY {keys}"
                 else:
                     gb = f" GROUP BY {self.group_mode.upper()}({keys})"
-            return f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
+            q = f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
+            if self.group_mode != "plain":
+                # ENGINE DIVERGENCE, fuzzer-found (v3 sweep, 16 seeds):
+                # over an EMPTY input, DuckDB/PostgreSQL emit the
+                # grand-total grouping set as one row (SQL standard);
+                # Spark emits nothing — for DataFrame cube/rollup AND
+                # SQL GROUP BY CUBE alike. The guard states Spark's
+                # semantics declaratively (the only 0-count cell a
+                # lattice can produce is the grand total on empty input,
+                # so this is exact, not a heuristic).
+                q = (f"SELECT * FROM ({q}) WHERE EXISTS "
+                     f"(SELECT 1 FROM {frm}{where})")
+            return q
         sel = [f"{e.sql()} AS {a}" for e, a in self.projections]
         return f"SELECT {', '.join(sel)} FROM {frm}{where}"
 
