@@ -29,6 +29,7 @@ def test_config_space_is_not_trivial():
     assert any(c["mode"] == "append" for c in cfgs)
     assert any(c["mode"] == "complete" for c in cfgs)
     assert any(c["slide_min"] for c in cfgs)
+    assert any(c["kind"] == "session" for c in cfgs)
     assert any(c["key"] for c in cfgs)
     assert any(c["filter"] for c in cfgs)
     assert any(c["n_files"] > 2 for c in cfgs)

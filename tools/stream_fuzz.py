@@ -60,6 +60,7 @@ def gen_config(seed: int) -> dict:
         slide = rng.choice([m for m in (w // 2, w // 3, w // 4) if m >= 1])
     cfg = {
         "seed": seed,
+        "kind": "fixed",
         "window_min": w,
         "slide_min": slide,
         "delay_min": rng.choice(DELAY_MIN),
@@ -70,6 +71,19 @@ def gen_config(seed: int) -> dict:
         "n_files": rng.choice(N_FILES),
         "mode": "append" if rng.random() < 0.7 else "complete",
     }
+    if rng.random() < 0.3:
+        # session windows: merging window state (a different streaming
+        # machinery than fixed windows). Complete mode — the final
+        # merged table is the well-defined comparison point; a key is
+        # required (global sessions over the whole corpus are one giant
+        # session, vacuous).
+        cfg.update(
+            kind="session",
+            slide_min=None,
+            window_min=rng.choice([5, 17, 30, 60]),  # the session GAP
+            key=rng.choice(["event_type", "user_mod"]),
+            mode="complete",
+        )
     return cfg
 
 
@@ -92,9 +106,11 @@ def _prep(df, cfg, F):
 
 def _window_expr(cfg, F):
     w = f"{cfg['window_min']} minutes"
+    if cfg["kind"] == "session":
+        return F.session_window(F.col("ts"), w).alias("window")
     if cfg["slide_min"]:
-        return F.window("ts", w, f"{cfg['slide_min']} minutes")
-    return F.window("ts", w)
+        return F.window("ts", w, f"{cfg['slide_min']} minutes").alias("window")
+    return F.window("ts", w).alias("window")
 
 
 def _aggs(cfg, F):
@@ -216,8 +232,13 @@ def run_config(spark, cfg: dict, sf_dir: str) -> tuple[bool, str]:
                 break
         return False, f"value-hash {hs} != {hb}{diff}"
 
-    # third leg: DuckDB window-assignment arithmetic for tumbling configs
-    if not cfg["slide_min"]:
+    # third leg: DuckDB — tumbling assignment arithmetic, or
+    # gaps-and-islands sessionization for session windows
+    if cfg["kind"] == "session":
+        ok, msg = _duckdb_session_leg(cfg, sf_dir, scols, srows)
+        if not ok:
+            return False, f"duckdb session leg: {msg}"
+    elif not cfg["slide_min"]:
         ok, msg = _duckdb_leg(cfg, sf_dir, scols, srows)
         if not ok:
             return False, f"duckdb leg: {msg}"
@@ -264,6 +285,58 @@ def _duckdb_leg(cfg, sf_dir: str, scols, srows) -> tuple[bool, str]:
     con.close()
     if len(srows) != len(drows):
         return False, f"rowcount stream={len(srows)} duckdb={len(drows)}"
+    if table_hash(scols, srows) != table_hash(dcols, drows):
+        return False, "value-hash mismatch vs duckdb"
+    return True, "ok"
+
+
+def _duckdb_session_leg(cfg, sf_dir: str, scols, srows) -> tuple[bool, str]:
+    """Gaps-and-islands sessionization, matching Spark's half-open
+    session semantics: an event joins the open session iff
+    ts < last_ts + gap (so a break is ts - last_ts >= gap); the session
+    window is [min_ts, max_ts + gap)."""
+    import duckdb
+
+    gap = cfg["window_min"]
+    key_sql = ("event_type" if cfg["key"] == "event_type"
+               else "CAST(user_id % 7 AS INT)")
+    where = ""
+    if cfg["filter"] == "value_pos":
+        where = 'WHERE "value" > 0.5'
+    elif cfg["filter"] == "type_in":
+        where = "WHERE event_type IN ('click', 'view', 'purchase')"
+    sel = ["strftime(min_ts, '%Y-%m-%d %H:%M:%S') AS ws",
+           f"strftime(max_ts + INTERVAL '{gap} minutes', "
+           "'%Y-%m-%d %H:%M:%S') AS we",
+           f"k AS {cfg['key']}", "n"]
+    if cfg["sum_value"]:
+        sel.append("value_sum")
+    if cfg["max_event_id"]:
+        sel.append("max_eid")
+    sql = f"""
+      WITH ev AS (SELECT {key_sql} AS k, ts, "value", event_id
+                  FROM read_parquet('{sf_dir}/events.parquet') {where}),
+      m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '{gap} minutes'
+                      THEN 1 ELSE 0 END AS brk
+            FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS seg FROM m),
+      g AS (SELECT k, seg, min(ts) AS min_ts, max(ts) AS max_ts,
+                   count(*) AS n, round(sum("value"), 2) AS value_sum,
+                   max(event_id) AS max_eid
+            FROM s GROUP BY k, seg)
+      SELECT {', '.join(sel)} FROM g
+    """
+    con = duckdb.connect()
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    if len(srows) != len(drows):
+        return False, f"rowcount stream={len(srows)} duckdb={len(drows)}"
+    if sorted(scols) != sorted(dcols):
+        return False, f"cols stream={sorted(scols)} duckdb={sorted(dcols)}"
     if table_hash(scols, srows) != table_hash(dcols, drows):
         return False, "value-hash mismatch vs duckdb"
     return True, "ok"
