@@ -26,13 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-9 sweep (5 entries); then never-certified (0);
+# changed since the round-9 sweep (7 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'q9_product_profit',
     'text_heaps_law',
     'graph_kcore',
     'graph_clustering_coefficient',
     'scc_partition_gate',
+    'events_scd2_history',
     'graph_scc',
     'sketch_mergeable_distinct',
     'shuffle_shard_stats',
@@ -49,7 +51,6 @@ _ROTATION = [
     'contamination_check',
     'dedup_embedding_cosine',
     'approx_distinct_parts',
-    'q9_product_profit',
     'q11_important_stock',
     'q7_volume_shipping',
     'percentile_prices',
@@ -250,7 +251,6 @@ _ROTATION = [
     'semi_join_active_parts',
     'outer_join_nation_presence',
     'multi_join_region_revenue',
-    'events_scd2_history',
     'text_lang_id',
     'dedup_prefix_filter',
     'dedup_edit_distance',

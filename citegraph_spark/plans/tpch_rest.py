@@ -224,12 +224,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - 0.1 * p.p_retailprice * l.l_quantity AS amount
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+           - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(28, 10))
+           AS amount
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -259,9 +261,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # Exact decimal accumulation: the per-row amount stays a
+    # deterministic double expression, but it is quantized to
+    # DECIMAL(28,10) BEFORE the sum, so the aggregate is
+    # order-independent — the round-10 scan-scramble board caught this
+    # entry's NATION_17/1998 group sitting exactly on the half-cent
+    # boundary (exact sum 2880529.3350000000), where a double sum
+    # rounds to .33 or .34 depending on partition order. Both engines
+    # quantize identically (the double's decimal expansion is exact),
+    # sum exactly, and round half-up. This is the money-sum pattern a
+    # 1000-executor job needs anyway: results must not depend on how
+    # the scheduler happened to split the scan.
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,10)")
     return (
         li.join(
             F.broadcast(p.select("p_partkey", "p_retailprice")),
@@ -270,7 +284,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li["l_suppkey"] == F.col("s_suppkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
