@@ -71,7 +71,7 @@ def test_generator_is_not_trivial(duck):
     con, pools = duck
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
               "distinct": 0, "limit": 0, "window": 0, "case": 0,
-              "lattice": 0, "setop": 0, "nonempty": 0}
+              "lattice": 0, "setop": 0, "semijoin": 0, "nonempty": 0}
     base_block = PINNED_SEEDS[:40]
     for seed in base_block:
         p = gen_plan(seed, pools)
@@ -86,6 +86,7 @@ def test_generator_is_not_trivial(duck):
         shapes["case"] += "CASE WHEN" in sql
         shapes["lattice"] += p.group_mode != "plain"
         shapes["setop"] += p.setop is not None
+        shapes["semijoin"] += bool(p.semijoins)
         n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
     assert shapes["join"] >= 5, shapes
@@ -98,6 +99,7 @@ def test_generator_is_not_trivial(duck):
     assert shapes["case"] >= 1, shapes
     assert shapes["lattice"] >= 1, shapes
     assert shapes["setop"] >= 1, shapes
+    assert shapes["semijoin"] >= 1, shapes
     # over the base block only: divergence-pin seeds are intentionally
     # degenerate (e.g. the empty-input lattice pair)
     assert shapes["nonempty"] >= len(base_block) * 0.7, shapes

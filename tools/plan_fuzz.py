@@ -441,6 +441,10 @@ class Plan:
         self.base = base
         self.joins: list[tuple[str, str, str, str, Expr | None]] = []
         # (fk_col, dim_table, dim_key, how, dim_prefilter)
+        self.semijoins: list[tuple[str, str, str, bool, Expr | None]] = []
+        # (fk_col, dim_table, dim_key, negate, dim_prefilter) — rendered
+        # as [NOT] EXISTS in SQL and left_semi/left_anti in Spark (the
+        # null-safe pair, unlike NOT IN); dim columns stay invisible
         self.filters: list[Expr] = []
         self.group_keys: list[Col] = []
         self.aggs: list[tuple[str, Col | None, str, int | None]] = []
@@ -464,9 +468,15 @@ class Plan:
                 dim_src = f"(SELECT * FROM {dim} WHERE {pre.sql()})"
             kw = "JOIN" if how == "inner" else "LEFT JOIN"
             frm += f" {kw} {dim_src} AS {dim} ON {self.base}.{fk} = {dim}.{dk}"
+        conds = [f.sql() for f in filters]
+        for fk, dim, dk, neg, pre in self.semijoins:
+            inner = f"SELECT 1 FROM {dim} WHERE {dim}.{dk} = {self.base}.{fk}"
+            if pre is not None:
+                inner += f" AND {pre.sql()}"
+            conds.append(f"{'NOT ' if neg else ''}EXISTS ({inner})")
         where = ""
-        if filters:
-            where = " WHERE " + " AND ".join(f.sql() for f in filters)
+        if conds:
+            where = " WHERE " + " AND ".join(conds)
         if self.aggs:
             sel = [f"{k.sql()} AS {a}" for k, a in zip(self.group_keys, self._key_aliases())]
             if self.group_mode != "plain":
@@ -549,6 +559,12 @@ class Plan:
             if pre is not None:
                 d = d.filter(pre.spark(F))
             df = df.join(F.broadcast(d), on=df[fk] == d[dk], how=how)
+        for fk, dim, dk, neg, pre in self.semijoins:
+            d = scan(dim)
+            if pre is not None:
+                d = d.filter(pre.spark(F))
+            df = df.join(F.broadcast(d), on=df[fk] == d[dk],
+                         how="left_anti" if neg else "left_semi")
         for f in filters:
             df = df.filter(f.spark(F))
         if self.aggs:
@@ -632,7 +648,8 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
     # 0-2 FK joins (chain only off the base table; diamond joins via
     # nation would collide column names)
     for fk, dim, dk in FKS.get(base, []):
-        if rng.random() < 0.45 and len(plan.joins) < 2:
+        r = rng.random()
+        if r < 0.45 and len(plan.joins) < 2:
             how = "left" if rng.random() < 0.3 else "inner"
             pre = None
             if rng.random() < 0.4:
@@ -640,6 +657,11 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                                pools, allow_bool=False)
             plan.joins.append((fk, dim, dk, how, pre))
             avail += [(c, ty, dim) for c, ty in TABLES[dim].items()]
+        elif r < 0.62 and not plan.semijoins:
+            # semi/anti instead: dim filters the fact, contributes no cols
+            pre = gen_pred(rng, [(c, t, dim) for c, t in TABLES[dim].items()],
+                           pools, allow_bool=False)
+            plan.semijoins.append((fk, dim, dk, rng.random() < 0.45, pre))
 
     # 0-2 filters
     for _ in range(rng.randint(0, 2)):
