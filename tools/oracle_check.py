@@ -48,6 +48,12 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            # IEEE -0.0: Spark preserves it through arithmetic into
+            # collect(); DuckDB canonicalizes to +0.0. They are equal
+            # under SQL comparison, so normalize (fuzzer seed 5634:
+            # negative_double * 0 hashed "-0" vs "0")
+            return "0"
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
