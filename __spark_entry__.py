@@ -26,59 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-9 sweep (7 entries); then never-certified (0);
+# changed since the round-10 sweep (0 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
-    'q9_product_profit',
-    'text_heaps_law',
-    'graph_kcore',
-    'graph_clustering_coefficient',
-    'scc_partition_gate',
-    'events_scd2_history',
-    'graph_scc',
-    'sketch_mergeable_distinct',
-    'shuffle_shard_stats',
-    'q13_customer_distribution',
-    'salted_join_event_nations',
-    'gopher_quality_filter',
-    'ngram_top_bigrams',
-    'dq_orders_checks',
-    'csv_sink_roundtrip',
-    'sample_domain_mix',
-    'events_sliding_window',
-    'sql_api_region_revenue',
-    'q16_supplier_part_counts',
-    'contamination_check',
-    'dedup_embedding_cosine',
-    'approx_distinct_parts',
-    'q11_important_stock',
-    'q7_volume_shipping',
-    'percentile_prices',
-    'similarity_topk_cosine',
-    'doc_repetition_signals',
-    'heavy_hitters_mg',
-    'q2_min_cost_supplier',
-    'window_ntile_cume',
-    'q8_market_share',
-    'approx_percentile_prices',
-    'multimodal_frames',
-    'multimodal_features',
-    'fixture_density',
-    'heavy_hitters_cms',
-    'dedup_minhash_lsh',
-    'dedup_simhash_pairs',
-    'dedup_simhash',
-    'fixture_effective_diameter',
-    'fixture_hopplot',
-    'dedup_ngram_jaccard',
-    'pipeline_truncation_report',
-    'arrow_token_count',
-    'text_accent_fold',
-    'graph_powerlaw_fit',
-    'corr_lineitem_measures',
-    'text_zipf_fit',
-    'events_seasonal_decompose',
-    'regression_price_on_qty',
     'cdc_apply_changes',
     'events_inter_arrival',
     'events_cusum_changepoint',
@@ -258,6 +208,56 @@ _ROTATION = [
     'dedup_incremental',
     'graph_hyperball',
     'graph_effective_diameter_approx',
+    'pipeline_truncation_report',
+    'arrow_token_count',
+    'sketch_mergeable_distinct',
+    'text_accent_fold',
+    'graph_powerlaw_fit',
+    'corr_lineitem_measures',
+    'text_zipf_fit',
+    'events_seasonal_decompose',
+    'shuffle_shard_stats',
+    'regression_price_on_qty',
+    'q13_customer_distribution',
+    'salted_join_event_nations',
+    'gopher_quality_filter',
+    'ngram_top_bigrams',
+    'dq_orders_checks',
+    'csv_sink_roundtrip',
+    'text_heaps_law',
+    'sample_domain_mix',
+    'events_sliding_window',
+    'sql_api_region_revenue',
+    'q16_supplier_part_counts',
+    'contamination_check',
+    'dedup_embedding_cosine',
+    'approx_distinct_parts',
+    'q9_product_profit',
+    'q11_important_stock',
+    'q7_volume_shipping',
+    'percentile_prices',
+    'similarity_topk_cosine',
+    'doc_repetition_signals',
+    'heavy_hitters_mg',
+    'q2_min_cost_supplier',
+    'window_ntile_cume',
+    'events_scd2_history',
+    'q8_market_share',
+    'approx_percentile_prices',
+    'multimodal_frames',
+    'multimodal_features',
+    'fixture_density',
+    'heavy_hitters_cms',
+    'dedup_minhash_lsh',
+    'dedup_simhash_pairs',
+    'graph_kcore',
+    'dedup_simhash',
+    'graph_scc',
+    'fixture_effective_diameter',
+    'fixture_hopplot',
+    'dedup_ngram_jaccard',
+    'graph_clustering_coefficient',
+    'scc_partition_gate',
 ]
 # --- END GENERATED ROTATION ---
 
