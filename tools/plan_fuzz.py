@@ -41,6 +41,7 @@ tests/test_plan_fuzz.py runs a pinned seed block as a standing gate.
 
 from __future__ import annotations
 
+import math
 import os
 import random
 import sys
@@ -162,6 +163,12 @@ def sample_literals(con, sf_dir: str) -> dict[tuple[str, str], list]:
                     f"WHERE {c} IS NOT NULL"
                 ).fetchone()
                 vals = list(dict.fromkeys(row[0] or []))
+                # NaN/±inf would render as bare 'nan'/'inf' identifiers in
+                # SQL and diverge on comparison semantics; keep pools finite.
+                vals = [
+                    v for v in vals
+                    if not isinstance(v, float) or math.isfinite(v)
+                ]
             else:
                 vals = [
                     r[0]
@@ -194,6 +201,13 @@ def sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
+        # repr() on non-finite floats yields 'nan'/'inf' — bare identifiers
+        # DuckDB rejects; render them as casts so both dialects parse.
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v in (float("inf"), float("-inf")):
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
         return repr(v)  # full precision round-trip
     return str(v)
 

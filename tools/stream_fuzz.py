@@ -48,6 +48,17 @@ from tools.oracle_check import table_hash  # noqa: E402
 SF_DIR_DEFAULT = "/root/testdata/sf0.001"
 
 WINDOW_MIN = [5, 12, 15, 30, 60, 120]
+# Cross-engine window assignment only agrees when every width divides a
+# day: Spark's F.window aligns buckets to the 1970-01-01 epoch while
+# DuckDB's time_bucket uses the 2000-01-03 origin — both are midnight-
+# aligned, so day-dividing widths land on identical boundaries, but a
+# width like 7 or 17 minutes would desync the two origins and raise
+# false FAILs. Guard the invariant rather than leave it implicit.
+assert all(1440 % w == 0 for w in WINDOW_MIN), (
+    "WINDOW_MIN widths must divide 1440 min — Spark (1970 epoch) and "
+    "DuckDB time_bucket (2000-01-03 origin) only align on day-dividing "
+    "windows; pass an explicit origin to time_bucket before relaxing this"
+)
 DELAY_MIN = [1, 10, 30, 90]
 N_FILES = [2, 3, 4]
 
