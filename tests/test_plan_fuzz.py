@@ -30,7 +30,12 @@ from tools.plan_fuzz import (
 # 5634: IEEE negative zero — Spark preserves -0.0 (negative * 0)
 # through collect(), DuckDB canonicalizes to +0.0; the shared hash
 # normalizer now folds ±0 (they are equal under SQL comparison).
-PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903, 860, 880, 5634]
+# 2189 (v5 sweep): DuckDB computes width<=18 decimal multiplies in
+# int64 and overflows on (18,4)² of ~1e5 values; DecCast now renders
+# the DuckDB side at width 19 to force hugeint math (oracle-side
+# limitation, not an engine defect — Spark computed the product fine).
+PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903, 860, 880, 5634,
+                                  2189]
 
 
 @pytest.fixture(scope="module")
@@ -74,7 +79,8 @@ def test_generator_is_not_trivial(duck):
     con, pools = duck
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
               "distinct": 0, "limit": 0, "window": 0, "case": 0,
-              "lattice": 0, "setop": 0, "semijoin": 0, "nonempty": 0}
+              "lattice": 0, "setop": 0, "semijoin": 0, "nonempty": 0,
+              "outer_fact": 0, "nullif": 0, "decimal": 0, "date": 0}
     base_block = PINNED_SEEDS[:40]
     for seed in base_block:
         p = gen_plan(seed, pools)
@@ -90,6 +96,10 @@ def test_generator_is_not_trivial(duck):
         shapes["lattice"] += p.group_mode != "plain"
         shapes["setop"] += p.setop is not None
         shapes["semijoin"] += bool(p.semijoins)
+        shapes["outer_fact"] += any(j[3] in ("right", "full") for j in p.joins)
+        shapes["nullif"] += "nullif(" in sql
+        shapes["decimal"] += "DECIMAL(18,4)" in sql
+        shapes["date"] += "DATE '1992-01-01'" in sql
         n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
     assert shapes["join"] >= 5, shapes
@@ -103,6 +113,11 @@ def test_generator_is_not_trivial(duck):
     assert shapes["lattice"] >= 1, shapes
     assert shapes["setop"] >= 1, shapes
     assert shapes["semijoin"] >= 1, shapes
+    # grammar v5 surfaces
+    assert shapes["outer_fact"] >= 2, shapes
+    assert shapes["nullif"] >= 3, shapes
+    assert shapes["decimal"] >= 2, shapes
+    assert shapes["date"] >= 1, shapes
     # over the base block only: divergence-pin seeds are intentionally
     # degenerate (e.g. the empty-input lattice pair)
     assert shapes["nonempty"] >= len(base_block) * 0.7, shapes

@@ -17,6 +17,16 @@ where engine dialects historically diverge (the r8 sf0.1 sweep found two
 such boundary classes in FIXED plans; this hunts the same class
 systematically).
 
+Grammar v5 (round 11) adds the join/null/type surface v4 didn't reach:
+RIGHT/FULL OUTER joins (fact-side null extension), NULL-injected join
+keys / group keys / window partitions via nullif(col, v), UNION
+(distinct) alongside UNION ALL, exact DECIMAL(18,4) casts + arithmetic
++ aggregation (scale-deterministic in both engines — no round() escape
+hatch), date arithmetic derived from int columns (date_add / EXTRACT /
+date_diff), and tiny limits (1, 3) for top-k tie stress. Window
+functions are suppressed under right/full joins (a null-extended PK
+voids the row-unique order contract).
+
 Determinism policy (mirrors the registry's): aggregation over doubles is
 rendered `round(agg(x), 2|6)` on BOTH sides (the repo-wide double-sum
 policy); LIMIT is only emitted after an ORDER BY over every output column
@@ -337,7 +347,8 @@ class Arith(Expr):
 
     def __init__(self, op: str, a: Expr, b: Expr):
         self.op, self.a, self.b = op, a, b
-        self.ty = "double" if "double" in (a.ty, b.ty) else "int"
+        self.ty = ("dec" if "dec" in (a.ty, b.ty)
+                   else "double" if "double" in (a.ty, b.ty) else "int")
 
     def _wrap_sql(self, e: Expr) -> str:
         return f"CAST({e.sql()} AS BIGINT)" if e.ty == "int" else e.sql()
@@ -425,6 +436,105 @@ class WinFn(Expr):
             self.col.spark(F), 1).over(w)
 
 
+class NullIf(Expr):
+    """NULL injector (grammar v5): nullif(col, v) turns a matching value
+    into NULL so join keys, group keys, and window partitions exercise
+    null semantics the raw (null-free) testdata columns never produce.
+    Both engines agree NULL group/partition keys form ONE group and NULL
+    join keys match NOTHING — that agreement is exactly what's under test.
+    """
+
+    def __init__(self, a: Expr, v):
+        self.a, self.v = a, v
+        self.ty = a.ty
+
+    def sql(self):
+        return f"nullif({self.a.sql()}, {sql_lit(self.v)})"
+
+    def spark(self, F):
+        return F.nullif(self.a.spark(F), F.lit(self.v))
+
+
+class DecCast(Expr):
+    """Exact decimal cast (grammar v5). Decimal arithmetic is the one
+    numeric tower where engines CANNOT hide behind float rounding:
+    sum/min/max and +,-,* are scale-deterministic in both dialects
+    (sum keeps scale 4; s1+s2=8 for products), so the hash compares
+    exact strings with no round() escape hatch.
+
+    Width asymmetry (fuzzer-found, seed 2189): DuckDB 1.0 computes
+    width<=18 decimal multiplies in INT64 and caps the result width at
+    18 — (18,4)x(18,4) products of ~1e5 values overflow with an Out of
+    Range error. An operand of width >=19 forces hugeint math and the
+    w1+w2 result rule. So the DuckDB side casts to DECIMAL(19,4) and
+    Spark to DECIMAL(18,4): products come out DECIMAL(37,8) on BOTH
+    engines (Spark: 18+18+1; DuckDB: 19+18), sums/compares keep scale 4,
+    and every shared value is exactly representable in both widths."""
+
+    def __init__(self, a: Expr):
+        self.a = a
+        self.ty = "dec"
+
+    def sql(self):
+        return f"CAST({self.a.sql()} AS DECIMAL(19,4))"
+
+    def spark(self, F):
+        return self.a.spark(F).cast("decimal(18,4)")
+
+
+class DateFromInt(Expr):
+    """DATE '1992-01-01' + abs(x) % 2557 days (grammar v5) — derives a
+    deterministic date from an int column so date arithmetic is testable
+    without timestamp columns (excluded from the catalog; TZ story is
+    pinned elsewhere). DuckDB date + integer adds days; Spark date_add.
+    """
+
+    EPOCH = "1992-01-01"
+    MOD = 2557  # ~7 years of distinct days
+
+    def __init__(self, a: Expr):
+        self.a = a
+        self.ty = "date"
+
+    def sql(self):
+        return (f"(DATE '{self.EPOCH}' + "
+                f"CAST(abs({self.a.sql()}) % {self.MOD} AS INTEGER))")
+
+    def spark(self, F):
+        days = F.abs(self.a.spark(F)) % F.lit(self.MOD)
+        return F.date_add(F.lit(self.EPOCH).cast("date"), days.cast("int"))
+
+
+class DatePart(Expr):
+    """EXTRACT(year|month|day FROM d) — int in both dialects."""
+
+    def __init__(self, field: str, a: Expr):
+        self.field, self.a = field, a
+        self.ty = "int"
+
+    def sql(self):
+        return f"EXTRACT({self.field} FROM {self.a.sql()})"
+
+    def spark(self, F):
+        return {"year": F.year, "month": F.month,
+                "day": F.dayofmonth}[self.field](self.a.spark(F))
+
+
+class DateDiffDays(Expr):
+    """Days between two derived dates: Spark datediff(end, start) ==
+    DuckDB date_diff('day', start, end)."""
+
+    def __init__(self, end: Expr, start: Expr):
+        self.end, self.start = end, start
+        self.ty = "int"
+
+    def sql(self):
+        return f"date_diff('day', {self.start.sql()}, {self.end.sql()})"
+
+    def spark(self, F):
+        return F.datediff(self.end.spark(F), self.start.spark(F))
+
+
 class StrFn(Expr):
     def __init__(self, fn: str, a: Expr, args: tuple = ()):
         self.fn, self.a, self.args = fn, a, args
@@ -453,8 +563,11 @@ class Plan:
 
     def __init__(self, base: str):
         self.base = base
-        self.joins: list[tuple[str, str, str, str, Expr | None]] = []
-        # (fk_col, dim_table, dim_key, how, dim_prefilter)
+        self.joins: list[tuple[str, str, str, str, Expr | None, object]] = []
+        # (fk_col, dim_table, dim_key, how, dim_prefilter, fk_null_lit)
+        # how in {inner, left, right, full} (v5 adds the null-extending
+        # pair); fk_null_lit, when set, wraps the fact key in
+        # nullif(fk, lit) so NULL join keys flow through the join
         self.semijoins: list[tuple[str, str, str, bool, Expr | None]] = []
         # (fk_col, dim_table, dim_key, negate, dim_prefilter) — rendered
         # as [NOT] EXISTS in SQL and left_semi/left_anti in Spark (the
@@ -476,12 +589,16 @@ class Plan:
 
     def _core_sql(self, filters: list[Expr]) -> str:
         frm = self.base
-        for fk, dim, dk, how, pre in self.joins:
+        for fk, dim, dk, how, pre, fk_null in self.joins:
             dim_src = dim
             if pre is not None:
                 dim_src = f"(SELECT * FROM {dim} WHERE {pre.sql()})"
-            kw = "JOIN" if how == "inner" else "LEFT JOIN"
-            frm += f" {kw} {dim_src} AS {dim} ON {self.base}.{fk} = {dim}.{dk}"
+            kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                  "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+            lhs = f"{self.base}.{fk}"
+            if fk_null is not None:
+                lhs = f"nullif({lhs}, {sql_lit(fk_null)})"
+            frm += f" {kw} {dim_src} AS {dim} ON {lhs} = {dim}.{dk}"
         conds = [f.sql() for f in filters]
         for fk, dim, dk, neg, pre in self.semijoins:
             inner = f"SELECT 1 FROM {dim} WHERE {dim}.{dk} = {self.base}.{fk}"
@@ -526,6 +643,8 @@ class Plan:
         if self.setop is not None:
             op, alt = self.setop
             q = f"SELECT * FROM (({q}) {op} ({self._core_sql(alt)}))"
+            # UNION (distinct) vs UNION ALL is a v5 board: the multiset
+            # collapse must agree even when the operands share rows
         if self.having is not None:
             q = f"SELECT * FROM ({q}) WHERE {self.having.sql()}"
         if self.distinct:
@@ -568,11 +687,20 @@ class Plan:
             return df
 
         df = scan(self.base)
-        for fk, dim, dk, how, pre in self.joins:
+        for fk, dim, dk, how, pre, fk_null in self.joins:
             d = scan(dim)
             if pre is not None:
                 d = d.filter(pre.spark(F))
-            df = df.join(F.broadcast(d), on=df[fk] == d[dk], how=how)
+            lhs = df[fk]
+            if fk_null is not None:
+                lhs = F.nullif(lhs, F.lit(fk_null))
+            if how in ("right", "full"):
+                # BroadcastHashJoin cannot null-extend the build side, so
+                # the hint would be ignored (or worse, force a BNLJ plan
+                # at scale) — let AQE pick SMJ/SHJ for the outer pair
+                df = df.join(d, on=lhs == d[dk], how=how)
+            else:
+                df = df.join(F.broadcast(d), on=lhs == d[dk], how=how)
         for fk, dim, dk, neg, pre in self.semijoins:
             d = scan(dim)
             if pre is not None:
@@ -618,8 +746,11 @@ class Plan:
         if self.setop is not None:
             op, alt = self.setop
             other = self._core_spark(spark, sf_dir, alt, scramble)
-            df = {"UNION ALL": df.union, "INTERSECT": df.intersect,
-                  "EXCEPT": df.subtract}[op](other)
+            if op == "UNION":
+                df = df.union(other).distinct()
+            else:
+                df = {"UNION ALL": df.union, "INTERSECT": df.intersect,
+                      "EXCEPT": df.subtract}[op](other)
         if self.having is not None:
             df = df.filter(self.having.spark(F))
         if self.distinct:
@@ -664,12 +795,21 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
     for fk, dim, dk in FKS.get(base, []):
         r = rng.random()
         if r < 0.45 and len(plan.joins) < 2:
-            how = "left" if rng.random() < 0.3 else "inner"
+            hr = rng.random()
+            # v5: right/full null-extend the FACT side — the join corner
+            # local oracles never hit (base columns become NULL)
+            how = ("left" if hr < 0.25 else "right" if hr < 0.37
+                   else "full" if hr < 0.47 else "inner")
             pre = None
             if rng.random() < 0.4:
                 pre = gen_pred(rng, [(c, t, dim) for c, t in TABLES[dim].items()],
                                pools, allow_bool=False)
-            plan.joins.append((fk, dim, dk, how, pre))
+            fk_null = None
+            if rng.random() < 0.25 and (base, fk) in pools:
+                # v5: nullify a real key value so NULL join keys flow —
+                # inner/semi must drop them, left/full must null-extend
+                fk_null = rng.choice(pools[(base, fk)])
+            plan.joins.append((fk, dim, dk, how, pre, fk_null))
             avail += [(c, ty, dim) for c, ty in TABLES[dim].items()]
         elif r < 0.62 and not plan.semijoins:
             # semi/anti instead: dim filters the fact, contributes no cols
@@ -683,12 +823,17 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
         if p is not None:
             plan.filters.append(p)
 
+    # right/full joins can null-extend (and duplicate-NULL) the fact PK,
+    # so the window determinism contract (row-unique order key) is void
+    has_outer_fact = any(j[3] in ("right", "full") for j in plan.joins)
+
     numeric = [(c, ty, t) for c, ty, t in avail if ty in ("int", "double")]
     if rng.random() < 0.55:
         # aggregate form
         gkeys = [a for a in avail if a[0] in GROUPABLE]
         rng.shuffle(gkeys)
-        for c, ty, _t in gkeys[: rng.randint(0, 2)]:
+        picked_keys = gkeys[: rng.randint(0, 2)]
+        for c, ty, _t in picked_keys:
             plan.group_keys.append(Col(c, ty))
         n_aggs = rng.randint(1, 3)
         for i in range(n_aggs):
@@ -707,6 +852,13 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                     plan.aggs.append(("count_star", None, alias, None))
                     continue
                 c, ty, _t = rng.choice(numeric)
+            if (fn in ("sum", "min", "max") and ty == "double"
+                    and rng.random() < 0.3):
+                # v5: exact DECIMAL(18,4) aggregation — scale-deterministic
+                # in both engines, so NO round() escape hatch: the hash
+                # compares exact decimal strings (sum keeps scale 4)
+                plan.aggs.append((fn, DecCast(Col(c, ty)), alias, None))
+                continue
             nd = None
             if fn == "avg":
                 nd = 6
@@ -717,6 +869,15 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             # subtotal lattice: rollup/cube + GROUPING markers (the
             # markers disambiguate subtotal NULLs from real NULL keys)
             plan.group_mode = rng.choice(["rollup", "rollup", "cube"])
+        elif plan.group_keys:
+            # v5: NULL group keys (plain mode only — a NULLIF key under
+            # rollup/cube would need GROUPING to disambiguate, and the
+            # Spark rollup path renames by bare column name): both
+            # engines must pool NULLs into ONE group
+            for i, (c, ty, t) in enumerate(picked_keys):
+                if rng.random() < 0.25 and (t, c) in pools:
+                    plan.group_keys[i] = NullIf(
+                        plan.group_keys[i], rng.choice(pools[(t, c)]))
         if rng.random() < 0.35:
             # having on a count-ish output
             counts = [a for fn, _c, a, _nd in plan.aggs
@@ -739,9 +900,10 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             e = gen_scalar(rng, avail, pools)
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
-        # optional window column (PKs stay row-unique through FK joins)
-        if rng.random() < 0.5:
-            e = gen_window(rng, base, avail)
+        # optional window column (PKs stay row-unique through FK joins —
+        # but NOT through right/full joins, which null-extend the PK)
+        if rng.random() < 0.5 and not has_outer_fact:
+            e = gen_window(rng, base, avail, pools)
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
         if rng.random() < 0.4:
@@ -757,12 +919,14 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                 if p is not None:
                     alt.append(p)
             plan.setop = (
-                rng.choice(["UNION ALL", "INTERSECT", "EXCEPT"]), alt
+                rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
+                alt,
             )
 
     if rng.random() < 0.45 or (not plan.aggs and not plan.distinct):
-        # always bound raw projections: deterministic sorted-limit
-        plan.limit = rng.choice([7, 50, 400])
+        # always bound raw projections: deterministic sorted-limit.
+        # v5 adds tiny limits (1, 3) — the tie-heaviest top-k shape
+        plan.limit = rng.choice([1, 3, 7, 50, 400])
     return plan
 
 
@@ -803,11 +967,29 @@ def gen_scalar(rng, avail, pools) -> Expr | None:
     """One computed scalar column."""
     numeric = [(c, ty) for c, ty, _t in avail if ty in ("int", "double")]
     strings = [(c, ty) for c, ty, _t in avail if ty == "str"]
+    ints = [(c, ty) for c, ty, _t in avail if ty == "int"]
     r = rng.random()
-    if r < 0.4 and numeric:
+    if r < 0.12 and ints:
+        # v5: date arithmetic — derive dates from ints, then extract a
+        # part or difference (EXTRACT/date_add/date_diff cross-dialect)
+        (c1, _), (c2, _) = rng.choice(ints), rng.choice(ints)
+        d1, d2 = DateFromInt(Col(c1, "int")), DateFromInt(Col(c2, "int"))
+        k = rng.random()
+        if k < 0.35:
+            return d1
+        if k < 0.7:
+            return DatePart(rng.choice(["year", "month", "day"]), d1)
+        return DateDiffDays(d1, d2)
+    if r < 0.24 and len([1 for _, ty in numeric if ty == "double"]) >= 1:
+        # v5: exact decimal arithmetic, both operands DECIMAL(18,4)
+        dbls = [(c, ty) for c, ty in numeric if ty == "double"]
+        (c1, t1), (c2, t2) = rng.choice(dbls), rng.choice(dbls)
+        return Arith(rng.choice(["+", "-", "*"]),
+                     DecCast(Col(c1, t1)), DecCast(Col(c2, t2)))
+    if r < 0.45 and numeric:
         (c1, t1), (c2, t2) = rng.choice(numeric), rng.choice(numeric)
         return Arith(rng.choice(["+", "-", "*"]), Col(c1, t1), Col(c2, t2))
-    if r < 0.55 and numeric:
+    if r < 0.58 and numeric:
         pred = gen_pred(rng, avail, pools, allow_bool=False)
         if pred is not None:
             (c1, t1), (c2, t2) = rng.choice(numeric), rng.choice(numeric)
@@ -821,14 +1003,18 @@ def gen_scalar(rng, avail, pools) -> Expr | None:
     return None
 
 
-def gen_window(rng, base: str, avail) -> Expr | None:
+def gen_window(rng, base: str, avail, pools) -> Expr | None:
     """One window column; see WinFn for the determinism contract."""
     pks = [Col(c, TABLES[base][c]) for c in PKS[base]]
     part = None
-    groupable = [(c, ty) for c, ty, _t in avail if c in GROUPABLE]
+    groupable = [(c, ty, t) for c, ty, t in avail if c in GROUPABLE]
     if groupable and rng.random() < 0.7:
-        c, ty = rng.choice(groupable)
+        c, ty, t = rng.choice(groupable)
         part = Col(c, ty)
+        if rng.random() < 0.2 and (t, c) in pools:
+            # v5: NULL partition keys — both engines put the NULLs in
+            # ONE partition; the PK order keys keep rows deterministic
+            part = NullIf(part, rng.choice(pools[(t, c)]))
     fn = rng.choice(["sum", "avg", "count", "min", "max", "rank",
                      "dense_rank", "row_number", "lag", "lead"])
     if fn in ("rank", "dense_rank"):
