@@ -1366,7 +1366,21 @@ growth AS (
 SELECT CAST(count(*) AS BIGINT) AS n_marks,
        round(covar_pop(ln(CAST(n_doc AS DOUBLE)), ln(vocab))
              / var_pop(ln(CAST(n_doc AS DOUBLE))), 4) AS heaps_beta,
-       round(corr(ln(CAST(n_doc AS DOUBLE)), ln(vocab)), 4) AS fit_corr
+       -- NOT corr(), and NOT an exact-zero variance guard either
+       -- (round-11 boundary net finding): with a constant vocab column
+       -- the parallel aggregate merge leaves ~1e-31 variance residue
+       -- (k*ln(v) partial sums round differently per thread split), so
+       -- corr/NULLIF(var,0) both emit NONDETERMINISTIC garbage
+       -- (-0.27..0.34 across runs at the 30x replica). Degeneracy is
+       -- therefore declared on EXACT INTEGER cardinality — count
+       -- (DISTINCT) of the raw values — which no float merge can
+       -- perturb; the Spark side applies the identical rule.
+       CASE WHEN count(DISTINCT vocab) <= 1 OR count(DISTINCT n_doc) <= 1
+            THEN NULL
+            ELSE round(covar_pop(ln(CAST(n_doc AS DOUBLE)), ln(vocab))
+                       / (stddev_pop(ln(CAST(n_doc AS DOUBLE)))
+                          * stddev_pop(ln(vocab))), 4)
+       END AS fit_corr
 FROM growth
 """,
 )
@@ -1423,25 +1437,38 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lx = F.log(F.col("n_doc").cast("double"))
     ly = F.log("vocab")
-    # Degenerate-corpus guard (round-10 boundary replica finding): on a
-    # duplicate-heavy corpus every bigram first occurs before the first
-    # checkpoint, vocab is CONSTANT across marks, and F.corr's internal
-    # division by a zero variance raises DIVIDE_BY_ZERO under ANSI mode
-    # instead of reporting an undefined fit. try_divide forms of the
-    # same closed-form OLS slope and Pearson r return NULL there —
-    # matching DuckDB, whose corr()/x÷0 are NULL-on-degenerate — and
-    # are algebraically identical elsewhere (r = cov/(σx·σy)).
+    # Degenerate-corpus guard (round-10 boundary replica finding, sharpened
+    # by the round-11 30x net): on a duplicate-heavy corpus every bigram
+    # first occurs before the first checkpoint and vocab is CONSTANT
+    # across marks. F.corr would raise DIVIDE_BY_ZERO under ANSI mode;
+    # worse, ANY float-variance test (try_divide's exact-0, NULLIF) is
+    # unreliable here because parallel aggregate merges leave ~1e-31
+    # variance residue on constant columns (k·ln(v) partial sums round
+    # differently per partition split — measured nondeterministic
+    # -0.27..0.34 "correlations" from DuckDB's merge at 30x). Degeneracy
+    # is therefore declared on EXACT INTEGER cardinality of the raw
+    # values — merge-proof on both engines; the oracle applies the
+    # identical rule. Elsewhere r = cov/(σx·σy), the closed form both
+    # engines agree on at 4 dp.
+    degenerate = (F.countDistinct("vocab") <= F.lit(1)) | (
+        F.countDistinct("n_doc") <= F.lit(1)
+    )
     return growth.agg(
         F.count("*").cast("bigint").alias("n_marks"),
         F.round(
             F.try_divide(F.covar_pop(lx, ly), F.var_pop(lx)), 4
         ).alias("heaps_beta"),
-        F.round(
-            F.try_divide(
-                F.covar_pop(lx, ly), F.stddev_pop(lx) * F.stddev_pop(ly)
-            ),
-            4,
-        ).alias("fit_corr"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.try_divide(
+                    F.covar_pop(lx, ly),
+                    F.stddev_pop(lx) * F.stddev_pop(ly),
+                ),
+                4,
+            )
+        )
+        .alias("fit_corr"),
     )
 
 
