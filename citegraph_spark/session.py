@@ -53,4 +53,40 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not spark.sparkContext.master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `citegraph_spark` importable on executor Python workers.
+
+    In pure local[N] mode, Python workers fork from the driver and
+    inherit its sys.path — imports just work, which silently HIDES a
+    real deployment requirement: on any multi-JVM master
+    (local-cluster, standalone, YARN, k8s) executor Python workers
+    start in the worker's scratch dir, and every mapInPandas /
+    applyInPandas(WithState) stage whose function is pickled BY
+    REFERENCE to this module dies with ModuleNotFoundError (found by
+    the round-11 full-registry local-cluster parity board: 7 entries —
+    the sketch, multimodal, and stateful-streaming families). The
+    spark-submit path ships the package with --py-files
+    (deploy/submit.sh); this is the same fix for programmatically
+    built sessions: zip the package once per session and addPyFile it,
+    which distributes the zip and prepends it to every worker's
+    sys.path.
+    """
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="citegraph_spark_py_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
