@@ -26,10 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-10 sweep (1 entries); then never-certified (0);
+# changed since the round-10 sweep (229 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
-    'text_heaps_law',
     'cdc_apply_changes',
     'events_inter_arrival',
     'events_cusum_changepoint',
@@ -225,6 +224,7 @@ _ROTATION = [
     'ngram_top_bigrams',
     'dq_orders_checks',
     'csv_sink_roundtrip',
+    'text_heaps_law',
     'sample_domain_mix',
     'events_sliding_window',
     'sql_api_region_revenue',
