@@ -98,7 +98,7 @@ def test_generator_is_not_trivial(duck):
         shapes["semijoin"] += bool(p.semijoins)
         shapes["outer_fact"] += any(j[3] in ("right", "full") for j in p.joins)
         shapes["nullif"] += "nullif(" in sql
-        shapes["decimal"] += "DECIMAL(18,4)" in sql
+        shapes["decimal"] += "DECIMAL(19,4)" in sql  # DuckDB-side render
         shapes["date"] += "DATE '1992-01-01'" in sql
         n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
