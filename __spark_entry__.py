@@ -26,59 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-10 sweep (229 entries); then never-certified (0);
+# changed since the round-11 sweep (0 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
-    'cdc_apply_changes',
-    'events_inter_arrival',
-    'events_cusum_changepoint',
-    'dq_key_skew',
-    'events_autocorr',
-    'events_sessionize',
-    'events_user_entropy',
-    'events_forecast_backtest',
-    'bootstrap_ci_daily_mean',
-    'xml_sink_roundtrip',
-    'mad_outlier_prices',
-    'chi2_flag_status',
-    'orders_open_backlog',
-    'ab_mann_whitney',
-    'markov_next_event_eval',
-    'ab_welch_ttest',
-    'basket_lift_top',
-    'graph_temporal_reachability',
-    'text_js_divergence',
-    'events_dau_wau',
-    'graph_assortativity',
-    'naive_bayes_lang',
-    'logreg_train_gate',
-    'streaming_windowed_append',
-    'kmeans_quality_gate',
-    'pca_power_gate',
-    'text_pii_redact',
-    'text_html_strip',
-    'dq_benford_first_digit',
-    'events_variant_props',
-    'events_anomaly_iqr',
-    'events_decayed_counts',
-    'events_twap',
-    'motif_fanout_top',
-    'feature_hashing',
-    'multimodal_audio',
-    'dq_psi_drift',
-    'events_session_window',
-    'doc_lm_surprisal',
-    'graph_random_walks',
-    'kmv_set_ops',
-    'tokenize_to_ids',
-    'json_sink_roundtrip',
-    'parquet_schema_evolution',
-    'orc_sink_roundtrip',
-    'label_knn_agreement',
-    'parquet_partitioned_roundtrip',
-    'dedup_boilerplate_lines',
-    'parquet_upsert_merge',
-    'streaming_incremental_rollup',
     'parquet_zorder_roundtrip',
     'streaming_enrich',
     'fixture_motif_triangles',
@@ -258,6 +208,56 @@ _ROTATION = [
     'dedup_ngram_jaccard',
     'graph_clustering_coefficient',
     'scc_partition_gate',
+    'text_pii_redact',
+    'text_html_strip',
+    'dq_benford_first_digit',
+    'events_variant_props',
+    'events_anomaly_iqr',
+    'events_decayed_counts',
+    'cdc_apply_changes',
+    'events_inter_arrival',
+    'events_twap',
+    'motif_fanout_top',
+    'events_cusum_changepoint',
+    'dq_key_skew',
+    'events_autocorr',
+    'feature_hashing',
+    'events_sessionize',
+    'multimodal_audio',
+    'events_user_entropy',
+    'dq_psi_drift',
+    'events_forecast_backtest',
+    'events_session_window',
+    'bootstrap_ci_daily_mean',
+    'doc_lm_surprisal',
+    'graph_random_walks',
+    'xml_sink_roundtrip',
+    'mad_outlier_prices',
+    'chi2_flag_status',
+    'kmv_set_ops',
+    'orders_open_backlog',
+    'ab_mann_whitney',
+    'tokenize_to_ids',
+    'markov_next_event_eval',
+    'ab_welch_ttest',
+    'basket_lift_top',
+    'graph_temporal_reachability',
+    'json_sink_roundtrip',
+    'parquet_schema_evolution',
+    'orc_sink_roundtrip',
+    'label_knn_agreement',
+    'parquet_partitioned_roundtrip',
+    'dedup_boilerplate_lines',
+    'text_js_divergence',
+    'parquet_upsert_merge',
+    'streaming_incremental_rollup',
+    'events_dau_wau',
+    'graph_assortativity',
+    'naive_bayes_lang',
+    'logreg_train_gate',
+    'streaming_windowed_append',
+    'kmeans_quality_gate',
+    'pca_power_gate',
 ]
 # --- END GENERATED ROTATION ---
 
