@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-11 sweep (0 entries); then never-certified (0);
+# changed since the round-11 sweep (1 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'text_heaps_law',
     'parquet_zorder_roundtrip',
     'streaming_enrich',
     'fixture_motif_triangles',
@@ -174,7 +175,6 @@ _ROTATION = [
     'ngram_top_bigrams',
     'dq_orders_checks',
     'csv_sink_roundtrip',
-    'text_heaps_law',
     'sample_domain_mix',
     'events_sliding_window',
     'sql_api_region_revenue',

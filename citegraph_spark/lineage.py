@@ -35,6 +35,9 @@ point the dir at a storage-lifecycle-managed path — otherwise a
 
 from __future__ import annotations
 
+import hashlib
+import json
+
 from pyspark.sql import DataFrame
 
 RELIABLE_FLAG = "spark.citegraph.reliableCheckpoint"
@@ -88,6 +91,62 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Small-file text write through the Hadoop FileSystem (DFS-safe)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    out = p.getFileSystem(conf).create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Small-file text read through the Hadoop FileSystem (DFS-safe)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    stream = p.getFileSystem(conf).open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _code_fingerprint(fn) -> str:
+    """Deterministic fingerprint of a callable's compiled code (bytecode +
+    names + non-code constants, nested code objects recursed). Two
+    callables with the same fingerprint compute the same function of
+    their inputs up to closure-cell VALUES, which the caller owns —
+    good enough to catch 'the job logic changed' between resume runs."""
+    h = hashlib.sha256()
+
+    def feed(code) -> None:
+        h.update(code.co_code)
+        h.update(repr(code.co_names).encode())
+        h.update(repr(code.co_varnames).encode())
+        for const in code.co_consts:
+            if hasattr(const, "co_code"):
+                feed(const)
+            else:
+                h.update(repr(const).encode())
+
+    code = getattr(fn, "__code__", None)
+    if code is None:  # functools.partial, builtins, callables — best effort
+        inner = getattr(fn, "func", None)
+        if inner is not None and hasattr(inner, "__code__"):
+            feed(inner.__code__)
+            h.update(repr(getattr(fn, "args", ())).encode())
+            h.update(repr(sorted(getattr(fn, "keywords", {}).items())).encode())
+        else:
+            h.update(repr(getattr(fn, "__qualname__", fn)).encode())
+    else:
+        feed(code)
+    return h.hexdigest()
+
+
 def resumable_rounds(
     spark,
     state_dir: str,
@@ -115,7 +174,39 @@ def resumable_rounds(
     Resume contract: a fresh driver pointed at the same state_dir skips
     every round at-or-before the newest committed snapshot. The final
     state is ALWAYS snapshotted so a completed run is a no-op to re-run.
+
+    Job-identity guard (round-11 ADVICE): the first run writes a
+    fingerprint of init/step's compiled code (+ snapshot cadence) to
+    <state_dir>/_job_meta.json; a resume whose fingerprint differs
+    REFUSES with ValueError instead of silently resuming from another
+    job's state. `rounds` is deliberately NOT part of the identity:
+    step is deterministic, so the round-K snapshot of a longer run IS
+    the correct round-K state of a shorter one (resuming a completed
+    10-round dir with rounds=8 correctly returns the round-8 snapshot
+    of the SAME job; only changed logic is refused).
     """
+    meta_path = f"{state_dir}/_job_meta.json"
+    fingerprint = json.dumps(
+        {
+            "init": _code_fingerprint(init),
+            "step": _code_fingerprint(step),
+            "snapshot_every": snapshot_every,
+        },
+        sort_keys=True,
+    )
+    if _fs_exists(spark, meta_path):
+        existing = _fs_read_text(spark, meta_path)
+        if existing != fingerprint:
+            raise ValueError(
+                f"resumable_rounds: state_dir {state_dir!r} holds snapshots "
+                "of a DIFFERENT job (init/step code or snapshot cadence "
+                "changed since they were written). Point at a fresh "
+                "state_dir or delete the old one; refusing to resume from "
+                f"incompatible state.\n  on disk: {existing}\n  now:     "
+                f"{fingerprint}"
+            )
+    else:
+        _fs_write_text(spark, meta_path, fingerprint)
     start, state = 0, None
     for k in range(rounds, 0, -1):
         if k % snapshot_every and k != rounds:

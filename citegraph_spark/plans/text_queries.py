@@ -1364,8 +1364,15 @@ growth AS (
   FROM first_seen f CROSS JOIN marks m GROUP BY m.n_doc
 )
 SELECT CAST(count(*) AS BIGINT) AS n_marks,
-       round(covar_pop(ln(CAST(n_doc AS DOUBLE)), ln(vocab))
-             / var_pop(ln(CAST(n_doc AS DOUBLE))), 4) AS heaps_beta,
+       -- same exact-cardinality degeneracy rule as fit_corr below
+       -- (round-11 ADVICE symmetry): a degenerate n_doc would divide by
+       -- a float variance carrying merge residue. Unreachable today
+       -- (marks are DISTINCT n_doc) but guarded identically anyway.
+       CASE WHEN count(DISTINCT n_doc) <= 1
+            THEN NULL
+            ELSE round(covar_pop(ln(CAST(n_doc AS DOUBLE)), ln(vocab))
+                       / var_pop(ln(CAST(n_doc AS DOUBLE))), 4)
+       END AS heaps_beta,
        -- NOT corr(), and NOT an exact-zero variance guard either
        -- (round-11 boundary net finding): with a constant vocab column
        -- the parallel aggregate merge leaves ~1e-31 variance residue
@@ -1455,9 +1462,19 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return growth.agg(
         F.count("*").cast("bigint").alias("n_marks"),
-        F.round(
-            F.try_divide(F.covar_pop(lx, ly), F.var_pop(lx)), 4
-        ).alias("heaps_beta"),
+        # round-11 ADVICE: heaps_beta gets the SAME exact-cardinality
+        # guard as fit_corr (on its divisor's raw column only) — a
+        # degenerate n_doc would otherwise divide by merge-residue
+        # float variance. Unreachable today (marks are distinct), kept
+        # symmetric so the degeneracy policy has no float-path holes.
+        F.when(
+            F.countDistinct("n_doc") <= F.lit(1),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(F.try_divide(F.covar_pop(lx, ly), F.var_pop(lx)), 4)
+        )
+        .alias("heaps_beta"),
         F.when(degenerate, F.lit(None).cast("double"))
         .otherwise(
             F.round(

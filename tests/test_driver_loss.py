@@ -27,7 +27,7 @@ import shutil
 import signal
 import subprocess
 import sys
-import time
+import threading
 
 _PROBE = os.path.join(os.path.dirname(__file__), "_driver_loss_probe.py")
 _SF = os.environ.get("KILLTEST_SF_DIR", "/root/testdata/sf0.001")
@@ -65,10 +65,27 @@ def _parse(out: str) -> dict:
 
 def _kill_after_round(state_dir, kill_round: int, timeout=420):
     """Launch the probe, SIGKILL its whole process group right after it
-    reports ROUND `kill_round`. Returns the rounds seen before death."""
+    reports ROUND `kill_round`. Returns the rounds seen before death.
+
+    The stdout read runs under an overall watchdog deadline (round-11
+    ADVICE): the old per-line timeout check only ran AFTER a line
+    arrived, so a probe that wedged before printing anything (e.g. JVM
+    startup hang) blocked `for line in p.stdout` forever. The watchdog
+    kills the process group at the deadline, which closes the pipe and
+    unblocks the read; the test then FAILS instead of hanging."""
     p = _launch(state_dir)
     seen = []
-    t0 = time.time()
+    expired = threading.Event()
+
+    def _expire():
+        expired.set()
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+
+    watchdog = threading.Timer(timeout, _expire)
+    watchdog.start()
     try:
         for line in p.stdout:
             if line.startswith("ROUND "):
@@ -76,9 +93,13 @@ def _kill_after_round(state_dir, kill_round: int, timeout=420):
                 if seen[-1] >= kill_round:
                     os.killpg(os.getpgid(p.pid), signal.SIGKILL)
                     break
-            if time.time() - t0 > timeout:
-                raise AssertionError("probe hung before the kill round")
+        if expired.is_set():
+            raise AssertionError(
+                f"probe hung before the kill round (watchdog fired after "
+                f"{timeout}s; rounds seen: {seen})"
+            )
     finally:
+        watchdog.cancel()
         try:
             p.wait(timeout=60)
         except subprocess.TimeoutExpired:

@@ -242,3 +242,35 @@ def test_default_localcheckpoint_dies_on_executor_kill(tmp_path):
         "Command exited with code 137",
     )
     assert any(s in full for s in signatures), tail
+
+
+def test_resumable_rounds_refuses_changed_job_fingerprint(spark, tmp_path):
+    """Round-11 ADVICE: a state_dir written by one job must not be
+    silently resumed by a job whose init/step logic differs — the
+    _job_meta.json fingerprint refuses with ValueError. Same-logic
+    re-runs (including with FEWER rounds, which by determinism is the
+    same job's earlier state) still resume fine."""
+    from citegraph_spark.lineage import resumable_rounds
+
+    state = str(tmp_path / "state")
+
+    def init():
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    def step(df, k):
+        return df.select((F.col("v") + 1).alias("v"))
+
+    out = resumable_rounds(spark, state, init, step, rounds=4)
+    assert sorted(r.v for r in out.collect()) == [4, 5, 6, 7, 8]
+
+    # same logic, fewer rounds: legitimate resume (round-4 snapshot of
+    # the same deterministic job IS a valid terminal state for rounds=4;
+    # asking for rounds=3 returns the newest committed <= 3 path)
+    again = resumable_rounds(spark, state, init, step, rounds=4)
+    assert sorted(r.v for r in again.collect()) == [4, 5, 6, 7, 8]
+
+    def other_step(df, k):
+        return df.select((F.col("v") + 2).alias("v"))
+
+    with pytest.raises(ValueError, match="DIFFERENT job"):
+        resumable_rounds(spark, state, init, other_step, rounds=4)

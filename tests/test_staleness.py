@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import subprocess
 import sys
+import time
+from datetime import datetime, timezone
 from pathlib import Path
 
 import pytest
@@ -46,6 +48,29 @@ def test_rotation_in_sync():
         # round-open state, not a code drift: `tools/staleness.py check`
         # still exits 1 loudly, and the round-open step (commit artifacts →
         # `python tools/staleness.py sync` → commit) restores enforcement.
+        # Bound the skip (round-11 ADVICE): the round-open state is
+        # legitimate only BRIEFLY. If the uncommitted artifact has been
+        # sitting in the worktree while work continued (commits landed
+        # after it appeared) or for days, the round-open step was
+        # forgotten and the gate must FAIL, not skip forever.
+        art = staleness.ROOT / f"CORRECTNESS_r{d['last_round']:02d}.json"
+        age_h = (time.time() - art.stat().st_mtime) / 3600 if art.exists() else 0.0
+        commits_after = 0
+        if art.exists():
+            since = datetime.fromtimestamp(art.stat().st_mtime, tz=timezone.utc)
+            out = subprocess.run(
+                ["git", "rev-list", "--count",
+                 f"--since={since.isoformat()}", "HEAD"],
+                capture_output=True, text=True, cwd=staleness.ROOT,
+            )
+            commits_after = int(out.stdout.strip() or 0) if out.returncode == 0 else 0
+        assert age_h <= 48 and commits_after <= 2, (
+            f"CORRECTNESS_r{d['last_round']:02d}.json has been uncommitted "
+            f"for {age_h:.1f}h with {commits_after} commits made after it "
+            "appeared — the round-open step (commit artifacts, then "
+            "`python tools/staleness.py sync`) was skipped; the freshness "
+            "gate is silently disabled. Run the round-open step now."
+        )
         pytest.skip(
             f"CORRECTNESS_r{d['last_round']:02d}.json is uncommitted — "
             "rotation sync is pending the round-open step "
