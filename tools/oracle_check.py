@@ -138,7 +138,9 @@ def main(argv: list[str]) -> int:
         else:
             names.append(a)
 
-    sys.path.insert(0, "/root/repo")
+    # resolve the repo THIS tool lives in (not a hardcoded path) so the
+    # mutation audit can run the gate against scratch repo copies
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as e
     from citegraph_spark.session import get_spark
 
