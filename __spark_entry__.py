@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-11 sweep (1 entries); then never-certified (0);
+# changed since the round-11 sweep (2 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
+    'loader_normalize_ids',
     'text_heaps_law',
     'parquet_zorder_roundtrip',
     'streaming_enrich',
@@ -136,7 +137,6 @@ _ROTATION = [
     'sample_stratified',
     'events_cohort_retention',
     'split_train_test',
-    'loader_normalize_ids',
     'tfidf_top_terms',
     'text_rolling_hash',
     'intersect_customer_nations',

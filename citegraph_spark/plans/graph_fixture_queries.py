@@ -146,6 +146,7 @@ _RAW_DATE_LINES = [
     "  9204000   1992-04-01  ",  # leading/trailing/multi whitespace
     "1201       2020-05-05",  # 4-digit id: prefix rule must NOT fire
     "110000001\t1995-06-06",  # 9 digits starting 11 -> 0000001 -> 1
+    "1190000001\t1996-01-01",  # 10 digits starting 11: rule must NOT fire
     "",
     "9310001\t1993-10-01",
 ]
@@ -158,7 +159,8 @@ WITH raw AS (SELECT * FROM (VALUES
   ('# header comment'), ('9203201' || chr(9) || '1992-03-20'),
   ('119203201' || chr(9) || '1993-01-01'),
   ('  9204000   1992-04-01  '), ('1201       2020-05-05'),
-  ('110000001' || chr(9) || '1995-06-06'), (''),
+  ('110000001' || chr(9) || '1995-06-06'),
+  ('1190000001' || chr(9) || '1996-01-01'), (''),
   ('9310001' || chr(9) || '1993-10-01')) v(line)),
      keep AS (SELECT line FROM raw
               WHERE NOT contains(line, '#') AND trim(line) <> ''),
@@ -179,18 +181,12 @@ def loader_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5/F1-F6 + the cross-listed-id rule (reference
     DataFrameLoader.scala:58-73), oracle-checked on embedded raw lines:
     comment/blank filtering, whitespace tokenization, year slicing, the
-    9-digit `11`-prefix normalization, and deterministic min-year dedupe
-    — the exact expressions `sources/citations.py` applies to real files.
-    """
-    from ..sources.citations import normalize_paper_id
+    9-digit `11`-prefix normalization (including the 10-digit negative
+    case), and deterministic min-year dedupe. As of round 12 this calls
+    the REAL loader core (`sources.citations.published_dates_from_lines`)
+    rather than an inline copy, so the oracle gate sees loader
+    mutations directly (mutation-audit mutants M01-M03)."""
+    from ..sources.citations import published_dates_from_lines
 
     lines = spark.createDataFrame([(l,) for l in _RAW_DATE_LINES], "value string")
-    keep = lines.filter(
-        (~F.col("value").contains("#")) & (F.trim(F.col("value")) != "")
-    )
-    toks = keep.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
-    df = toks.select(
-        normalize_paper_id(F.trim(F.element_at("t", 1))).alias("id"),
-        F.substring(F.trim(F.element_at("t", 2)), 1, 4).cast("int").alias("year"),
-    ).na.drop()
-    return df.groupBy("id").agg(F.min("year").alias("year")).orderBy("id")
+    return published_dates_from_lines(lines).orderBy("id")

@@ -58,16 +58,28 @@ def normalize_paper_id(col):
     )
 
 
-def load_published_dates(spark: SparkSession, path: str) -> DataFrame:
-    """`(id INT, year INT)` from `id<TAB>yyyy-mm-dd` text, normalized and
-    deduped (deterministic min-year per id)."""
-    lines = _non_comment_lines(spark, path)
-    toks = lines.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+def published_dates_from_lines(lines: DataFrame) -> DataFrame:
+    """Shared core of `load_published_dates` over an already-loaded
+    `(value STRING)` lines DataFrame: comment/blank filter, whitespace
+    tokenize, 11-prefix normalization, year slice, deterministic
+    min-year dedupe. Factored out (round-12 mutation audit, mutants
+    M02/M03) so the `loader_normalize_ids` oracle exercises THIS code
+    instead of an inline copy — loader mutations are now gate-visible."""
+    keep = lines.filter(
+        (~F.col("value").contains("#")) & (F.trim(F.col("value")) != "")
+    )
+    toks = keep.select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
     df = toks.select(
         normalize_paper_id(F.trim(F.element_at("t", 1))).alias("id"),
         F.substring(F.trim(F.element_at("t", 2)), 1, 4).try_cast("int").alias("year"),
     ).na.drop()
     return df.groupBy("id").agg(F.min("year").alias("year"))
+
+
+def load_published_dates(spark: SparkSession, path: str) -> DataFrame:
+    """`(id INT, year INT)` from `id<TAB>yyyy-mm-dd` text, normalized and
+    deduped (deterministic min-year per id)."""
+    return published_dates_from_lines(spark.read.text(path))
 
 
 def load_nodepairs(spark: SparkSession, path: str) -> DataFrame:

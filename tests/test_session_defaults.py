@@ -64,3 +64,19 @@ def test_salted_join_consumer_salts_join_not_aggregate(spark):
         sf_dir=SF_DIR,
     )
     assert r["salted_agg"] == 0, "aggregate keyed on _salt (pre-salted aggregation)"
+
+
+def test_ansi_mode_is_on(spark):
+    """Round-12 mutation audit, mutant M15: disabling ANSI mode survived
+    the oracle gate (green paths never overflow), 300 fuzz seeds (the
+    grammar renders try_-safe arithmetic by design), and every pytest —
+    a silent semantics regression (int overflow wraps/nulls instead of
+    erroring) had NO gate. Pin the config AND the behavior."""
+    import pytest
+    from pyspark.errors import ArithmeticException
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(ArithmeticException):
+        spark.sql(
+            "SELECT CAST(2147483647 AS INT) + CAST(1 AS INT)"
+        ).collect()

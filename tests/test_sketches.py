@@ -134,3 +134,22 @@ def test_kmv_set_ops_estimates_within_bound(spark):
     assert abs(r["est_intersect"] - ie) / max(ie, 1.0) < 2 * bound
     # intersection bounded by its parts
     assert r["est_intersect"] <= min(r["est_a"], r["est_b"]) * (1 + bound)
+
+
+def test_cms_bucket_ring_golden():
+    """Round-12 mutation audit, mutant M18: a CMS hash-ring change
+    (% (width-1) instead of % width) survived the oracle — at sf0.01
+    the top-20 estimates are collision-free under EITHER ring, so the
+    min-over-rows probe returns the exact counts both ways. The sketch
+    layout is a cross-engine CONTRACT (the DuckDB oracle replays the md5
+    bucket math literally), so pin the bucket indices themselves: any
+    ring/digest/double-hash change breaks these goldens immediately."""
+    from citegraph_spark.functions.frequency import _cms_buckets
+
+    assert _cms_buckets("the", 5, 2048) == [1755, 562, 1417, 224, 1079]
+    assert _cms_buckets("lorem", 5, 2048) == [1463, 1802, 93, 432, 771]
+    assert _cms_buckets("42", 5, 2048) == [807, 974, 1141, 1308, 1475]
+    # the ring property the mutant broke: indices live in [0, width)
+    # and change when width changes (no silent off-by-one aliasing)
+    assert all(0 <= b < 1024 for b in _cms_buckets("the", 5, 1024))
+    assert _cms_buckets("the", 5, 1024) != _cms_buckets("the", 5, 2048)

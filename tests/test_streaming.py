@@ -255,3 +255,67 @@ def test_windowed_state_tracks_keyspace_not_volume(spark, tmp_path):
         }
         assert got == batch, f"stream != batch at {copies}x"
     assert state_rows[1] == state_rows[3] > 0, state_rows
+
+
+def test_watermark_tolerance_accepts_late_rows_inside_30min(spark, tmp_path):
+    """Round-12 mutation audit, mutant M16: shrinking the 30-min
+    watermark to 0 survived every gate — the sf replay arrives nearly
+    in order, so the tolerance was never exercised. This replay plants
+    a row that arrives ONE MICRO-BATCH LATE but only 10 min behind the
+    observed max event time: a 30-min watermark must aggregate it; a
+    0-min watermark silently drops it (count 0, window never emitted).
+    """
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from citegraph_spark.streaming.events import streaming_windowed_agg
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    # batch 1: one early window + a 14:00 row pushing the watermark to
+    # 13:30 (30-min delay); batch 2: a LATE 13:40 row (20 min behind
+    # 14:00, still >= the 13:30 watermark → must be accepted) plus a
+    # 15:00 row whose watermark (14:30) finalizes the late row's window
+    b1 = [(ts(12, 0), "click", 1.0), (ts(12, 5), "click", 1.0),
+          (ts(14, 0), "view", 1.0)]
+    b2 = [(ts(13, 40), "late", 1.0), (ts(15, 0), "view", 1.0)]
+    schema = "ts timestamp, event_type string, value double"
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        part = tmp_path / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(part))
+        [f] = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        os.rename(part / f, in_dir / f"{i:02d}.parquet")
+        _time.sleep(1.1)  # distinct mtimes pin the micro-batch order
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(in_dir))
+    )
+    q = (
+        streaming_windowed_agg(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_tolerance_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM wm_tolerance_out").collect()
+    }
+    assert emitted.get(("2024-01-01 13:30:00", "late")) == 1, (
+        "the 20-min-late row was dropped — watermark tolerance is not "
+        f"the contracted 30 minutes (emitted: {emitted})"
+    )
+    assert emitted.get(("2024-01-01 12:00:00", "click")) == 2

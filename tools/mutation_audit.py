@@ -112,7 +112,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/operators/relational.py",
         old="is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)",
         new="is_new = F.when(gap.isNull() | (gap >= gap_minutes * 60), 1).otherwise(0)",
-        gates={"oracle": ["events_sessionize"]},
+        gates={"oracle": ["events_sessionize"],
+               "pytest": ["tests/test_sessionize_boundary.py"]},
     ),
     dict(
         id="M07", cls="dropped-null-handling",
@@ -120,7 +121,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/operators/relational.py",
         old="is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)",
         new="is_new = F.when((gap > gap_minutes * 60), 1).otherwise(0)",
-        gates={"oracle": ["events_sessionize"]},
+        gates={"oracle": ["events_sessionize"],
+               "pytest": ["tests/test_sessionize_boundary.py"]},
     ),
     dict(
         id="M08", cls="float-rounding-drop",
@@ -136,7 +138,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/functions/dedup.py",
         old='canon = hashed.groupBy("h").agg(F.min(id_col).alias("canonical_id"))',
         new='canon = hashed.groupBy("h").agg(F.max(id_col).alias("canonical_id"))',
-        gates={"oracle": ["dedup_exact"]},
+        gates={"oracle": ["dedup_exact"],
+               "pytest": ["tests/test_functions.py"]},
     ),
     dict(
         id="M10", cls="canonicalization-flip",
@@ -168,7 +171,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/functions/dedup.py",
         old="return lambda h: F.substring(h, 8 * i + 1, 8)",
         new="return lambda h: F.substring(h, 8 * i, 8)",
-        gates={"oracle": ["dedup_minhash_lsh"]},
+        gates={"oracle": ["dedup_minhash_lsh"],
+               "pytest": ["tests/test_functions.py"]},
     ),
     dict(
         id="M14", cls="session-config-drop",
@@ -186,16 +190,16 @@ MUTANTS: list[dict] = [
         new='        .config("spark.ui.enabled", "false")\n        .config("spark.sql.ansi.enabled", "false")',
         gates={"oracle": ["q1_pricing_summary", "text_heaps_law"],
                "fuzz": 300,
-               "pytest": ["tests/test_session_defaults.py"]},
+               "pytest": ["tests/test_session_defaults.py"]},  # now pins ANSI
     ),
     dict(
         id="M16", cls="watermark-drop",
         desc="streaming windowed agg watermark 30min -> 0min (late rows dropped)",
         file="citegraph_spark/streaming/events.py",
-        old='        events.withWatermark("ts", "30 minutes")\n        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")',
-        new='        events.withWatermark("ts", "0 minutes")\n        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")',
+        old='    watermark — identical logical shape to the batch\n    `events_windowed_agg`."""\n    return (\n        events.withWatermark("ts", "30 minutes")',
+        new='    watermark — identical logical shape to the batch\n    `events_windowed_agg`."""\n    return (\n        events.withWatermark("ts", "0 minutes")',
         gates={"oracle": ["streaming_windowed"],
-               "pytest": ["tests/test_streaming.py"]},
+               "pytest": ["tests/test_streaming.py::test_watermark_tolerance_accepts_late_rows_inside_30min"]},
     ),
     dict(
         id="M17", cls="bin-boundary-off-by-one",
@@ -211,7 +215,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/functions/frequency.py",
         old="return [(h1 + r * h2) % width for r in range(depth)]",
         new="return [(h1 + r * h2) % (width - 1) for r in range(depth)]",
-        gates={"oracle": ["heavy_hitters_cms"]},
+        gates={"oracle": ["heavy_hitters_cms"],
+               "pytest": ["tests/test_sketches.py::test_cms_bucket_ring_golden"]},
     ),
     dict(
         id="M19", cls="approximation-budget-drop",
@@ -244,7 +249,8 @@ MUTANTS: list[dict] = [
         file="citegraph_spark/plans/text_queries.py",
         old='    degenerate = (F.countDistinct("vocab") <= F.lit(1)) | (\n        F.countDistinct("n_doc") <= F.lit(1)\n    )',
         new='    degenerate = F.var_pop(ly) == F.lit(0.0)',
-        gates={"oracle": ["text_heaps_law"], "boundary": ["text_heaps_law"]},
+        gates={"oracle": ["text_heaps_law"], "boundary": ["text_heaps_law"],
+               "determinism": ["text_heaps_law"]},
     ),
 ]
 
@@ -302,6 +308,15 @@ def run_gate(copy_root: str, kind: str, spec) -> dict:
                         note=f"SKIPPED: no boundary replica at {BOUNDARY_DIR}")
         cmd = [sys.executable, "tools/oracle_check.py", *spec,
                "--sf-dirs", BOUNDARY_DIR]
+    elif kind == "determinism":
+        # repeated-run hash-stability at the degenerate replica — the
+        # only gate that reliably kills the merge-residue class (one
+        # oracle shot can agree by coincidence; M22 proved it)
+        if not os.path.isdir(BOUNDARY_DIR):
+            return dict(gate=kind, killed=None, secs=0.0,
+                        note=f"SKIPPED: no boundary replica at {BOUNDARY_DIR}")
+        cmd = [sys.executable, "tools/determinism_check.py", *spec,
+               "--sf-dir", BOUNDARY_DIR, "--runs", "5"]
     else:
         raise ValueError(kind)
     t0 = time.time()

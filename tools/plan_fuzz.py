@@ -27,6 +27,18 @@ date_diff), and tiny limits (1, 3) for top-k tie stress. Window
 functions are suppressed under right/full joins (a null-extended PK
 voids the row-unique order contract).
 
+Grammar v6 (round 12) reaches the subquery/HAVING surface:
+uncorrelated scalar subqueries in WHERE (col <=> (SELECT agg FROM dim)),
+correlated scalar subqueries in SELECT (decorrelated on the Spark side
+as groupBy + left join, with the COUNT-over-empty-group coalesce(0)
+trap encoded faithfully), IN / NOT IN against NULL-bearing subqueries
+(the three-valued-logic trap: the Spark side decomposes NOT IN into
+emptiness/null-count flags + anti join instead of pretending it is one),
+HAVING on aggregates absent from the SELECT list, and RANGE window
+frames (cumulative and N-PRECEDING) ordered by deliberately TIED keys —
+tie-safe because RANGE pools peers, with exact-decimal sums so no float
+order can hide.
+
 Determinism policy (mirrors the registry's): aggregation over doubles is
 rendered `round(agg(x), 2|6)` on BOTH sides (the repo-wide double-sum
 policy); LIMIT is only emitted after an ORDER BY over every output column
@@ -205,6 +217,12 @@ def sample_literals(con, sf_dir: str) -> dict[tuple[str, str], list]:
 # --------------------------------------------------------------------------
 # expression AST — every node renders to both dialects
 # --------------------------------------------------------------------------
+
+
+def _cmp_col(op: str, a, b):
+    """Comparison Column from an op token (shared by scalar-subquery and
+    HAVING renders)."""
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
 
 
 def sql_lit(v) -> str:
@@ -393,9 +411,17 @@ class WinFn(Expr):
 
     AGGS = ("sum", "avg", "count", "min", "max")
 
-    def __init__(self, fn: str, col: Col | None, part: Col | None,
-                 order_cols: list[Col]):
+    def __init__(self, fn: str, col: Expr | None, part: Col | None,
+                 order_cols: list[Col], frame: str = "rows",
+                 range_off: int | None = None):
+        # frame: "rows" (ROWS UNBOUNDED..CURRENT over a row-unique order,
+        # the v4 contract) or "range" (v6: RANGE frame over a single int
+        # order key that MAY have ties — tie-safe because RANGE pools
+        # peers; with range_off set, RANGE range_off PRECEDING..CURRENT).
+        # Range aggregates stick to exact inputs (decimal sum / min /
+        # max / count) so no float accumulation order can differ.
         self.fn, self.col, self.part, self.order_cols = fn, col, part, order_cols
+        self.frame, self.range_off = frame, range_off
         self.ty = ("double" if fn == "avg"
                    else "int" if fn in ("count", "rank", "dense_rank",
                                         "row_number", "sum")
@@ -415,7 +441,14 @@ class WinFn(Expr):
         parts.append("ORDER BY " + ", ".join(
             f"{c.sql()} ASC NULLS FIRST" for c in self.order_cols))
         if self.fn in self.AGGS:
-            parts.append("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+            if self.frame == "range":
+                lo = ("UNBOUNDED" if self.range_off is None
+                      else str(self.range_off))
+                parts.append(
+                    f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW")
+            else:
+                parts.append(
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
         return f"{head} OVER ({' '.join(parts)})"
 
     def spark(self, F):
@@ -425,7 +458,13 @@ class WinFn(Expr):
             *( [self.part.spark(F)] if self.part is not None else [] )
         ).orderBy(*[c.spark(F).asc_nulls_first() for c in self.order_cols])
         if self.fn in self.AGGS:
-            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if self.frame == "range":
+                lo = (Window.unboundedPreceding if self.range_off is None
+                      else -self.range_off)
+                w = w.rangeBetween(lo, Window.currentRow)
+            else:
+                w = w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
             return {"sum": F.sum, "avg": F.avg, "count": F.count,
                     "min": F.min, "max": F.max}[self.fn](
                         self.col.spark(F)).over(w)
@@ -572,6 +611,29 @@ class Plan:
         # (fk_col, dim_table, dim_key, negate, dim_prefilter) — rendered
         # as [NOT] EXISTS in SQL and left_semi/left_anti in Spark (the
         # null-safe pair, unlike NOT IN); dim columns stay invisible
+        self.in_subs: list[tuple[str, str, str, bool, Expr | None, object]] = []
+        # v6: (fk_col, dim_table, dim_key, negate, dim_prefilter,
+        # null_lit) — fk [NOT] IN (SELECT [nullif(dk, v)] FROM dim
+        # [WHERE pre]). Unlike EXISTS, NOT IN is NOT null-safe: one NULL
+        # in the list poisons every row (three-valued logic), and a NULL
+        # probe never qualifies against a non-empty list. The Spark
+        # render decomposes this faithfully (see _core_spark); at most
+        # one per plan (flag-column aliases are fixed names).
+        self.scalar_where: tuple[Expr, str, str, str, str, Expr | None] | None = None
+        # v6: (lhs_expr, op, dim_table, agg_fn, dim_col, dim_prefilter)
+        # — lhs op (SELECT agg(dim_col) FROM dim [WHERE pre]); an empty
+        # dim makes the scalar NULL and the comparison drops every row,
+        # which the Spark cross-join-one-row render reproduces exactly.
+        self.corr_subs: list[tuple[str, str, str, str, str, str]] = []
+        # v6: (fk, dim_table, dim_key, agg_fn, dim_col, alias) —
+        # projection-form only: (SELECT agg(d.col) FROM dim d WHERE
+        # d.dk = base.fk) AS alias. Spark side decorrelates as
+        # groupBy(dk) + LEFT join; COUNT over a no-match group is 0 in
+        # SQL but NULL after the join, so count gets coalesce(,0).
+        self.having_agg: tuple[str, "Col", str, object] | None = None
+        # v6: (fn, col, op, lit) — HAVING on an aggregate that is NOT in
+        # the SELECT list (plain group mode only); Spark computes it as
+        # a hidden agg column, filters, drops.
         self.filters: list[Expr] = []
         self.group_keys: list[Col] = []
         self.aggs: list[tuple[str, Col | None, str, int | None]] = []
@@ -605,6 +667,22 @@ class Plan:
             if pre is not None:
                 inner += f" AND {pre.sql()}"
             conds.append(f"{'NOT ' if neg else ''}EXISTS ({inner})")
+        for fk, dim, dk, neg, pre, nl in self.in_subs:
+            sel = (f"{dim}.{dk}" if nl is None
+                   else f"nullif({dim}.{dk}, {sql_lit(nl)})")
+            inner = f"SELECT {sel} FROM {dim}"
+            if pre is not None:
+                inner += f" WHERE {pre.sql()}"
+            conds.append(
+                f"{self.base}.{fk} {'NOT ' if neg else ''}IN ({inner})")
+        if self.scalar_where is not None:
+            lhs, op, dim, fn, dcol, pre = self.scalar_where
+            agg = (f"round(avg({dim}.{dcol}), 6)" if fn == "avg"
+                   else f"{fn}({dim}.{dcol})")
+            inner = f"SELECT {agg} FROM {dim}"
+            if pre is not None:
+                inner += f" WHERE {pre.sql()}"
+            conds.append(f"{lhs.sql()} {op} ({inner})")
         where = ""
         if conds:
             where = " WHERE " + " AND ".join(conds)
@@ -622,7 +700,11 @@ class Plan:
                     gb = f" GROUP BY {keys}"
                 else:
                     gb = f" GROUP BY {self.group_mode.upper()}({keys})"
-            q = f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}"
+            hv = ""
+            if self.having_agg is not None:
+                hfn, hcol, hop, hlit = self.having_agg
+                hv = f" HAVING {hfn}({hcol.sql()}) {hop} {sql_lit(hlit)}"
+            q = f"SELECT {', '.join(sel)} FROM {frm}{where}{gb}{hv}"
             if self.group_mode != "plain":
                 # ENGINE DIVERGENCE, fuzzer-found (v3 sweep, 16 seeds):
                 # over an EMPTY input, DuckDB/PostgreSQL emit the
@@ -636,6 +718,12 @@ class Plan:
                      f"(SELECT 1 FROM {frm}{where})")
             return q
         sel = [f"{e.sql()} AS {a}" for e, a in self.projections]
+        for fk, dim, dk, fn, dcol, alias in self.corr_subs:
+            agg = (f"round(avg(_cs.{dcol}), 6)" if fn == "avg"
+                   else f"{fn}(_cs.{dcol})")
+            sel.append(
+                f"(SELECT {agg} FROM {dim} AS _cs "
+                f"WHERE _cs.{dk} = {self.base}.{fk}) AS {alias}")
         return f"SELECT {', '.join(sel)} FROM {frm}{where}"
 
     def sql(self) -> str:
@@ -707,6 +795,45 @@ class Plan:
                 d = d.filter(pre.spark(F))
             df = df.join(F.broadcast(d), on=df[fk] == d[dk],
                          how="left_anti" if neg else "left_semi")
+        for fk, dim, dk, neg, pre, nl in self.in_subs:
+            d = scan(dim)
+            if pre is not None:
+                d = d.filter(pre.spark(F))
+            key = d[dk] if nl is None else F.nullif(d[dk], F.lit(nl))
+            vals = d.select(key.alias("_inv"))
+            if not neg:
+                # IN ≡ left_semi even with NULL list elements: a NULL
+                # element equals nothing, and a no-match probe yields
+                # NULL which WHERE drops — same rows either way
+                df = df.join(F.broadcast(vals),
+                             on=F.col(fk) == F.col("_inv"), how="left_semi")
+            else:
+                # NOT IN, faithfully: (1) an EMPTY list qualifies every
+                # row (even NULL probes); (2) a list containing ANY NULL
+                # qualifies none; (3) otherwise a NULL probe never
+                # qualifies and non-null probes anti-join
+                flags = vals.agg(F.count(F.lit(1)).alias("_in_n"),
+                                 F.count("_inv").alias("_in_nn"))
+                df = df.crossJoin(F.broadcast(flags))
+                df = df.filter(
+                    (F.col("_in_n") == 0)
+                    | ((F.col("_in_n") == F.col("_in_nn"))
+                       & F.col(fk).isNotNull()))
+                df = df.join(F.broadcast(vals),
+                             on=F.col(fk) == F.col("_inv"), how="left_anti")
+                df = df.drop("_in_n", "_in_nn")
+        if self.scalar_where is not None:
+            lhs, op, dim, fn, dcol, pre = self.scalar_where
+            d = scan(dim)
+            if pre is not None:
+                d = d.filter(pre.spark(F))
+            agg = {"min": F.min, "max": F.max, "avg": F.avg}[fn](F.col(dcol))
+            if fn == "avg":
+                agg = F.round(agg, 6)
+            one = d.agg(agg.alias("_ssub"))
+            df = df.crossJoin(F.broadcast(one))
+            df = df.filter(_cmp_col(op, lhs.spark(F), F.col("_ssub")))
+            df = df.drop("_ssub")
         for f in filters:
             df = df.filter(f.spark(F))
         if self.aggs:
@@ -725,10 +852,19 @@ class Plan:
                 if nd is not None:
                     e = F.round(e, nd)
                 aggs.append(e.alias(alias))
+            if self.having_agg is not None:
+                hfn, hcol, hop, hlit = self.having_agg
+                hidden = {"min": F.min, "max": F.max,
+                          "count": F.count}[hfn](hcol.spark(F))
+                aggs.append(hidden.alias("_hv"))
             if self.group_mode == "plain":
                 keys = [k.spark(F).alias(a)
                         for k, a in zip(self.group_keys, self._key_aliases())]
                 df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+                if self.having_agg is not None:
+                    hfn, hcol, hop, hlit = self.having_agg
+                    df = df.filter(
+                        _cmp_col(hop, F.col("_hv"), F.lit(hlit))).drop("_hv")
             else:
                 grouped = (df.rollup if self.group_mode == "rollup"
                            else df.cube)(*[k.spark(F) for k in self.group_keys])
@@ -736,7 +872,25 @@ class Plan:
                 for k, a in zip(self.group_keys, self._key_aliases()):
                     df = df.withColumnRenamed(k.name, a)
         else:
-            df = df.select(*[e.spark(F).alias(a) for e, a in self.projections])
+            sel_cols = [e.spark(F).alias(a) for e, a in self.projections]
+            for fk, dim, dk, fn, dcol, alias in self.corr_subs:
+                d = scan(dim)
+                agg = {"min": F.min, "max": F.max, "count": F.count,
+                       "avg": F.avg}[fn](F.col(dcol))
+                if fn == "avg":
+                    agg = F.round(agg, 6)
+                g = d.groupBy(F.col(dk).alias("_ck")).agg(agg.alias(alias))
+                df = df.join(F.broadcast(g),
+                             on=F.col(fk) == F.col("_ck"), how="left")
+                df = df.drop("_ck")
+                out = F.col(alias)
+                if fn == "count":
+                    # SQL's correlated (SELECT count(x) ...) is 0 for a
+                    # no-match group, never NULL — the classic COUNT
+                    # decorrelation trap
+                    out = F.coalesce(out, F.lit(0))
+                sel_cols.append(out.alias(alias))
+            df = df.select(*sel_cols)
         return df
 
     def spark(self, spark, sf_dir: str, scramble: int | None = None):
@@ -771,7 +925,8 @@ class Plan:
             if self.group_mode != "plain":
                 names += [f"g{i}" for i in range(len(self.group_keys))]
             return names + [a for _, _, a, _ in self.aggs]
-        return [a for _, a in self.projections]
+        return ([a for _, a in self.projections]
+                + [a for *_, a in self.corr_subs])
 
 
 # --------------------------------------------------------------------------
@@ -816,12 +971,43 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             pre = gen_pred(rng, [(c, t, dim) for c, t in TABLES[dim].items()],
                            pools, allow_bool=False)
             plan.semijoins.append((fk, dim, dk, rng.random() < 0.45, pre))
+        elif r < 0.74 and not plan.in_subs:
+            # v6: [NOT] IN subquery — with p=0.5 the list carries a real
+            # NULL via nullif(dk, v), arming the NOT IN 3VL trap
+            pre = None
+            if rng.random() < 0.5:
+                pre = gen_pred(rng, [(c, t, dim) for c, t in TABLES[dim].items()],
+                               pools, allow_bool=False)
+            nl = None
+            if rng.random() < 0.5 and (dim, dk) in pools:
+                nl = rng.choice(pools[(dim, dk)])
+            plan.in_subs.append((fk, dim, dk, rng.random() < 0.4, pre, nl))
 
     # 0-2 filters
     for _ in range(rng.randint(0, 2)):
         p = gen_pred(rng, avail, pools, allow_bool=True)
         if p is not None:
             plan.filters.append(p)
+
+    # v6: uncorrelated scalar subquery in WHERE — any table can serve as
+    # the scalar's source (it need not be FK-related); an empty source
+    # makes the scalar NULL and the comparison drops every row
+    if rng.random() < 0.22:
+        num = [(c, ty, t) for c, ty, t in avail if ty in ("int", "double")]
+        if num:
+            c, ty, _t = rng.choice(num)
+            dim = rng.choice(sorted(TABLES))
+            dcands = [dc for dc, dt in TABLES[dim].items() if dt == ty]
+            if dcands:
+                dc = rng.choice(dcands)
+                fn = rng.choice(["min", "max", "avg"])
+                pre = None
+                if rng.random() < 0.4:
+                    pre = gen_pred(
+                        rng, [(c2, t2, dim) for c2, t2 in TABLES[dim].items()],
+                        pools, allow_bool=False)
+                op = rng.choice(["<", "<=", ">", ">="])
+                plan.scalar_where = (Col(c, ty), op, dim, fn, dc, pre)
 
     # right/full joins can null-extend (and duplicate-NULL) the fact PK,
     # so the window determinism contract (row-unique order key) is void
@@ -888,6 +1074,21 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                     rng.choice([">", ">="]), Col(a, "int"),
                     Lit(rng.randint(1, 5), "int"),
                 )
+        if plan.group_mode == "plain" and rng.random() < 0.3:
+            # v6: HAVING on an aggregate ABSENT from the SELECT list
+            # (plain mode only — the rollup/cube rename path would
+            # collide with the hidden column); min/max/count stay exact
+            # so the comparison is float-free
+            hcands = [(c, ty, t) for c, ty, t in avail
+                      if (t, c) in pools and ty in ("int", "str")]
+            if hcands:
+                c, ty, t = rng.choice(hcands)
+                hfn = rng.choice(["min", "max", "count"])
+                hlit = (rng.randint(1, 5) if hfn == "count"
+                        else rng.choice(pools[(t, c)]))
+                plan.having_agg = (
+                    hfn, Col(c, ty), rng.choice([">", ">=", "<", "<="]),
+                    hlit)
     else:
         # projection form
         cols = list(avail)
@@ -906,6 +1107,22 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             e = gen_window(rng, base, avail, pools)
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
+        # v6: correlated scalar subqueries over the base's FK dims —
+        # safe even under right/full joins: a null-extended fk matches
+        # no group on either side (SQL: empty correlated set → NULL/0;
+        # Spark: NULL join key matches nothing → NULL, coalesced for
+        # count), so no suppression is needed
+        if rng.random() < 0.3 and FKS.get(base):
+            n_cs = 1 if rng.random() < 0.9 else 2
+            for j, (fk, dim, dk) in enumerate(
+                    rng.sample(FKS[base], min(n_cs, len(FKS[base])))):
+                nums = [c for c, t in TABLES[dim].items()
+                        if t in ("int", "double")]
+                if nums:
+                    plan.corr_subs.append((
+                        fk, dim, dk,
+                        rng.choice(["min", "max", "count", "avg"]),
+                        rng.choice(nums), f"cs{j}"))
         if rng.random() < 0.4:
             plan.distinct = True
         if rng.random() < 0.25:
@@ -1015,6 +1232,31 @@ def gen_window(rng, base: str, avail, pools) -> Expr | None:
             # v5: NULL partition keys — both engines put the NULLs in
             # ONE partition; the PK order keys keep rows deterministic
             part = NullIf(part, rng.choice(pools[(t, c)]))
+    if rng.random() < 0.25:
+        # v6: RANGE frame ordered by a deliberately TIED int key —
+        # deterministic because RANGE pools order-key peers into the
+        # same frame. Order key restricted to BASE columns (a left join
+        # with a v5 nullif'd fk can null-extend dim columns, and the
+        # engines' RANGE-offset null-boundary behaviors are not a board
+        # we want to conflate here); sums go through the exact decimal
+        # cast so no float accumulation order can differ.
+        tied = [(c, ty, t) for c, ty, t in avail
+                if ty == "int" and c in GROUPABLE and t == base]
+        if tied:
+            oc, oty, _t = rng.choice(tied)
+            rfn = rng.choice(["sum", "min", "max", "count"])
+            off = rng.choice([None, None, 2, 10])
+            order = [Col(oc, oty)]
+            if rfn == "sum":
+                dbls = [(c, ty) for c, ty, _t2 in avail if ty == "double"]
+                if dbls:
+                    c, ty = rng.choice(dbls)
+                    return WinFn("sum", DecCast(Col(c, ty)), part, order,
+                                 frame="range", range_off=off)
+            else:
+                c, ty, _t2 = rng.choice(avail)
+                return WinFn(rfn, Col(c, ty), part, order,
+                             frame="range", range_off=off)
     fn = rng.choice(["sum", "avg", "count", "min", "max", "rank",
                      "dense_rank", "row_number", "lag", "lead"])
     if fn in ("rank", "dense_rank"):
