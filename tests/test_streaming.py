@@ -260,10 +260,16 @@ def test_windowed_state_tracks_keyspace_not_volume(spark, tmp_path):
 def test_watermark_tolerance_accepts_late_rows_inside_30min(spark, tmp_path):
     """Round-12 mutation audit, mutant M16: shrinking the 30-min
     watermark to 0 survived every gate — the sf replay arrives nearly
-    in order, so the tolerance was never exercised. This replay plants
-    a row that arrives ONE MICRO-BATCH LATE but only 10 min behind the
-    observed max event time: a 30-min watermark must aggregate it; a
-    0-min watermark silently drops it (count 0, window never emitted).
+    in order, so the tolerance was never exercised. Sharpened finding
+    (first version of this test ALSO survived the mutant): Spark only
+    enforces lateness against groups whose window was ALREADY finalized
+    — a late row for a never-emitted group is aggregated regardless of
+    the watermark. So the planted late row must target a group the
+    0-min watermark has already emitted: under the contracted 30-min
+    tolerance the group is still open and the late row folds in (one
+    row, n=3); under a 0-min watermark the window was finalized at n=2
+    and the late row is dropped or double-emitted — either way not one
+    (click, n=3) row.
     """
     import os
     import time as _time
@@ -274,17 +280,26 @@ def test_watermark_tolerance_accepts_late_rows_inside_30min(spark, tmp_path):
     def ts(h, m):
         return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
 
-    # batch 1: one early window + a 14:00 row pushing the watermark to
-    # 13:30 (30-min delay); batch 2: a LATE 13:40 row (20 min behind
-    # 14:00, still >= the 13:30 watermark → must be accepted) plus a
-    # 15:00 row whose watermark (14:30) finalizes the late row's window
+    # Finalization lags the watermark by one batch (eviction uses the
+    # watermark in effect DURING a batch, which is computed from the
+    # batch before), so the late row must arrive a FULL batch after the
+    # mutant's watermark passes its window:
+    #   b1 max 12:30 → wm30 after b1 = 12:00, wm0 = 12:30
+    #   b2 max 12:40 → wm30 = 12:10 (click window still open),
+    #                   wm0  = 12:40 (click window EMITTED during b2)
+    #   b3 late click 12:12 — ≥ the 12:10 contracted watermark, so it
+    #      must fold in (n=3); under wm0 the group is long finalized
+    #      (dropped or duplicate-emitted, never one n=3 row)
+    #   b4 pushes the watermark past 12:15 so the click window emits
     b1 = [(ts(12, 0), "click", 1.0), (ts(12, 5), "click", 1.0),
-          (ts(14, 0), "view", 1.0)]
-    b2 = [(ts(13, 40), "late", 1.0), (ts(15, 0), "view", 1.0)]
+          (ts(12, 30), "view", 1.0)]
+    b2 = [(ts(12, 40), "view", 1.0)]
+    b3 = [(ts(12, 12), "click", 1.0), (ts(13, 30), "view", 1.0)]
+    b4 = [(ts(14, 0), "view", 1.0)]
     schema = "ts timestamp, event_type string, value double"
     in_dir = tmp_path / "in"
     os.makedirs(in_dir)
-    for i, rows in enumerate((b1, b2)):
+    for i, rows in enumerate((b1, b2, b3, b4)):
         part = tmp_path / f"b{i}"
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite").parquet(str(part))
@@ -310,12 +325,15 @@ def test_watermark_tolerance_accepts_late_rows_inside_30min(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    emitted = {
-        (r["window_start"], r["event_type"]): r["n"]
+    emitted = [
+        ((r["window_start"], r["event_type"]), r["n"])
         for r in spark.sql("SELECT * FROM wm_tolerance_out").collect()
-    }
-    assert emitted.get(("2024-01-01 13:30:00", "late")) == 1, (
-        "the 20-min-late row was dropped — watermark tolerance is not "
-        f"the contracted 30 minutes (emitted: {emitted})"
+    ]
+    clicks = [n for k, n in emitted if k == ("2024-01-01 12:00:00", "click")]
+    assert clicks == [3], (
+        "the 23-min-late click did not fold into its still-open window "
+        "— watermark tolerance is not the contracted 30 minutes "
+        f"(click emissions: {clicks}; all: {sorted(emitted)})"
     )
-    assert emitted.get(("2024-01-01 12:00:00", "click")) == 2
+    # 12:30 and 12:40 share the [12:30, 12:45) window
+    assert (("2024-01-01 12:30:00", "view"), 2) in emitted
