@@ -73,15 +73,20 @@ def test_scrambled_partitioning_is_invariant(spark, duck):
 
 def test_generator_is_not_trivial(duck):
     """The fuzzer only has teeth if its plans exercise the grammar: over
-    the pinned block, demand joins, filters, aggregates, having, distinct
-    and limit all appear, and that most plans return rows (a generator
-    whose filters select nothing would vacuously agree)."""
+    a 120-seed census block, demand joins, filters, aggregates, having,
+    distinct and limit all appear, and that most plans return rows (a
+    generator whose filters select nothing would vacuously agree).
+    The census block is wider than the pinned block: each grammar bump
+    re-maps seed->plan (new rng draws), so per-40-seeds feature counts
+    wobble; 120 seeds keeps every assertion comfortably above noise."""
     con, pools = duck
     shapes = {"join": 0, "filter": 0, "agg": 0, "having": 0,
               "distinct": 0, "limit": 0, "window": 0, "case": 0,
               "lattice": 0, "setop": 0, "semijoin": 0, "nonempty": 0,
-              "outer_fact": 0, "nullif": 0, "decimal": 0, "date": 0}
-    base_block = PINNED_SEEDS[:40]
+              "outer_fact": 0, "nullif": 0, "decimal": 0, "date": 0,
+              "in_sub": 0, "scalar_sub": 0, "corr_sub": 0,
+              "having_agg": 0, "range_frame": 0}
+    base_block = list(range(120))
     for seed in base_block:
         p = gen_plan(seed, pools)
         sql = p.sql()
@@ -100,24 +105,35 @@ def test_generator_is_not_trivial(duck):
         shapes["nullif"] += "nullif(" in sql
         shapes["decimal"] += "DECIMAL(19,4)" in sql  # DuckDB-side render
         shapes["date"] += "DATE '1992-01-01'" in sql
+        shapes["in_sub"] += bool(p.in_subs)
+        shapes["scalar_sub"] += p.scalar_where is not None
+        shapes["corr_sub"] += bool(p.corr_subs)
+        shapes["having_agg"] += p.having_agg is not None
+        shapes["range_frame"] += "RANGE BETWEEN" in sql
         n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         shapes["nonempty"] += n > 0
-    assert shapes["join"] >= 5, shapes
-    assert shapes["filter"] >= 10, shapes
-    assert shapes["agg"] >= 10, shapes
-    assert shapes["having"] >= 1, shapes
-    assert shapes["distinct"] >= 3, shapes
-    assert shapes["limit"] >= 10, shapes
-    assert shapes["window"] >= 3, shapes
-    assert shapes["case"] >= 1, shapes
-    assert shapes["lattice"] >= 1, shapes
-    assert shapes["setop"] >= 1, shapes
-    assert shapes["semijoin"] >= 1, shapes
+    assert shapes["join"] >= 15, shapes
+    assert shapes["filter"] >= 30, shapes
+    assert shapes["agg"] >= 30, shapes
+    assert shapes["having"] >= 3, shapes
+    assert shapes["distinct"] >= 9, shapes
+    assert shapes["limit"] >= 30, shapes
+    assert shapes["window"] >= 9, shapes
+    assert shapes["case"] >= 3, shapes
+    assert shapes["lattice"] >= 3, shapes
+    assert shapes["setop"] >= 3, shapes
+    assert shapes["semijoin"] >= 3, shapes
     # grammar v5 surfaces
-    assert shapes["outer_fact"] >= 2, shapes
-    assert shapes["nullif"] >= 3, shapes
-    assert shapes["decimal"] >= 2, shapes
-    assert shapes["date"] >= 1, shapes
+    assert shapes["outer_fact"] >= 6, shapes
+    assert shapes["nullif"] >= 9, shapes
+    assert shapes["decimal"] >= 3, shapes
+    assert shapes["date"] >= 3, shapes
+    # grammar v6 surfaces
+    assert shapes["in_sub"] >= 6, shapes
+    assert shapes["scalar_sub"] >= 10, shapes
+    assert shapes["corr_sub"] >= 4, shapes
+    assert shapes["having_agg"] >= 6, shapes
+    assert shapes["range_frame"] >= 2, shapes
     # over the base block only: divergence-pin seeds are intentionally
     # degenerate (e.g. the empty-input lattice pair)
     assert shapes["nonempty"] >= len(base_block) * 0.7, shapes
