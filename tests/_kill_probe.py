@@ -33,13 +33,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 mode, ckpt_dir, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3]
 do_kill = "--no-kill" not in sys.argv
+# --single-executor: local-cluster[1,1,1536] instead of [2,1,1536]. For
+# the NEGATIVE control (default localCheckpoint must DIE on executor
+# loss) the 2-executor topology is flaky under box contention: the kill
+# may take the executor that happens to hold no round-state blocks and
+# the job survives legitimately. One executor makes block loss certain.
+MASTER = ("local-cluster[1,1,1536]" if "--single-executor" in sys.argv
+          else "local-cluster[2,1,1536]")
 ITERATIONS = 12
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 builder = (
-    SparkSession.builder.master("local-cluster[2,1,1536]")
+    SparkSession.builder.master(MASTER)
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.default.parallelism", "8")
     .config("spark.ui.enabled", "false")
