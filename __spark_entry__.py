@@ -31,231 +31,231 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION = [
     'loader_normalize_ids',
     'text_heaps_law',
+    'fixture_motif_triangles',
+    'streaming_dedup',
+    'streaming_windowed',
+    'streaming_stateful_counts',
+    'streaming_state_inspect',
+    'streaming_sessionize',
+    'streaming_session_window',
     'parquet_zorder_roundtrip',
     'streaming_enrich',
-    'fixture_motif_triangles',
     'bucketed_join_roundtrip',
-    'similarity_ann_lsh',
     'bloom_semi_join_revenue',
-    'streaming_windowed',
-    'streaming_session_window',
-    'streaming_sessionize',
-    'streaming_state_inspect',
-    'streaming_dedup',
-    'streaming_stateful_counts',
     'streaming_join',
+    'similarity_ann_lsh',
     'q6_forecast_revenue',
     'running_total_orders',
     'anti_join_idle_customers',
-    'scalar_functions_showcase',
     'q14_promo_revenue',
     'q1_pricing_summary',
-    'attr_join_customer_orders',
-    'q4_order_priority',
-    'graph_out_degree',
-    'q15_top_supplier',
     'q22_global_sales_opportunity',
-    'customer_rfm_segments',
+    'attr_join_customer_orders',
+    'q15_top_supplier',
     'q12_ship_priority_class',
-    'graph_density',
+    'q4_order_priority',
+    'customer_rfm_segments',
     'q10_returned_items',
-    'double_vertex_join',
     'events_kaplan_meier',
+    'q5_local_supplier_volume',
+    'graph_density',
+    'double_vertex_join',
+    'q20_part_promotion',
+    'udtf_chunk_split',
+    'q21_waiting_suppliers',
+    'graph_out_degree',
     'graph_degree_distribution',
     'graph_snapshot_edge_count',
-    'udtf_chunk_split',
-    'q20_part_promotion',
-    'q5_local_supplier_volume',
+    'scalar_functions_showcase',
     'graph_adjacency',
-    'q21_waiting_suppliers',
     'graph_canonical_pairs',
-    'graph_hopplot_d2',
     'kmeans_embeddings',
+    'graph_hopplot_d2',
     'hof_array_stats',
-    'events_json_map_agg',
-    'file_lineage_counts',
-    'events_json_props',
-    'events_top_users_per_type',
     'null_safe_join_status',
+    'events_top_users_per_type',
+    'events_json_props',
     'pipeline_end_to_end',
     'events_windowed_agg',
-    'events_moving_avg_time',
-    'stats_moments',
-    'winsorized_prices',
     'pack_sequences',
-    'asof_join_events_orders',
-    'skyline_parts',
-    'equidepth_histogram_prices',
-    'fixture_harmonic_centrality',
+    'file_lineage_counts',
     'revenue_concentration',
+    'events_json_map_agg',
+    'equidepth_histogram_prices',
     'fixture_betweenness',
-    'similarity_ivf',
-    'graph_betweenness_sampled',
+    'events_moving_avg_time',
+    'fixture_harmonic_centrality',
+    'asof_join_events_orders',
     'bpe_train_merges',
+    'winsorized_prices',
+    'similarity_ivf',
+    'stats_moments',
     'graph_closeness_sampled',
-    'similarity_pq',
-    'graph_cocitation_triangles',
     'graph_matching_gate',
-    'graph_sssp',
-    'graph_ppr',
-    'graph_pagerank',
-    'graph_hits',
-    'graph_cc_star_gate',
-    'graph_link_prediction',
-    'coreset_kcenter',
     'graph_mis_gate',
-    'graph_ktruss_gate',
-    'dedup_clusters',
+    'graph_betweenness_sampled',
+    'coreset_kcenter',
+    'similarity_pq',
+    'graph_cc_star_gate',
     'graph_diameter_double_sweep',
-    'similarity_ivf_trained',
-    'graph_lpa',
+    'graph_ktruss_gate',
+    'graph_sssp',
+    'skyline_parts',
+    'graph_pagerank',
     'graph_mst_gate',
+    'graph_ppr',
+    'graph_link_prediction',
+    'graph_hits',
+    'graph_lpa',
+    'similarity_ivf_trained',
+    'dedup_clusters',
     'similarity_recall_gate',
+    'graph_cocitation_triangles',
     'hyperball_accuracy_gate',
-    'text_fingerprint',
-    'text_token_count',
-    'unpivot_part_measures',
-    'heavy_hitters_exact',
     'multimodal_meta',
-    'rollup_returns',
-    'dedup_exact',
-    'union_nation_keys',
-    'orders_above_customer_avg',
-    'text_stats',
-    'cube_flag_status',
-    'grouping_sets_revenue',
-    'sample_weighted',
-    'text_quality',
-    'except_all_supplier_flags',
-    'q19_disjunctive_filter',
-    'bpe_top_merges',
-    'events_hierarchical_rollup',
-    'events_transitions',
-    'q17_small_quantity_revenue',
-    'distinct_flag_status',
-    'events_click_attribution',
+    'unpivot_part_measures',
     'sample_stratified',
-    'events_cohort_retention',
     'split_train_test',
-    'tfidf_top_terms',
-    'text_rolling_hash',
+    'text_fingerprint',
+    'distinct_flag_status',
     'intersect_customer_nations',
-    'events_gap_fill',
-    'q3_unshipped_revenue',
-    'events_ewma',
-    'window_rank_lag',
-    'filter_project_pushdown',
+    'text_token_count',
+    'heavy_hitters_exact',
+    'events_hierarchical_rollup',
     'pivot_status_by_flag',
-    'range_join_events_orders',
-    'events_funnel',
-    'q18_large_orders',
-    'semi_join_active_parts',
+    'union_nation_keys',
     'outer_join_nation_presence',
-    'multi_join_region_revenue',
+    'dedup_exact',
+    'except_all_supplier_flags',
+    'orders_above_customer_avg',
+    'rollup_returns',
+    'events_cohort_retention',
+    'events_transitions',
+    'events_click_attribution',
+    'q19_disjunctive_filter',
+    'grouping_sets_revenue',
+    'events_funnel',
+    'semi_join_active_parts',
+    'events_gap_fill',
+    'cube_flag_status',
+    'q17_small_quantity_revenue',
     'text_lang_id',
-    'dedup_prefix_filter',
-    'dedup_edit_distance',
-    'doc_novelty_trigrams',
-    'dedup_incremental',
+    'window_rank_lag',
+    'sample_weighted',
+    'filter_project_pushdown',
+    'tfidf_top_terms',
+    'text_quality',
+    'multi_join_region_revenue',
+    'text_rolling_hash',
+    'q3_unshipped_revenue',
+    'range_join_events_orders',
+    'text_stats',
+    'q18_large_orders',
+    'bpe_top_merges',
+    'events_ewma',
     'graph_hyperball',
+    'doc_novelty_trigrams',
+    'dedup_prefix_filter',
+    'dedup_incremental',
     'graph_effective_diameter_approx',
-    'pipeline_truncation_report',
-    'arrow_token_count',
+    'dedup_edit_distance',
     'sketch_mergeable_distinct',
-    'text_accent_fold',
-    'graph_powerlaw_fit',
+    'pipeline_truncation_report',
     'corr_lineitem_measures',
     'text_zipf_fit',
     'events_seasonal_decompose',
+    'dq_orders_checks',
     'shuffle_shard_stats',
+    'sample_domain_mix',
+    'graph_powerlaw_fit',
     'regression_price_on_qty',
     'q13_customer_distribution',
-    'salted_join_event_nations',
-    'gopher_quality_filter',
-    'ngram_top_bigrams',
-    'dq_orders_checks',
+    'arrow_token_count',
     'csv_sink_roundtrip',
-    'sample_domain_mix',
+    'salted_join_event_nations',
     'events_sliding_window',
-    'sql_api_region_revenue',
     'q16_supplier_part_counts',
+    'q7_volume_shipping',
+    'text_accent_fold',
+    'gopher_quality_filter',
+    'fixture_density',
+    'heavy_hitters_mg',
+    'q8_market_share',
+    'dedup_simhash',
+    'q9_product_profit',
+    'sql_api_region_revenue',
+    'approx_distinct_parts',
+    'ngram_top_bigrams',
+    'q2_min_cost_supplier',
+    'q11_important_stock',
     'contamination_check',
     'dedup_embedding_cosine',
-    'approx_distinct_parts',
-    'q9_product_profit',
-    'q11_important_stock',
-    'q7_volume_shipping',
-    'percentile_prices',
+    'heavy_hitters_cms',
+    'multimodal_features',
+    'fixture_effective_diameter',
+    'events_scd2_history',
+    'fixture_hopplot',
     'similarity_topk_cosine',
     'doc_repetition_signals',
-    'heavy_hitters_mg',
-    'q2_min_cost_supplier',
     'window_ntile_cume',
-    'events_scd2_history',
-    'q8_market_share',
-    'approx_percentile_prices',
-    'multimodal_frames',
-    'multimodal_features',
-    'fixture_density',
-    'heavy_hitters_cms',
-    'dedup_minhash_lsh',
     'dedup_simhash_pairs',
+    'multimodal_frames',
+    'dedup_minhash_lsh',
+    'percentile_prices',
     'graph_kcore',
-    'dedup_simhash',
-    'graph_scc',
-    'fixture_effective_diameter',
-    'fixture_hopplot',
     'dedup_ngram_jaccard',
-    'graph_clustering_coefficient',
+    'approx_percentile_prices',
+    'graph_scc',
     'scc_partition_gate',
-    'text_pii_redact',
-    'text_html_strip',
-    'dq_benford_first_digit',
-    'events_variant_props',
-    'events_anomaly_iqr',
-    'events_decayed_counts',
-    'cdc_apply_changes',
-    'events_inter_arrival',
-    'events_twap',
-    'motif_fanout_top',
-    'events_cusum_changepoint',
+    'graph_clustering_coefficient',
+    'events_forecast_backtest',
     'dq_key_skew',
     'events_autocorr',
-    'feature_hashing',
-    'events_sessionize',
-    'multimodal_audio',
+    'cdc_apply_changes',
+    'events_decayed_counts',
+    'dq_benford_first_digit',
+    'events_cusum_changepoint',
     'events_user_entropy',
-    'dq_psi_drift',
-    'events_forecast_backtest',
-    'events_session_window',
+    'events_variant_props',
+    'events_twap',
     'bootstrap_ci_daily_mean',
-    'doc_lm_surprisal',
-    'graph_random_walks',
+    'dq_psi_drift',
+    'text_html_strip',
+    'events_anomaly_iqr',
+    'events_sessionize',
     'xml_sink_roundtrip',
-    'mad_outlier_prices',
-    'chi2_flag_status',
-    'kmv_set_ops',
-    'orders_open_backlog',
-    'ab_mann_whitney',
-    'tokenize_to_ids',
-    'markov_next_event_eval',
     'ab_welch_ttest',
-    'basket_lift_top',
-    'graph_temporal_reachability',
-    'json_sink_roundtrip',
+    'markov_next_event_eval',
     'parquet_schema_evolution',
-    'orc_sink_roundtrip',
-    'label_knn_agreement',
-    'parquet_partitioned_roundtrip',
-    'dedup_boilerplate_lines',
+    'chi2_flag_status',
+    'events_dau_wau',
+    'json_sink_roundtrip',
+    'ab_mann_whitney',
     'text_js_divergence',
+    'kmv_set_ops',
+    'graph_temporal_reachability',
     'parquet_upsert_merge',
     'streaming_incremental_rollup',
-    'events_dau_wau',
-    'graph_assortativity',
+    'parquet_partitioned_roundtrip',
+    'text_pii_redact',
+    'orc_sink_roundtrip',
+    'events_inter_arrival',
+    'doc_lm_surprisal',
+    'graph_random_walks',
+    'multimodal_audio',
+    'motif_fanout_top',
+    'tokenize_to_ids',
+    'dedup_boilerplate_lines',
+    'orders_open_backlog',
+    'feature_hashing',
+    'label_knn_agreement',
     'naive_bayes_lang',
-    'logreg_train_gate',
+    'events_session_window',
+    'basket_lift_top',
+    'graph_assortativity',
     'streaming_windowed_append',
+    'mad_outlier_prices',
+    'logreg_train_gate',
     'kmeans_quality_gate',
     'pca_power_gate',
 ]
