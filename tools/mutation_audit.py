@@ -244,6 +244,15 @@ MUTANTS: list[dict] = [
         gates={"oracle": ["graph_hopplot_d2"]},
     ),
     dict(
+        id="M23", cls="deploy-regression/package-shipping",
+        desc="addPyFile package shipping reverted (the r11 executor-import fix)",
+        file="citegraph_spark/session.py",
+        old="    if not spark.sparkContext.master.startswith(\"local[\"):\n        _ship_package(spark)",
+        new="    # package shipping reverted by mutant",
+        gates={"oracle": ["heavy_hitters_cms"],
+               "cluster": ["heavy_hitters_cms"]},
+    ),
+    dict(
         id="M22", cls="degeneracy-guard-float-revert",
         desc="heaps fit_corr degeneracy re-tested on float variance (the r11 pre-fix bug)",
         file="citegraph_spark/plans/text_queries.py",
@@ -308,6 +317,13 @@ def run_gate(copy_root: str, kind: str, spec) -> dict:
                         note=f"SKIPPED: no boundary replica at {BOUNDARY_DIR}")
         cmd = [sys.executable, "tools/oracle_check.py", *spec,
                "--sf-dirs", BOUNDARY_DIR]
+    elif kind == "cluster":
+        # multi-executor value parity — the only gate that executes
+        # Python workers in SEPARATE executor JVMs, where package
+        # shipping and pickled-by-reference imports actually matter
+        cmd = [sys.executable, "tools/cluster_audit.py",
+               "--entries", ",".join(spec),
+               "--json", os.path.join(copy_root, ".cluster_gate.json")]
     elif kind == "determinism":
         # repeated-run hash-stability at the degenerate replica — the
         # only gate that reliably kills the merge-residue class (one
