@@ -26,59 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- BEGIN GENERATED ROTATION (python tools/staleness.py sync) ---
 # Derived from CORRECTNESS_r*.json + git-tree fingerprints; do not
 # hand-edit. Head block = entries whose transitive code closure
-# changed since the round-11 sweep (2 entries); then never-certified (0);
+# changed since the round-12 sweep (0 entries); then never-certified (0);
 # then oldest-certification-first (cheap-first within a round).
 _ROTATION = [
-    'loader_normalize_ids',
-    'text_heaps_law',
-    'fixture_motif_triangles',
-    'streaming_dedup',
-    'streaming_windowed',
-    'streaming_stateful_counts',
-    'streaming_state_inspect',
-    'streaming_sessionize',
-    'streaming_session_window',
-    'parquet_zorder_roundtrip',
-    'streaming_enrich',
-    'bucketed_join_roundtrip',
-    'bloom_semi_join_revenue',
-    'streaming_join',
-    'similarity_ann_lsh',
-    'q6_forecast_revenue',
-    'running_total_orders',
-    'anti_join_idle_customers',
-    'q14_promo_revenue',
-    'q1_pricing_summary',
-    'q22_global_sales_opportunity',
-    'attr_join_customer_orders',
-    'q15_top_supplier',
-    'q12_ship_priority_class',
-    'q4_order_priority',
-    'customer_rfm_segments',
-    'q10_returned_items',
-    'events_kaplan_meier',
-    'q5_local_supplier_volume',
-    'graph_density',
-    'double_vertex_join',
-    'q20_part_promotion',
-    'udtf_chunk_split',
-    'q21_waiting_suppliers',
-    'graph_out_degree',
-    'graph_degree_distribution',
-    'graph_snapshot_edge_count',
-    'scalar_functions_showcase',
-    'graph_adjacency',
-    'graph_canonical_pairs',
-    'kmeans_embeddings',
-    'graph_hopplot_d2',
-    'hof_array_stats',
-    'null_safe_join_status',
-    'events_top_users_per_type',
-    'events_json_props',
-    'pipeline_end_to_end',
-    'events_windowed_agg',
-    'pack_sequences',
-    'file_lineage_counts',
     'revenue_concentration',
     'events_json_map_agg',
     'equidepth_histogram_prices',
@@ -258,6 +208,56 @@ _ROTATION = [
     'logreg_train_gate',
     'kmeans_quality_gate',
     'pca_power_gate',
+    'q6_forecast_revenue',
+    'running_total_orders',
+    'anti_join_idle_customers',
+    'hof_array_stats',
+    'q14_promo_revenue',
+    'null_safe_join_status',
+    'events_top_users_per_type',
+    'events_json_props',
+    'q1_pricing_summary',
+    'q22_global_sales_opportunity',
+    'attr_join_customer_orders',
+    'q15_top_supplier',
+    'pipeline_end_to_end',
+    'q12_ship_priority_class',
+    'q4_order_priority',
+    'customer_rfm_segments',
+    'events_windowed_agg',
+    'pack_sequences',
+    'file_lineage_counts',
+    'q10_returned_items',
+    'events_kaplan_meier',
+    'q5_local_supplier_volume',
+    'graph_density',
+    'double_vertex_join',
+    'q20_part_promotion',
+    'udtf_chunk_split',
+    'fixture_motif_triangles',
+    'streaming_dedup',
+    'streaming_windowed',
+    'q21_waiting_suppliers',
+    'graph_out_degree',
+    'streaming_stateful_counts',
+    'graph_degree_distribution',
+    'graph_snapshot_edge_count',
+    'streaming_state_inspect',
+    'scalar_functions_showcase',
+    'streaming_sessionize',
+    'streaming_session_window',
+    'parquet_zorder_roundtrip',
+    'streaming_enrich',
+    'bucketed_join_roundtrip',
+    'bloom_semi_join_revenue',
+    'graph_adjacency',
+    'streaming_join',
+    'text_heaps_law',
+    'similarity_ann_lsh',
+    'graph_canonical_pairs',
+    'loader_normalize_ids',
+    'kmeans_embeddings',
+    'graph_hopplot_d2',
 ]
 # --- END GENERATED ROTATION ---
 
