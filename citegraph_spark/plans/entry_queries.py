@@ -235,28 +235,34 @@ def graph_hopplot_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_orders",
     """
 WITH oy AS (SELECT CAST(year(o_orderdate) AS INT) AS year, count(*) AS n,
-                   CAST(sum(o_totalprice) AS DOUBLE) AS total
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
             FROM orders GROUP BY 1)
 SELECT year,
        CAST(sum(n) OVER (ORDER BY year) AS BIGINT) AS cum_orders,
-       round(sum(total) OVER (ORDER BY year), 2) AS cum_price
+       CAST(sum(total) OVER (ORDER BY year) AS DOUBLE) AS cum_price,
+       CAST(sum(total) OVER (ORDER BY year) * 100 AS BIGINT) AS cum_price_cents
 FROM oy ORDER BY year
 """,
 )
 def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: running totals over year (reference Analytics.scala:22-25)."""
+    """W1: running totals over year (reference Analytics.scala:22-25).
+    Money runs in exact DecimalType internally (plans/money.py) and the
+    ~4e9 cumulative sum emits a BIGINT cents column so it hash-compares
+    exactly, not through the float band (r12 M08 class)."""
     from pyspark.sql import Window
+
+    from .money import cents_pair, money
 
     oy = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.year("o_orderdate").alias("year"))
-        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(F.count("*").alias("n"), F.sum(money("o_totalprice")).alias("total"))
     )
     w = Window.orderBy("year").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return oy.select(
         "year",
         F.sum("n").over(w).alias("cum_orders"),
-        F.round(F.sum("total").over(w), 2).alias("cum_price"),
+        *cents_pair(F.sum("total").over(w), "cum_price"),
     ).orderBy("year")
 
 
@@ -292,7 +298,9 @@ def attr_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double_vertex_join",
     """
 SELECT CAST(year(o.o_orderdate) AS INT) AS order_year, p.p_brand AS brand,
-       count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS price_sum
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price_sum,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) * 100 AS BIGINT) AS price_sum_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -301,7 +309,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 )
 def double_vertex_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: edge ⋈ vertex ⋈ vertex — attributes attached to both endpoints
-    of each edge row (reference Analytics.scala:348-359)."""
+    of each edge row (reference Analytics.scala:348-359). price_sum runs
+    in exact DecimalType internally and emits a dollars+cents pair
+    (plans/money.py: float-band blind-spot fix)."""
+    from .money import money, money_sum_pair
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -314,7 +326,7 @@ def double_vertex_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+            *money_sum_pair(money("l_extendedprice"), "price_sum"),
         )
         .orderBy("order_year", "brand")
     )

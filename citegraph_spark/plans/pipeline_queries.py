@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import clustering, text
 from ..sources.tables import load_table
 from .entry_queries import register
+from .money import disc_price, money, money_sum_pair
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 _STOPWORDS = "('the','a','of','and','to','in','is','it')"
@@ -127,7 +128,8 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY gid, returnflag, linestatus
@@ -139,7 +141,6 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; Spark expands the sets map-side (Expand operator) so the
     aggregate still gets partial combine."""
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
     return (
         li.groupingSets(
@@ -150,7 +151,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             gid.alias("gid"),
             F.count("*").alias("n_items"),
-            F.round(revenue, 2).alias("revenue"),
+            *money_sum_pair(disc_price(), "revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -158,6 +159,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
             "n_items",
             "revenue",
+            "revenue_cents",
         )
         .orderBy("gid", "returnflag", "linestatus")
     )
@@ -168,7 +170,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_above,
-       round(sum(o_totalprice), 2) AS sum_above
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_above,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) * 100 AS BIGINT) AS sum_above_cents
 FROM orders o
 WHERE o_totalprice > (SELECT avg(i.o_totalprice)
                       FROM orders i WHERE i.o_custkey = o.o_custkey)
@@ -189,7 +192,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_above"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_above"),
+            *money_sum_pair(money("o_totalprice"), "sum_above"),
         )
         .orderBy("o_orderstatus")
     )

@@ -13,16 +13,20 @@ from datetime import date
 from ..sources.tables import load_table
 from .date_filters import date_window as _date_window
 from .entry_queries import register
+from .money import cents_pair, charge, disc_price, money, money_sum_pair
 
 
 @register(
     "q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) * 100 AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS sum_disc_price_cents,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4)) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4)) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) * 100 AS BIGINT) AS sum_charge_cents,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -36,17 +40,23 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan with pushed-down date filter + 8-agg groupBy.
     The filter and 7-column projection reach the parquet scan
-    (PushedFilters/ReadSchema — verified in tests/test_plans.py)."""
+    (PushedFilters/ReadSchema — verified in tests/test_plans.py).
+
+    Money sums run in exact DecimalType internally (plans/money.py,
+    reference Analytics.scala:42 fixed-point semantics) and emit
+    DOUBLE-dollars + BIGINT-cents pairs: the int64 cents column makes a
+    sub-cent defect (the r12 M08 mutant) hash-visible at ~5e8 magnitudes
+    where the float band is blind, without putting canonicalizer-hostile
+    DECIMAL on the wire (tests/test_oracle_dtypes.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(_date_window("l_shipdate", None, date(2025, 6, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(money("l_quantity")), 2).cast("double").alias("sum_qty"),
+            *money_sum_pair(money("l_extendedprice"), "sum_base_price"),
+            *money_sum_pair(disc_price(), "sum_disc_price"),
+            *money_sum_pair(charge(), "sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -239,7 +249,8 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join_region_revenue",
     """
 SELECT r.r_name AS region, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -262,11 +273,7 @@ def multi_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(*money_sum_pair(disc_price(), "revenue"))
         .orderBy("region", "nation")
     )
 
@@ -302,15 +309,19 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH sy AS (
   SELECT c.c_mktsegment AS segment, CAST(year(o.o_orderdate) AS INT) AS year,
-         round(sum(o.o_totalprice), 2) AS revenue
+         round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS rev
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
-SELECT segment, year, revenue,
-       CAST(rank() OVER (PARTITION BY year ORDER BY revenue DESC) AS INT)
+SELECT segment, year,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev * 100 AS BIGINT) AS revenue_cents,
+       CAST(rank() OVER (PARTITION BY year ORDER BY rev DESC) AS INT)
          AS rank_in_year,
-       round(revenue - lag(revenue) OVER (PARTITION BY segment ORDER BY year), 2)
-         AS yoy_delta
+       CAST(rev - lag(rev) OVER (PARTITION BY segment ORDER BY year) AS DOUBLE)
+         AS yoy_delta,
+       CAST((rev - lag(rev) OVER (PARTITION BY segment ORDER BY year)) * 100 AS BIGINT)
+         AS yoy_delta_cents
 FROM sy ORDER BY segment, year
 """,
 )
@@ -328,18 +339,17 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").alias("year"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(money("o_totalprice")), 2).alias("rev"))
     )
-    w_rank = Window.partitionBy("year").orderBy(F.col("revenue").desc())
+    w_rank = Window.partitionBy("year").orderBy(F.col("rev").desc())
     w_lag = Window.partitionBy("segment").orderBy("year")
+    delta = F.col("rev") - F.lag("rev").over(w_lag)
     return sy.select(
         "segment",
         "year",
-        "revenue",
+        *cents_pair(F.col("rev"), "revenue"),
         F.rank().over(w_rank).alias("rank_in_year"),
-        F.round(
-            F.col("revenue") - F.lag("revenue").over(w_lag), 2
-        ).alias("yoy_delta"),
+        *cents_pair(delta, "yoy_delta"),
     ).orderBy("segment", "year")
 
 
@@ -901,7 +911,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -941,11 +952,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(branch)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(*money_sum_pair(disc_price(), "revenue"))
     )
 
 
@@ -1075,7 +1082,8 @@ def outer_join_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT r.r_name AS region,
        CAST(year(o.o_orderdate) AS INT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1099,7 +1107,12 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT /*+ BROADCAST(c, n, r) */
                r.r_name AS region,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                              AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+               CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                              AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
         FROM sqlapi_lineitem l
         JOIN sqlapi_orders o ON l.l_orderkey = o.o_orderkey
         JOIN sqlapi_customer c ON o.o_custkey = c.c_custkey
@@ -1114,15 +1127,16 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "equidepth_histogram_prices",
     """
-WITH r AS (SELECT o_totalprice,
+WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
                   count(*) OVER () AS n
            FROM orders)
 SELECT CAST(((rnk - 1) * 8) // n AS INT) AS bucket,
        count(*) AS n_rows,
-       round(min(o_totalprice), 2) AS lo,
-       round(max(o_totalprice), 2) AS hi,
-       round(sum(o_totalprice), 2) AS value_sum
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS value_sum,
+       CAST(round(sum(o_totalprice), 2) * 100 AS BIGINT) AS value_sum_cents
 FROM r GROUP BY 1 ORDER BY 1
 """,
 )
@@ -1131,11 +1145,24 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed global-rank operator (range repartition + per-partition
     offsets — never a single-partition sort; operators/relational.py
     `global_rank`). Bucket assignment is pure integer math, so the
-    NTILE-free oracle formulation hash-matches exactly."""
+    NTILE-free oracle formulation hash-matches exactly. The money column
+    is pre-cast to exact DECIMAL(12,2) (plans/money.py: lossless) and the
+    ~9e8-magnitude value_sum additionally emits a BIGINT cents column so
+    it compares exactly across engines instead of through the float band
+    (r12 mutation-M08 class)."""
     from ..operators.relational import equidepth_histogram
 
-    orders = load_table(spark, sf_dir, "orders")
-    return equidepth_histogram(orders, "o_totalprice", "o_orderkey", n_buckets=8)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", money("o_totalprice")
+    )
+    h = equidepth_histogram(orders, "o_totalprice", "o_orderkey", n_buckets=8)
+    return h.select(
+        "bucket",
+        "n_rows",
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        *cents_pair(F.col("value_sum"), "value_sum"),
+    )
 
 
 @register(
@@ -1237,7 +1264,8 @@ def bloom_might_contain(words: list[int], key_expr: str, k: int = _BLOOM_K):
     """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(16,4))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
 GROUP BY 1 ORDER BY 1
@@ -1279,9 +1307,7 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            *money_sum_pair(disc_price(), "revenue"),
         )
         .orderBy("l_returnflag")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .entry_queries import register
+from .money import money, money_sum_pair
 
 
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -40,7 +41,8 @@ def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     """
 SELECT CAST(month(o_orderdate) AS INT) AS month,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) * 100 AS BIGINT) AS revenue_cents
 FROM orders
 WHERE year(o_orderdate) = 1995
 GROUP BY 1 ORDER BY 1
@@ -67,7 +69,7 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             back.groupBy(F.month("o_orderdate").alias("month"))
             .agg(
                 F.count("*").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                *money_sum_pair(money("o_totalprice"), "revenue"),
             )
             .orderBy("month")
         )
@@ -234,7 +236,8 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) * 100 AS BIGINT) AS revenue_cents,
        CAST(min(o_orderdate) AS VARCHAR) AS first_date
 FROM orders WHERE o_orderstatus = 'O'
 GROUP BY 1 ORDER BY 1
@@ -257,7 +260,7 @@ def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("o_orderpriority")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                *money_sum_pair(money("o_totalprice"), "revenue"),
                 F.min("o_orderdate").cast("string").alias("first_date"),
             )
             .orderBy("o_orderpriority")

@@ -126,10 +126,13 @@ MUTANTS: list[dict] = [
     ),
     dict(
         id="M08", cls="float-rounding-drop",
-        desc="q1 sum_disc_price loses its round(...,2) (order-dependent tail)",
-        file="citegraph_spark/plans/relational_queries.py",
-        old='F.round(F.sum(disc_price), 2).alias("sum_disc_price")',
-        new='F.sum(disc_price).alias("sum_disc_price")',
+        desc="money_sum_pair loses its round(...,2) (sub-cent tail; r12 "
+             "adjudicated-equivalent under the float band, r13 killable: "
+             "money sums run in exact DecimalType and emit BIGINT cents "
+             "— plans/money.py)",
+        file="citegraph_spark/plans/money.py",
+        old="    s = F.round(F.sum(expr), 2)",
+        new="    s = F.sum(expr)",
         gates={"oracle": ["q1_pricing_summary"]},
     ),
     dict(

@@ -3,7 +3,9 @@
 Runs every `queries()` entry via Spark AND its `oracle_sql()` via
 DuckDB, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, floats rounded to 9
-significant-ish decimals before hashing).
+significant-ish decimals before hashing; DECIMAL cells compared exactly
+after scale canonicalization — the r13 closure of mutation M08's
+float-band blind spot).
 
 The cross-SF sweep is a STANDING per-round gate (round-8 verdict item
 4): its first sf0.1 run caught two boundary-collision defect classes
@@ -27,6 +29,7 @@ Usage: python tools/oracle_check.py [name ...] [--sf-dirs D1,D2,...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -45,6 +48,18 @@ TABLES = (
 def _norm_cell(v) -> str:
     if v is None:
         return "∅"
+    if isinstance(v, decimal.Decimal):
+        # DECIMAL-typed results compare EXACTLY — no float-normalization
+        # band (r12 mutation M08: the 9-sig-digit band is blind to
+        # sub-cent defects above ~1e7; money aggregates now run in
+        # DecimalType end-to-end, see plans/money.py). Canonicalize
+        # scale (trailing zeros) so value-equal decimals of different
+        # declared scale hash equal; entries still keep scales matched
+        # by construction for the driver's own hasher.
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "0" if s in ("", "-0") else s
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
