@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import sys
 
 from pyspark.sql import DataFrame
 
@@ -115,12 +116,35 @@ def _fs_read_text(spark, path: str) -> str:
         stream.close()
 
 
+def _const_repr(const) -> str:
+    """Canonical repr for code constants: frozensets (compiled from
+    `x in {...}` literals) have hash-randomized iteration order, so their
+    plain repr differs BETWEEN PROCESSES for the same source — sort the
+    elements first (r12 ADVICE: otherwise the same job can spuriously
+    refuse its own resume). Tuples recurse because they can nest
+    frozensets."""
+    if isinstance(const, frozenset):
+        return "frozenset{" + ",".join(sorted(_const_repr(c) for c in const)) + "}"
+    if isinstance(const, tuple):
+        return "(" + ",".join(_const_repr(c) for c in const) + ",)"
+    return repr(const)
+
+
 def _code_fingerprint(fn) -> str:
-    """Deterministic fingerprint of a callable's compiled code (bytecode +
-    names + non-code constants, nested code objects recursed). Two
-    callables with the same fingerprint compute the same function of
-    their inputs up to closure-cell VALUES, which the caller owns —
-    good enough to catch 'the job logic changed' between resume runs."""
+    """Best-effort fingerprint of a callable's OWN compiled code
+    (bytecode + names + non-code constants canonicalized via
+    `_const_repr`, nested code objects recursed).
+
+    Scope (r12 ADVICE, deliberately honest): this covers only the
+    callable's own code object. A step() that calls a module-level
+    helper keeps its fingerprint when the helper's BODY changes —
+    co_names records just the helper's name — and closure-cell values
+    are not hashed at all. The guard catches the common failure (the
+    job function itself was edited between runs), not every possible
+    logic change; callers who restructure shared helpers should clear
+    the state_dir. Bytecode also varies across CPython versions, which
+    is why `resumable_rounds` records the interpreter version as a
+    SEPARATE meta field with its own actionable error."""
     h = hashlib.sha256()
 
     def feed(code) -> None:
@@ -131,7 +155,7 @@ def _code_fingerprint(fn) -> str:
             if hasattr(const, "co_code"):
                 feed(const)
             else:
-                h.update(repr(const).encode())
+                h.update(_const_repr(const).encode())
 
     code = getattr(fn, "__code__", None)
     if code is None:  # functools.partial, builtins, callables — best effort
@@ -176,27 +200,47 @@ def resumable_rounds(
     state is ALWAYS snapshotted so a completed run is a no-op to re-run.
 
     Job-identity guard (round-11 ADVICE): the first run writes a
-    fingerprint of init/step's compiled code (+ snapshot cadence) to
-    <state_dir>/_job_meta.json; a resume whose fingerprint differs
+    fingerprint of init/step's compiled code (+ snapshot cadence + the
+    interpreter version, which gets its own distinct error on mismatch)
+    to <state_dir>/_job_meta.json; a resume whose fingerprint differs
     REFUSES with ValueError instead of silently resuming from another
-    job's state. `rounds` is deliberately NOT part of the identity:
+    job's state. The code fingerprint is best-effort — it covers the
+    callables' own code objects, not the bodies of helpers they call
+    (see `_code_fingerprint`). `rounds` is deliberately NOT part of the identity:
     step is deterministic, so the round-K snapshot of a longer run IS
     the correct round-K state of a shorter one (resuming a completed
     10-round dir with rounds=8 correctly returns the round-8 snapshot
     of the SAME job; only changed logic is refused).
     """
     meta_path = f"{state_dir}/_job_meta.json"
-    fingerprint = json.dumps(
-        {
-            "init": _code_fingerprint(init),
-            "step": _code_fingerprint(step),
-            "snapshot_every": snapshot_every,
-        },
-        sort_keys=True,
-    )
+    py_version = "%d.%d" % sys.version_info[:2]
+    meta = {
+        "init": _code_fingerprint(init),
+        "step": _code_fingerprint(step),
+        "snapshot_every": snapshot_every,
+        # bytecode (co_code) is not comparable across interpreter
+        # versions; record the version explicitly so a cross-version
+        # resume gets ITS OWN actionable error instead of a misleading
+        # "job logic changed" (r12 ADVICE)
+        "python": py_version,
+    }
+    fingerprint = json.dumps(meta, sort_keys=True)
     if _fs_exists(spark, meta_path):
         existing = _fs_read_text(spark, meta_path)
         if existing != fingerprint:
+            try:
+                old_py = json.loads(existing).get("python")
+            except ValueError:
+                old_py = None
+            if old_py is not None and old_py != py_version:
+                raise ValueError(
+                    f"resumable_rounds: state_dir {state_dir!r} was written "
+                    f"under Python {old_py} but this run is Python "
+                    f"{py_version}. Code fingerprints are bytecode-based and "
+                    "not comparable across interpreter versions, so resume "
+                    "compatibility cannot be verified. Re-run under Python "
+                    f"{old_py}, or start from a fresh state_dir."
+                )
             raise ValueError(
                 f"resumable_rounds: state_dir {state_dir!r} holds snapshots "
                 "of a DIFFERENT job (init/step code or snapshot cadence "

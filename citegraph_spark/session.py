@@ -8,6 +8,7 @@ Spark's legacy default of 200.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import SparkSession
@@ -72,13 +73,25 @@ def _ship_package(spark: SparkSession) -> None:
     the sketch, multimodal, and stateful-streaming families). The
     spark-submit path ships the package with --py-files
     (deploy/submit.sh); this is the same fix for programmatically
-    built sessions: zip the package once per session and addPyFile it,
-    which distributes the zip and prepends it to every worker's
+    built sessions: zip the package once per APPLICATION and addPyFile
+    it, which distributes the zip and prepends it to every worker's
     sys.path.
+
+    Shipped once per applicationId (r12 ADVICE): get_spark() is called
+    per-entry in sweeps, and getOrCreate() returns the same live
+    session, so an unguarded addPyFile would leak one temp zip and one
+    duplicate worker sys.path entry per call. The zip must OUTLIVE the
+    app — executors fetch it lazily from the driver's file server, and
+    replacement executors re-fetch it after a failure (the
+    tests/test_pyworker_kill.py scenario) — so cleanup happens at
+    interpreter exit, not after addPyFile returns.
     """
     import tempfile
     import zipfile
 
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="citegraph_spark_py_")
@@ -90,3 +103,18 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APP_IDS.add(app_id)
+    _SHIPPED_ZIPS.append(zpath)
+
+
+_SHIPPED_APP_IDS: set[str] = set()
+_SHIPPED_ZIPS: list[str] = []
+
+
+@atexit.register
+def _cleanup_shipped_zips() -> None:
+    for p in _SHIPPED_ZIPS:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass

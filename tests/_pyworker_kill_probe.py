@@ -61,15 +61,46 @@ killed: dict = {"pid": None}
 start = time.time()
 
 
-def _pids(pattern: str) -> list[int]:
+# Scope every ps scan to THIS app (r12 ADVICE): under concurrent Spark
+# runs (pytest -n, parallel audits) a machine-global grep could SIGKILL
+# another job's executor — flaking that job while this probe's parity
+# check passes vacuously (killed=PID reported, but our own executor
+# never died).
+APP_ID = spark.sparkContext.applicationId
+
+
+def _our_executors() -> list[int]:
+    """Executor JVMs of THIS application: CoarseGrainedExecutorBackend is
+    launched with `--app-id <applicationId>` on its command line."""
     out = subprocess.run(
         ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
     return [
         int(line.split(None, 1)[0])
         for line in out.splitlines()
-        if pattern in line
+        if "CoarseGrainedExecutorBackend" in line and APP_ID in line
     ]
+
+
+def _our_daemons() -> list[int]:
+    """pyspark.daemon processes whose PARENT is one of our executor JVMs
+    (the daemon carries no app id itself; ancestry scopes it)."""
+    execs = set(_our_executors())
+    if not execs:
+        return []
+    out = subprocess.run(
+        ["ps", "-eo", "pid,ppid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        parts = line.split(None, 2)
+        if len(parts) == 3 and "pyspark.daemon" in parts[2]:
+            try:
+                if int(parts[1]) in execs:
+                    pids.append(int(parts[0]))
+            except ValueError:
+                continue
+    return pids
 
 
 def _watcher() -> None:
@@ -78,9 +109,9 @@ def _watcher() -> None:
         time.sleep(0.05)
         # executor-side Python daemons exist => a Python-worker stage is
         # mid-flight RIGHT NOW; this is the moment whose loss matters
-        if _pids("pyspark.daemon"):
+        if _our_daemons():
             break
-    pids = _pids("CoarseGrainedExecutorBackend")
+    pids = _our_executors()
     if pids:
         killed["pid"] = pids[0]
         print(f"WATCHER: killing executor pid {pids[0]} of {pids}", flush=True)

@@ -281,3 +281,81 @@ def test_resumable_rounds_refuses_changed_job_fingerprint(spark, tmp_path):
 
     with pytest.raises(ValueError, match="DIFFERENT job"):
         resumable_rounds(spark, state, init, other_step, rounds=4)
+
+
+def test_code_fingerprint_frozenset_constants_deterministic():
+    """r12 ADVICE (medium): frozenset constants (compiled from `x in
+    {...}` literals) have hash-randomized repr ordering per process; the
+    fingerprint must canonicalize them or the SAME job can refuse its
+    own resume across runs. Pin by comparing against the fingerprint the
+    canonical form predicts (subprocess re-check lives in the per-round
+    fuzz habit; the canonicalizer itself is pure and testable here)."""
+    from citegraph_spark.lineage import _code_fingerprint, _const_repr
+
+    # _const_repr sorts frozenset elements and recurses through tuples
+    assert _const_repr(frozenset({"b", "a", "c"})) == "frozenset{'a','b','c'}"
+    assert _const_repr((1, frozenset({2, 3}))) == "(1,frozenset{2,3},)"
+
+    def f(x):
+        return x in {"alpha", "beta", "gamma", "delta"}  # frozenset const
+
+    def g(x):
+        return x in {"alpha", "beta", "gamma", "delta"}
+
+    # two separately-compiled code objects with the same source must
+    # fingerprint identically regardless of set iteration order
+    assert _code_fingerprint(f) == _code_fingerprint(g)
+
+
+def test_code_fingerprint_frozenset_deterministic_across_processes():
+    """The actual failure mode: a DIFFERENT process (different
+    PYTHONHASHSEED) must produce the same fingerprint for the same
+    source."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from citegraph_spark.lineage import _code_fingerprint\n"
+        "def f(x):\n"
+        "    return x in {'alpha', 'beta', 'gamma', 'delta'}\n"
+        "print(_code_fingerprint(f))\n"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+        ).stdout.strip()
+        for seed in ("1", "2", "42")
+    }
+    assert len(outs) == 1 and all(outs), outs
+
+
+def test_resumable_rounds_python_version_mismatch_error(spark, tmp_path):
+    """r12 ADVICE: a state_dir written under a different interpreter
+    version must get the distinct actionable error, not the misleading
+    'DIFFERENT job' one."""
+    import json
+
+    from citegraph_spark.lineage import _fs_write_text, resumable_rounds
+
+    state = tmp_path / "state"
+    state.mkdir()
+
+    def init():
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    def step(df, k):
+        return df.select((F.col("v") + 1).alias("v"))
+
+    resumable_rounds(spark, str(state), init, step, rounds=1)
+    meta_path = state / "_job_meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert "python" in meta
+    meta["python"] = "2.7"
+    # rewrite through the Hadoop FS helper (a plain pathlib write would
+    # orphan the local FS's .crc sidecar and fail the checksummed read)
+    _fs_write_text(spark, str(meta_path), json.dumps(meta, sort_keys=True))
+    with pytest.raises(ValueError, match="Python 2.7"):
+        resumable_rounds(spark, str(state), init, step, rounds=1)

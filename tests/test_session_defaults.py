@@ -80,3 +80,24 @@ def test_ansi_mode_is_on(spark):
         spark.sql(
             "SELECT CAST(2147483647 AS INT) + CAST(1 AS INT)"
         ).collect()
+
+
+def test_ship_package_once_per_application(spark):
+    """r12 ADVICE: get_spark() is called per-entry in sweeps; an
+    unguarded _ship_package would leak one temp zip + one duplicate
+    worker sys.path entry per call. Guarded per applicationId, and the
+    zip is tracked for interpreter-exit cleanup (it must outlive the
+    app: replacement executors re-fetch it after a failure)."""
+    import os
+
+    from citegraph_spark import session as S
+
+    before = list(S._SHIPPED_ZIPS)
+    S._ship_package(spark)
+    S._ship_package(spark)
+    S._ship_package(spark)
+    added = [p for p in S._SHIPPED_ZIPS if p not in before]
+    assert len(added) <= 1  # 0 if an earlier caller shipped this app id
+    assert spark.sparkContext.applicationId in S._SHIPPED_APP_IDS
+    for p in added:
+        assert os.path.exists(p)
