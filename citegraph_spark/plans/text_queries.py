@@ -174,16 +174,33 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000 AS doc_id, text FROM documents
+           WHERE doc_id % 37 = 0),
+     h AS (SELECT doc_id, md5(text) AS h FROM d),
      c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
 SELECT h.doc_id AS doc_id, c.canonical_id AS canonical_id
 FROM h JOIN c USING (h) ORDER BY doc_id
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: doc_id → canonical (min-id) doc with identical text."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_canonical(docs, "doc_id", "text").orderBy("doc_id")
+    """Exact dedup: doc_id → canonical (min-id) doc with identical text.
+
+    The input is documents plus a deterministic duplicated shard (every
+    37th doc re-keyed at +10M): the r13 oracle-side mutation audit
+    (OM04) found the raw table has NO duplicate texts below sf0.1, so
+    the keep-rule (min vs max) was unconstrained at the driver's
+    certification SF — a wrong canonical rule would have certified
+    green. The synthesized duplicates make the rule data-constrained at
+    every SF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_shard = docs.filter(F.col("doc_id") % 37 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return dedup.exact_canonical(
+        docs.unionByName(dup_shard), "doc_id", "text"
+    ).orderBy("doc_id")
 
 
 def _minhash_sig_sql() -> str:

@@ -1,0 +1,215 @@
+"""Oracle-side mutation audit (round-12 verdict item 4).
+
+Round 12 mutated the ENGINE and proved the gates kill single-site
+defects. The untested half of the differential net is the ORACLE corpus
+itself: a wrong oracle that happens to match wrong code would certify a
+defect, and an oracle so loose the data never exercises a predicate
+isn't actually constraining its entry. This audit injects single-site
+mutations into SCRATCH COPIES of `oracle_sql()` strings (the registry on
+disk is never touched) and re-runs the gate: every mutant must FAIL the
+comparison (= the oracle constrains that clause), or carry an
+adjudication explaining exactly why the data cannot distinguish it and
+which OTHER gate pins the semantics.
+
+Usage:
+  python tools/oracle_mutation_audit.py            # all mutants
+  python tools/oracle_mutation_audit.py OM03 OM05  # subset
+  python tools/oracle_mutation_audit.py --json .oracle_mutation_audit_r13.json
+
+Exit 0 iff every mutant is KILLED or matches its recorded adjudication.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# Each mutant: one textual edit to one oracle's SQL. `expect` is
+# "killed" (the gate must FAIL on the mutated oracle) or "survives",
+# in which case `adjudication` records why the data cannot distinguish
+# the mutant and what pins the semantics instead.
+MUTANTS = [
+    dict(
+        id="OM01", entry="q1_pricing_summary",
+        cls="filter-bound-shift",
+        desc="q1 date window tightened by 30 years",
+        old="DATE '2025-06-02'", new="DATE '1995-06-02'",
+        expect="killed",
+    ),
+    dict(
+        id="OM02", entry="events_sessionize",
+        cls="boundary-comparison-flip",
+        desc="session gap boundary > becomes >= (exact-gap events split)",
+        old="> 30 * 60", new=">= 30 * 60",
+        expect="survives",
+        adjudication=(
+            "No event pair in the testdata sits at EXACTLY the 1800 s "
+            "gap (verified by direct count at sf0.01/0.1), so the data "
+            "cannot distinguish > from >= — the same reason engine "
+            "mutant M06 survived the oracle in r12. The boundary "
+            "semantics are pinned by tests/test_sessionize_boundary.py "
+            "(synthetic exact-gap events through the REAL operator)."
+        ),
+    ),
+    dict(
+        id="OM03", entry="graph_density",
+        cls="join-kind-flip",
+        desc="pub JOIN outdeg becomes LEFT JOIN (re-admits the 1992-style "
+             "zero-outdeg years the reference's strict inner join drops)",
+        old="JOIN outdeg ON pub.id = outdeg.f",
+        new="LEFT JOIN outdeg ON pub.id = outdeg.f",
+        expect="survives",
+        adjudication=(
+            "First-pass finding of this audit: the TPC-H orders->lineitem "
+            "graph mapping has NO zero-outdeg year at ANY SF (every year "
+            "has an order with lineitems — verified by direct count at "
+            "all three SFs), so this entry's data cannot distinguish the "
+            "join kinds. The strict inner-join semantics ARE oracle-"
+            "constrained on the 17-edge fixture, whose 1992 has nodes but "
+            "no edges: OM03b mutates fixture_density identically and IS "
+            "killed; tests/test_fixture_graph.py and the CLI Table-D "
+            "replay pin the same behavior."
+        ),
+    ),
+    dict(
+        id="OM03b", entry="fixture_density",
+        cls="join-kind-flip",
+        desc="fixture_density yr JOIN outdeg becomes LEFT JOIN (the "
+             "fixture HAS a zero-edge 1992, so this one must die)",
+        old="JOIN outdeg ON yr.id = outdeg.f",
+        new="LEFT JOIN outdeg ON yr.id = outdeg.f",
+        expect="killed",
+    ),
+    dict(
+        id="OM04", entry="dedup_exact",
+        cls="keep-rule-flip",
+        desc="canonical id becomes MAX instead of MIN (oracle twin of "
+             "M09; first-pass SURVIVOR at sf0.01 — no duplicate texts "
+             "below sf0.1 — closed by synthesizing a deterministic "
+             "duplicated shard into the entry)",
+        old="min(doc_id) AS canonical_id", new="max(doc_id) AS canonical_id",
+        expect="killed",
+    ),
+    dict(
+        id="OM05", entry="anti_join_idle_customers",
+        cls="join-kind-flip",
+        desc="ANTI JOIN becomes SEMI JOIN (polarity inversion)",
+        old="ANTI JOIN", new="SEMI JOIN",
+        expect="killed",
+    ),
+    dict(
+        id="OM06", entry="graph_hopplot_d2",
+        cls="dropped-anti-join",
+        desc="d2 candidates keep already-seen d1 pairs (oracle twin of "
+             "the fused-anti-join class M11)",
+        old="d2new AS (SELECT a, b FROM d2cand EXCEPT SELECT a, b FROM d1)",
+        new="d2new AS (SELECT a, b FROM d2cand)",
+        expect="killed",
+    ),
+    dict(
+        id="OM07", entry="running_total_orders",
+        cls="window-frame-flip",
+        desc="cumulative price window runs in reverse year order",
+        old="CAST(sum(total) OVER (ORDER BY year) AS DOUBLE) AS cum_price",
+        new="CAST(sum(total) OVER (ORDER BY year DESC) AS DOUBLE) AS cum_price",
+        expect="killed",
+    ),
+    dict(
+        id="OM08", entry="q12_ship_priority_class",
+        cls="boundary-comparison-flip",
+        desc="SLOW delay boundary > 60 becomes >= 60 (5 exact-60-day "
+             "lineitems exist at sf0.01, so the data constrains this one)",
+        old="> 60", new=">= 60",
+        expect="killed",
+    ),
+    dict(
+        id="OM09", entry="window_rank_lag",
+        cls="window-function-swap",
+        desc="yoy lag becomes lead (delta direction inverted)",
+        old="lag(rev)", new="lead(rev)",
+        expect="killed",
+    ),
+    dict(
+        id="OM10", entry="q19_disjunctive_filter",
+        cls="range-bound-off-by-one",
+        desc="Brand#1 size branch widens BETWEEN 1 AND 15 -> 1 AND 16",
+        old="p_size BETWEEN 1 AND 15", new="p_size BETWEEN 1 AND 16",
+        expect="killed",
+    ),
+]
+
+
+def main(argv: list[str]) -> int:
+    ids = [a for a in argv if not a.startswith("--")]
+    json_out = None
+    if "--json" in argv:
+        json_out = argv[argv.index("--json") + 1]
+        ids = [a for a in ids if a != json_out]
+    selected = [m for m in MUTANTS if not ids or m["id"] in ids]
+
+    from tools.oracle_check import TABLES, check_one
+
+    import __spark_entry__ as e
+    from citegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_mutation_audit")
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    report, bad = {}, []
+    for m in selected:
+        name = m["entry"]
+        sql = oracles[name]
+        assert m["old"] in sql, f"{m['id']}: old text not found in {name} oracle"
+        mutated = dict(oracles)
+        mutated[name] = sql.replace(m["old"], m["new"])
+        assert mutated[name] != sql, f"{m['id']}: mutation is a no-op"
+        t0 = time.time()
+        rec = check_one(spark, con, qs, mutated, name, SF_DIR)
+        outcome = "killed" if rec["status"] == "FAIL" else "survived"
+        ok = (
+            outcome == "killed"
+            if m["expect"] == "killed"
+            else outcome == "survived"
+        )
+        report[m["id"]] = {
+            "entry": name, "cls": m["cls"], "desc": m["desc"],
+            "outcome": outcome, "expect": m["expect"], "ok": ok,
+            "adjudication": m.get("adjudication"),
+            "secs": round(time.time() - t0, 1),
+        }
+        flag = "OK " if ok else "BAD"
+        print(f"{m['id']} {flag} {outcome:8s} (expect {m['expect']}) {m['desc']}")
+        if not ok:
+            bad.append(m["id"])
+    n_killed = sum(1 for r in report.values() if r["outcome"] == "killed")
+    n_adj = sum(
+        1 for r in report.values()
+        if r["expect"] == "survives" and r["outcome"] == "survived"
+    )
+    print(
+        f"\noracle mutation audit: {n_killed} killed, {n_adj} adjudicated "
+        f"survivors, {len(bad)} UNEXPECTED: {bad or 'none'}"
+    )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
