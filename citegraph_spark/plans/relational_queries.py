@@ -445,20 +445,37 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     GK estimate (accuracy 10000, rank error <= n/10000) lands inside the
     exact [q-0.002, q+0.002] quantile envelope — 20x the guaranteed
     rank error, deterministic at every SF. Production at scale runs the
-    approx aggregate alone; the exact columns are the harness."""
+    approx aggregate alone; the exact columns are the harness.
+
+    The exact side runs through `grouped_exact_percentiles` (bounded
+    state: global_rank + rank-targeted conditional aggregation, every
+    step spillable) instead of `F.percentile`, whose collect-the-group
+    aggregation buffer OOMed — not spilled — at 6M rows/group on the
+    r12 spill board's 35 MiB floor (its one ERROR row, now green)."""
+    from ..operators.relational import grouped_exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    exact = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
-    apx = lambda q: F.percentile_approx("l_extendedprice", q, 10000)  # noqa: E731
-    in_bound = lambda q: apx(q).between(  # noqa: E731
-        exact(q - 0.002), exact(q + 0.002)
+    qs = [0.498, 0.5, 0.502, 0.898, 0.9, 0.902]
+    names = ["p498", "p50", "p502", "p898", "p90", "p902"]
+    ex = grouped_exact_percentiles(
+        li.select(F.col("l_returnflag").alias("flag"), "l_extendedprice"),
+        "flag",
+        "l_extendedprice",
+        qs,
+        names,
+    )
+    apx = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a90"),
     )
     return (
-        li.groupBy(F.col("l_returnflag").alias("flag"))
-        .agg(
-            F.round(exact(0.5), 4).alias("p50_exact"),
-            F.round(exact(0.9), 4).alias("p90_exact"),
-            in_bound(0.5).alias("p50_in_bound"),
-            in_bound(0.9).alias("p90_in_bound"),
+        ex.join(apx, "flag")
+        .select(
+            "flag",
+            F.round("p50", 4).alias("p50_exact"),
+            F.round("p90", 4).alias("p90_exact"),
+            F.col("a50").between(F.col("p498"), F.col("p502")).alias("p50_in_bound"),
+            F.col("a90").between(F.col("p898"), F.col("p902")).alias("p90_in_bound"),
         )
         .orderBy("flag")
     )

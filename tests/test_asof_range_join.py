@@ -244,3 +244,38 @@ def test_dedup_incremental_flags_planted_exact_dup(spark):
     out = {r["doc_id"]: r["status"] for r in dedup_incremental(spark, d).collect()}
     assert out[new_exact] == "exact_dup"
     assert out[new_near] == "near_dup"
+
+
+def test_grouped_exact_percentiles_matches_percentile(spark):
+    """Bounded-state exact percentiles (global_rank + rank-targeted
+    aggregation; the r12 spill-board ERROR fix) must reproduce
+    F.percentile's interpolated definition exactly — including
+    fractional positions and the n=1 group edge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from citegraph_spark.operators.relational import grouped_exact_percentiles
+
+    rnd = random.Random(7)
+    rows = [("a", float(rnd.randint(0, 10_000)) / 100) for _ in range(997)]
+    rows += [("b", float(v)) for v in (5.0, 1.0, 3.0, 2.0)]
+    rows += [("c", 42.0)]  # single-element group: every q -> 42.0
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.902, 1.0]
+    names = [f"p{i}" for i in range(len(qs))]
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in grouped_exact_percentiles(df, "g", "v", qs, names).collect()
+    }
+    want = {
+        r["g"]: [r[n] for n in names]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(q)).alias(n) for q, n in zip(qs, names)])
+        .collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in got:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+    assert got["c"] == [42.0] * len(qs)
