@@ -39,6 +39,20 @@ frames (cumulative and N-PRECEDING) ordered by deliberately TIED keys —
 tie-safe because RANGE pools peers, with exact-decimal sums so no float
 order can hide.
 
+Grammar v7 (round 13) reaches the multiplicity/filtered-aggregate
+surface: one-to-many FAN-OUT joins (orders→lineitem etc. — parent rows
+duplicate through the child, so aggregates see multiplicities the
+unique-dim FK chains never produce; LEFT fan-out null-extends childless
+parents so count-over-NULL-children and sum-of-nothing corners fire),
+aggregate FILTER clauses (agg(x) FILTER (WHERE p) vs Spark's
+agg(CASE WHEN p THEN x END) — the all-rows-filtered-out group must
+yield NULL, not 0, and a NULL predicate must act as false),
+sum(DISTINCT ...) over exact decimals/ints, and explicit GROUPING SETS
+(random subset lattices beside the existing ROLLUP/CUBE, rendered via
+DataFrame.groupingSets with GROUPING() disambiguators). Windows are
+suppressed under fan-out joins (the duplicated PK voids the row-unique
+order contract, same rule as right/full outer).
+
 Determinism policy (mirrors the registry's): aggregation over doubles is
 rendered `round(agg(x), 2|6)` on BOTH sides (the repo-wide double-sum
 policy); LIMIT is only emitted after an ORDER BY over every output column
@@ -148,6 +162,19 @@ FKS: dict[str, list[tuple[str, str, str]]] = {
     "customer": [("c_nationkey", "nation", "n_nationkey")],
     "supplier": [("s_nationkey", "nation", "n_nationkey")],
     "nation": [("n_regionkey", "region", "r_regionkey")],
+}
+
+# v7: parent PK -> (pk_col, child table, child FK): one-to-many edges
+# where joining DUPLICATES parent rows (the multiplicity corner).
+# Child column names never collide with any reachable parent/dim chain
+# (TPC-H prefix discipline).
+FANOUT: dict[str, list[tuple[str, str, str]]] = {
+    "orders": [("o_orderkey", "lineitem", "l_orderkey")],
+    "customer": [("c_custkey", "orders", "o_custkey")],
+    "part": [("p_partkey", "lineitem", "l_partkey")],
+    "supplier": [("s_suppkey", "lineitem", "l_suppkey")],
+    "nation": [("n_nationkey", "customer", "c_nationkey"),
+               ("n_nationkey", "supplier", "s_nationkey")],
 }
 
 # columns eligible as comparison/IN/LIKE literals (bounded, well-behaved
@@ -640,7 +667,14 @@ class Plan:
         # (fn, col, alias, round_digits)
         self.projections: list[tuple[Expr, str]] = []  # (expr, alias)
         self.having: Expr | None = None
-        self.group_mode = "plain"  # plain | rollup | cube
+        self.group_mode = "plain"  # plain | rollup | cube | sets
+        self.gsets: list[list[int]] | None = None
+        # v7 (group_mode == "sets"): explicit GROUPING SETS as distinct
+        # index-subsets of group_keys (may include the empty set)
+        self.fanout_children: set[str] = set()
+        # v7: dims in self.joins that are one-to-many CHILDREN of the
+        # base (fan-out). Rendered identically in SQL; the Spark side
+        # skips the broadcast hint (a real child side is the BIG side)
         self.setop: tuple[str, list[Expr]] | None = None
         # (UNION ALL | INTERSECT | EXCEPT, alternative filter list) —
         # projection-form only; both operands share the projection list
@@ -691,13 +725,19 @@ class Plan:
             if self.group_mode != "plain":
                 sel += [f"GROUPING({k.sql()}) AS g{i}"
                         for i, k in enumerate(self.group_keys)]
-            for fn, col, alias, nd in self.aggs:
-                sel.append(f"{self._agg_sql(fn, col, nd)} AS {alias}")
+            for fn, col, alias, nd, filt in self.aggs:
+                sel.append(f"{self._agg_sql(fn, col, nd, filt)} AS {alias}")
             gb = ""
             if self.group_keys:
                 keys = ", ".join(k.sql() for k in self.group_keys)
                 if self.group_mode == "plain":
                     gb = f" GROUP BY {keys}"
+                elif self.group_mode == "sets":
+                    sets_sql = ", ".join(
+                        "(" + ", ".join(self.group_keys[i].sql()
+                                        for i in s) + ")"
+                        for s in self.gsets)
+                    gb = f" GROUP BY GROUPING SETS ({sets_sql})"
                 else:
                     gb = f" GROUP BY {self.group_mode.upper()}({keys})"
             hv = ""
@@ -744,15 +784,19 @@ class Plan:
         return q
 
     @staticmethod
-    def _agg_sql(fn: str, col: Col | None, nd: int | None) -> str:
+    def _agg_sql(fn: str, col: Col | None, nd: int | None,
+                 filt: Expr | None = None) -> str:
         if fn == "count_star":
-            return "count(*)"
-        inner = {"count": "count", "count_distinct": "count(DISTINCT {})",
-                 "sum": "sum", "min": "min", "max": "max", "avg": "avg"}
-        if fn == "count_distinct":
-            e = inner[fn].format(col.sql())
+            e = "count(*)"
+        elif fn == "count_distinct":
+            e = f"count(DISTINCT {col.sql()})"
+        elif fn == "sum_distinct":
+            e = f"sum(DISTINCT {col.sql()})"
         else:
-            e = f"{inner[fn]}({col.sql()})"
+            e = f"{fn}({col.sql()})"
+        if filt is not None:
+            # v7: FILTER attaches to the aggregate (inside any round)
+            e = f"{e} FILTER (WHERE {filt.sql()})"
         if nd is not None:
             e = f"round({e}, {nd})"
         return e
@@ -782,10 +826,13 @@ class Plan:
             lhs = df[fk]
             if fk_null is not None:
                 lhs = F.nullif(lhs, F.lit(fk_null))
-            if how in ("right", "full"):
+            if how in ("right", "full") or dim in self.fanout_children:
                 # BroadcastHashJoin cannot null-extend the build side, so
                 # the hint would be ignored (or worse, force a BNLJ plan
-                # at scale) — let AQE pick SMJ/SHJ for the outer pair
+                # at scale) — let AQE pick SMJ/SHJ for the outer pair.
+                # Fan-out children are the BIG side of a one-to-many
+                # join: hinting them broadcast would be the anti-pattern
+                # plan lint exists to catch, so AQE decides there too.
                 df = df.join(d, on=lhs == d[dk], how=how)
             else:
                 df = df.join(F.broadcast(d), on=lhs == d[dk], how=how)
@@ -841,14 +888,24 @@ class Plan:
             if self.group_mode != "plain":
                 aggs += [F.grouping(k.spark(F)).alias(f"g{i}")
                          for i, k in enumerate(self.group_keys)]
-            for fn, col, alias, nd in self.aggs:
+            for fn, col, alias, nd, filt in self.aggs:
+                arg = F.lit(1) if fn == "count_star" else col.spark(F)
+                if filt is not None:
+                    # v7 FILTER clause: agg(CASE WHEN p THEN x END) —
+                    # a NULL/false predicate yields NULL, which every
+                    # aggregate ignores; an all-filtered group yields
+                    # NULL (sum/min/max/avg) or 0 (counts), exactly
+                    # SQL's FILTER semantics
+                    arg = F.when(filt.spark(F), arg)
                 if fn == "count_star":
-                    e = F.count(F.lit(1))
+                    e = F.count(arg)
                 elif fn == "count_distinct":
-                    e = F.countDistinct(col.spark(F))
+                    e = F.countDistinct(arg)
+                elif fn == "sum_distinct":
+                    e = F.sum_distinct(arg)
                 else:
                     e = {"count": F.count, "sum": F.sum, "min": F.min,
-                         "max": F.max, "avg": F.avg}[fn](col.spark(F))
+                         "max": F.max, "avg": F.avg}[fn](arg)
                 if nd is not None:
                     e = F.round(e, nd)
                 aggs.append(e.alias(alias))
@@ -866,8 +923,15 @@ class Plan:
                     df = df.filter(
                         _cmp_col(hop, F.col("_hv"), F.lit(hlit))).drop("_hv")
             else:
-                grouped = (df.rollup if self.group_mode == "rollup"
-                           else df.cube)(*[k.spark(F) for k in self.group_keys])
+                if self.group_mode == "sets":
+                    grouped = df.groupingSets(
+                        [[self.group_keys[i].spark(F) for i in s]
+                         for s in self.gsets],
+                        *[k.spark(F) for k in self.group_keys])
+                else:
+                    grouped = (df.rollup if self.group_mode == "rollup"
+                               else df.cube)(
+                                   *[k.spark(F) for k in self.group_keys])
                 df = grouped.agg(*aggs)
                 for k, a in zip(self.group_keys, self._key_aliases()):
                     df = df.withColumnRenamed(k.name, a)
@@ -924,7 +988,7 @@ class Plan:
             names = list(self._key_aliases())
             if self.group_mode != "plain":
                 names += [f"g{i}" for i in range(len(self.group_keys))]
-            return names + [a for _, _, a, _ in self.aggs]
+            return names + [a for _, _, a, _, _ in self.aggs]
         return ([a for _, a in self.projections]
                 + [a for *_, a in self.corr_subs])
 
@@ -983,6 +1047,25 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                 nl = rng.choice(pools[(dim, dk)])
             plan.in_subs.append((fk, dim, dk, rng.random() < 0.4, pre, nl))
 
+    # v7: one-to-many fan-out join — parent rows DUPLICATE through the
+    # child, so downstream aggregates/DISTINCT/set-ops see row
+    # multiplicities the unique-keyed FK chains never produce. INNER
+    # drops childless parents; LEFT null-extends them (count over a
+    # childless group is 0, sum/min/max NULL — both must agree). A
+    # child prefilter under LEFT is the classic
+    # filter-inside-vs-outside-the-outer-join trap, rendered inside on
+    # both sides.
+    if base in FANOUT and rng.random() < 0.3:
+        pk, child, cfk = rng.choice(FANOUT[base])
+        how = "inner" if rng.random() < 0.6 else "left"
+        pre = None
+        if rng.random() < 0.4:
+            pre = gen_pred(rng, [(c, t, child) for c, t in TABLES[child].items()],
+                           pools, allow_bool=False)
+        plan.joins.append((pk, child, cfk, how, pre, None))
+        plan.fanout_children.add(child)
+        avail += [(c, ty, child) for c, ty in TABLES[child].items()]
+
     # 0-2 filters
     for _ in range(rng.randint(0, 2)):
         p = gen_pred(rng, avail, pools, allow_bool=True)
@@ -1025,17 +1108,35 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
         for i in range(n_aggs):
             fn = rng.choice(
                 ["count_star", "count", "count_distinct", "sum", "min",
-                 "max", "avg"]
+                 "max", "avg", "sum_distinct"]
             )
             alias = f"a{i}"
+            # v7: per-aggregate FILTER clause — the all-rows-filtered
+            # group (NULL sum vs 0 count) and NULL-predicate-is-false
+            # corners fire against real data
+            filt = None
+            if rng.random() < 0.3:
+                filt = gen_pred(rng, avail, pools, allow_bool=False)
             if fn == "count_star":
-                plan.aggs.append((fn, None, alias, None))
+                plan.aggs.append((fn, None, alias, None, filt))
+                continue
+            if fn == "sum_distinct":
+                # v7: DISTINCT sum — double goes through the exact
+                # decimal cast (the distinct SET is engine-identical, so
+                # the sum must be too; no round() escape hatch), int
+                # stays int (widened by both engines without loss)
+                if not numeric:
+                    plan.aggs.append(("count_star", None, alias, None, filt))
+                    continue
+                c, ty, _t = rng.choice(numeric)
+                e = DecCast(Col(c, ty)) if ty == "double" else Col(c, ty)
+                plan.aggs.append((fn, e, alias, None, filt))
                 continue
             if fn in ("count", "count_distinct", "min", "max"):
                 c, ty, _t = rng.choice(avail)
             else:
                 if not numeric:
-                    plan.aggs.append(("count_star", None, alias, None))
+                    plan.aggs.append(("count_star", None, alias, None, filt))
                     continue
                 c, ty, _t = rng.choice(numeric)
             if (fn in ("sum", "min", "max") and ty == "double"
@@ -1043,18 +1144,33 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                 # v5: exact DECIMAL(18,4) aggregation — scale-deterministic
                 # in both engines, so NO round() escape hatch: the hash
                 # compares exact decimal strings (sum keeps scale 4)
-                plan.aggs.append((fn, DecCast(Col(c, ty)), alias, None))
+                plan.aggs.append((fn, DecCast(Col(c, ty)), alias, None, filt))
                 continue
             nd = None
             if fn == "avg":
                 nd = 6
             elif fn in ("sum", "min", "max") and ty == "double":
                 nd = 2 if fn == "sum" else None
-            plan.aggs.append((fn, Col(c, ty), alias, nd))
+            plan.aggs.append((fn, Col(c, ty), alias, nd, filt))
         if plan.group_keys and rng.random() < 0.3:
-            # subtotal lattice: rollup/cube + GROUPING markers (the
-            # markers disambiguate subtotal NULLs from real NULL keys)
-            plan.group_mode = rng.choice(["rollup", "rollup", "cube"])
+            # subtotal lattice: rollup/cube/explicit GROUPING SETS +
+            # GROUPING markers (the markers disambiguate subtotal NULLs
+            # from real NULL keys)
+            plan.group_mode = rng.choice(["rollup", "rollup", "cube",
+                                          "sets", "sets"])
+            if plan.group_mode == "sets":
+                # v7: the full key set (every selected key must appear
+                # in >=1 grouping set or the SQL is invalid) plus 1-2
+                # random DISTINCT proper subsets — possibly the empty
+                # grand-total set, which arms the empty-input guard
+                from itertools import combinations
+
+                idx = list(range(len(plan.group_keys)))
+                others = [list(s) for r in range(len(idx))
+                          for s in combinations(idx, r)]
+                rng.shuffle(others)
+                plan.gsets = (
+                    [idx] + others[: rng.randint(1, min(2, len(others)))])
         elif plan.group_keys:
             # v5: NULL group keys (plain mode only — a NULLIF key under
             # rollup/cube would need GROUPING to disambiguate, and the
@@ -1066,7 +1182,7 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                         plan.group_keys[i], rng.choice(pools[(t, c)]))
         if rng.random() < 0.35:
             # having on a count-ish output
-            counts = [a for fn, _c, a, _nd in plan.aggs
+            counts = [a for fn, _c, a, _nd, _f in plan.aggs
                       if fn in ("count_star", "count", "count_distinct")]
             if counts:
                 a = rng.choice(counts)
@@ -1102,8 +1218,10 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
         # optional window column (PKs stay row-unique through FK joins —
-        # but NOT through right/full joins, which null-extend the PK)
-        if rng.random() < 0.5 and not has_outer_fact:
+        # but NOT through right/full joins, which null-extend the PK,
+        # nor through v7 fan-out joins, which duplicate it)
+        if (rng.random() < 0.5 and not has_outer_fact
+                and not plan.fanout_children):
             e = gen_window(rng, base, avail, pools)
             if e is not None:
                 plan.projections.append((e, f"p{len(plan.projections)}"))
@@ -1232,7 +1350,7 @@ def gen_window(rng, base: str, avail, pools) -> Expr | None:
             # v5: NULL partition keys — both engines put the NULLs in
             # ONE partition; the PK order keys keep rows deterministic
             part = NullIf(part, rng.choice(pools[(t, c)]))
-    if rng.random() < 0.25:
+    if rng.random() < 0.35:
         # v6: RANGE frame ordered by a deliberately TIED int key —
         # deterministic because RANGE pools order-key peers into the
         # same frame. Order key restricted to BASE columns (a left join
