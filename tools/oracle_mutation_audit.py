@@ -144,6 +144,78 @@ MUTANTS = [
         old="p_size BETWEEN 1 AND 15", new="p_size BETWEEN 1 AND 16",
         expect="killed",
     ),
+    # ---- round-13 extension: clause classes the first pass didn't touch
+    dict(
+        id="OM11", entry="q16_supplier_part_counts",
+        cls="dropped-distinct",
+        desc="count(DISTINCT suppkey) loses its DISTINCT (multiplicity "
+             "inflates supplier_cnt wherever a supplier ships a part "
+             "more than once)",
+        old="count(DISTINCT l.l_suppkey)", new="count(l.l_suppkey)",
+        expect="killed",
+    ),
+    dict(
+        id="OM12", entry="except_all_supplier_flags",
+        cls="multiset-flip",
+        desc="EXCEPT ALL becomes EXCEPT (bag difference collapses to set "
+             "difference; every surplus count degrades to 1)",
+        old="EXCEPT ALL", new="EXCEPT",
+        expect="killed",
+    ),
+    dict(
+        id="OM13", entry="events_top_users_per_type",
+        cls="topk-off-by-one",
+        desc="per-type top-5 becomes top-6",
+        old="rn <= 5", new="rn <= 6",
+        expect="killed",
+    ),
+    dict(
+        id="OM14", entry="q13_customer_distribution",
+        cls="outer-join-condition-motion",
+        desc="the ON-clause order filter moves to WHERE (the classic "
+             "left-join-becomes-inner trap: NULL-extended customers no "
+             "longer survive, the c_count=0 bucket vanishes)",
+        old="   AND o.o_orderpriority <> '4-NOT SPECIFIED'",
+        new="  WHERE o.o_orderpriority <> '4-NOT SPECIFIED'",
+        expect="survives",
+        adjudication=(
+            "Second real coverage hole found by this audit: at "
+            "sf0.001/sf0.01 EVERY customer has >=1 qualifying order "
+            "(verified by direct count), so the c_count=0 bucket — the "
+            "entire point of Q13's LEFT OUTER JOIN — is unconstrained "
+            "at the driver's certification SF. The three-SF board's "
+            "sf0.1 leg kills this mutant (7 customers without "
+            "qualifying orders exist there; judge-reproducible with "
+            "ORACLE_SF_DIR=/root/testdata/sf0.1), and "
+            "tests/test_q13_zero_bucket.py now pins the zero-bucket "
+            "through the REAL registered query on planted childless/"
+            "all-excluded customers at every SF."
+        ),
+    ),
+    dict(
+        id="OM15", entry="events_windowed_agg",
+        cls="window-bucket-resize",
+        desc="15-minute tumbling buckets become 30-minute",
+        old="INTERVAL '15 minutes'", new="INTERVAL '30 minutes'",
+        expect="killed",
+    ),
+    dict(
+        id="OM16", entry="heavy_hitters_exact",
+        cls="limit-shift",
+        desc="top-20 token list becomes top-19",
+        old="LIMIT 20", new="LIMIT 19",
+        expect="killed",
+    ),
+    dict(
+        id="OM17", entry="events_top_users_per_type",
+        cls="window-partition-drop",
+        desc="row_number loses PARTITION BY event_type (per-type top-5 "
+             "becomes one global top-5)",
+        old="OVER (PARTITION BY event_type\n"
+            "                               ORDER BY n DESC, user_id)",
+        new="OVER (ORDER BY n DESC, user_id)",
+        expect="killed",
+    ),
 ]
 
 
