@@ -264,6 +264,19 @@ MUTANTS: list[dict] = [
         gates={"oracle": ["text_heaps_law"], "boundary": ["text_heaps_law"],
                "determinism": ["text_heaps_law"]},
     ),
+    dict(
+        id="M24", cls="percentile-interpolation-flip",
+        desc="grouped_exact_percentiles targets ceil(pos) for the LOW "
+             "neighbor (the r13 bounded-state certificate operator: "
+             "interpolation collapses to the upper neighbor at every "
+             "fractional rank position)",
+        file="citegraph_spark/operators/relational.py",
+        old="        v_lo = F.max(F.when(rn == F.floor(pos), F.col(value_col)))",
+        new="        v_lo = F.max(F.when(rn == F.ceil(pos), F.col(value_col)))",
+        gates={"oracle": ["approx_percentile_prices"],
+               "pytest": ["tests/test_asof_range_join.py::"
+                          "test_grouped_exact_percentiles_matches_percentile"]},
+    ),
 ]
 
 
