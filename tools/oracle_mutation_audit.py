@@ -216,6 +216,75 @@ MUTANTS = [
         new="OVER (ORDER BY n DESC, user_id)",
         expect="killed",
     ),
+    # ---- round-13 second extension: samplers, iterative graph, funnel
+    # boundaries, streaming cutoffs, shingles, tokenizer classes
+    dict(
+        id="OM18", entry="sample_stratified",
+        cls="sampler-fraction-shift",
+        desc="non-en keep fraction 25% becomes 24% (one md5 bucket of "
+             "non-en docs flips out of the sample)",
+        old="ELSE 25 END", new="ELSE 24 END",
+        expect="killed",
+    ),
+    dict(
+        id="OM19", entry="graph_kcore",
+        cls="core-threshold-shift",
+        desc="every peeling iteration's degree threshold k=3 becomes "
+             "k=4 (computes the 4-core instead)",
+        old="da.dg >= 3 AND db.dg >= 3", new="da.dg >= 4 AND db.dg >= 4",
+        expect="killed",
+    ),
+    dict(
+        id="OM20", entry="events_funnel",
+        cls="boundary-comparison-flip",
+        desc="funnel step-advance strictness: click qualifies at "
+             "EXACTLY the first-view timestamp (ts > t1 becomes >=)",
+        old="AND e.ts > v.t1", new="AND e.ts >= v.t1",
+        expect="survives",
+        adjudication=(
+            "Fourth coverage hole of this audit (OM04/OM14 class): NO "
+            "click event shares an exact timestamp with any user's "
+            "first view at ANY of the three SFs (verified by direct "
+            "count), so the funnel's strictly-after semantics are "
+            "data-unconstrained everywhere. Pinned by "
+            "tests/test_oracle_vacuity_pins.py::"
+            "test_funnel_click_at_exact_first_view_ts_does_not_advance "
+            "— the REAL registered query over planted exact-ts events."
+        ),
+    ),
+    dict(
+        id="OM21", entry="streaming_windowed_append",
+        cls="watermark-cutoff-shift",
+        desc="append-mode finalization cutoff 30min becomes 15min (one "
+             "not-yet-final window leaks into the emitted set)",
+        old="m - INTERVAL '30 minutes'", new="m - INTERVAL '15 minutes'",
+        expect="killed",
+    ),
+    dict(
+        id="OM22", entry="dedup_minhash_lsh",
+        cls="shingle-width-shift",
+        desc="3-token shingles become 2-token (different Jaccard "
+             "universe: candidate pairs and verified similarities move)",
+        old="list_slice(toks, i, i + 2)", new="list_slice(toks, i, i + 1)",
+        expect="killed",
+    ),
+    dict(
+        id="OM23", entry="text_token_count",
+        cls="tokenizer-class-shift",
+        desc="underscore declassed from word characters "
+             "([a-z0-9_] -> [a-z0-9] in both alternates)",
+        old="'[a-z0-9_]+|[^a-z0-9_\\s]'", new="'[a-z0-9]+|[^a-z0-9\\s]'",
+        expect="survives",
+        adjudication=(
+            "Fifth coverage hole of this audit (OM04/OM14/OM20 class): "
+            "no document text contains '_' at ANY of the three SFs "
+            "(verified by direct count), so the tokenizer's underscore "
+            "word-class is data-unconstrained everywhere. Pinned by "
+            "tests/test_oracle_vacuity_pins.py::"
+            "test_token_count_treats_underscore_as_word_char — the REAL "
+            "registered query over planted underscore docs."
+        ),
+    ),
 ]
 
 
