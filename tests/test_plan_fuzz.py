@@ -34,8 +34,13 @@ from tools.plan_fuzz import (
 # int64 and overflows on (18,4)² of ~1e5 values; DecCast now renders
 # the DuckDB side at width 19 to force hugeint math (oracle-side
 # limitation, not an engine defect — Spark computed the product fine).
+# 46655 (v7 sweep): round(avg(INT), 6) landed EXACTLY on a .5 rounding
+# boundary (2659/640 = 4.1546875) — Spark rounds the shortest-decimal
+# repr HALF_UP, DuckDB rounds the true binary value just below the
+# boundary. Int avgs (exact ratios — the only case that can hit a
+# boundary exactly) now render unrounded on both sides.
 PINNED_SEEDS = list(range(40)) + [259, 356, 707, 903, 860, 880, 5634,
-                                  2189]
+                                  2189, 46655]
 
 
 @pytest.fixture(scope="module")

@@ -1148,7 +1148,19 @@ def gen_plan(seed: int, pools: dict[tuple[str, str], list]) -> Plan:
                 continue
             nd = None
             if fn == "avg":
-                nd = 6
+                # v7 fix (seed 46655, the fuzzer's 3rd boundary catch):
+                # an INT avg is an exact ratio, so it can land EXACTLY on
+                # a rounding boundary (2659/640 = 4.1546875) where the
+                # engines' round() semantics split: Spark rounds the
+                # shortest-decimal repr HALF_UP (4.154688), DuckDB
+                # rounds the true binary double, which sits just below
+                # the boundary (4.154687). The doubles themselves are
+                # bit-identical (exact int sum, one division), so int
+                # avgs go UNROUNDED and the hash normalizer compares
+                # them directly; double avgs keep round6 (accumulation
+                # noise is the bigger term there, and a noisy value
+                # almost surely misses an exact boundary).
+                nd = 6 if ty == "double" else None
             elif fn in ("sum", "min", "max") and ty == "double":
                 nd = 2 if fn == "sum" else None
             plan.aggs.append((fn, Col(c, ty), alias, nd, filt))
