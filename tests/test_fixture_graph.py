@@ -134,3 +134,22 @@ def test_connected_components_hand_graph(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.parametrize("year", [1997, 1998])
+def test_distributed_bfs_matches_local_exact(spark, year):
+    """Force the DISTRIBUTED frontier-BFS path (local_threshold=0) and
+    pin it to the driver-local exact BFS on the same fixture snapshot —
+    covers the wedge-centered d=2 candidate round (r13 optimization),
+    which the fixture entries otherwise bypass via the local cutover."""
+    from citegraph_spark.operators.graph import (
+        _local_pairs_by_distance,
+        connected_pairs_by_distance,
+    )
+
+    edges = snapshot_edges(fixture_citations(spark), fixture_published(spark), year)
+    dist = connected_pairs_by_distance(edges, max_d=20, local_threshold=0)
+    local = _local_pairs_by_distance(
+        [(r[0], r[1]) for r in edges.collect()], max_d=20
+    )
+    assert dist == local == EXPECTED_HOPPLOT_FULL[year]
