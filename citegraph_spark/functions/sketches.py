@@ -54,7 +54,7 @@ import contextlib
 import gc
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -97,7 +97,13 @@ def init_counters_dense(nodes: DataFrame, p: int = 6, node_col: str = "node") ->
     Cheaper than init_counters + densify when `nodes` has duplicates
     (e.g. the src column of an edge list): the m-way `when` projection
     runs once per distinct node, not once per input row, and the only
-    shuffle is the distinct itself (8-byte rows)."""
+    shuffle is the distinct itself (8-byte rows).
+
+    The m register projections are built as ONE selectExpr (r13
+    optimization, guide §4 — the Python boundary): constructing them
+    with per-column pyspark.sql.functions calls cost ~1 s of driver
+    Py4J round-trips per invocation at m=64; the SQL strings parse
+    JVM-side into the identical Catalyst expressions in one call."""
     m = 1 << p
     h = F.xxhash64("node")
     w = F.shiftrightunsigned(h, p)
@@ -110,30 +116,39 @@ def init_counters_dense(nodes: DataFrame, p: int = 6, node_col: str = "node") ->
         .withColumn("_rho", rho.cast("int"))
     )
     regs = [
-        F.when(F.col("_idx") == i, F.col("_rho")).otherwise(0).cast("tinyint").alias(f"r{i}")
+        f"cast(CASE WHEN _idx = {i} THEN _rho ELSE 0 END AS tinyint) AS r{i}"
         for i in range(m)
     ]
-    return base.select("node", *regs)
+    return base.selectExpr("node", *regs)
 
 
-def _estimate_expr(p: int):
-    """Per-row HLL estimate over dense register columns r0..r{m-1} —
-    identical math to estimate_total_dense, factored out so it can ride
-    a `DataFrame.observe` on the absorb job."""
+def _estimate_sql(p: int) -> str:
+    """Per-row HLL estimate over dense register columns r0..r{m-1} as a
+    single SQL string — rides a `DataFrame.observe` on the absorb job
+    (hyperball_hopplot) and the standalone estimate_total_dense pass.
+
+    r13 optimization (guide §§1.2, 4): 2^-r is computed as
+    1.0 / shiftleft(1L, r) — exact for every register value (r <=
+    64-p+1 < 63, and both pow(2.0,-r) and the shifted divide return the
+    identical IEEE double), but an integer shift instead of a
+    transcendental pow call per (row x register): measured 3-8 s ->
+    ~1 s per estimate pass at sf0.1 under the loop's interpreted
+    (codegen-off) regime. Built as one string so the 2m-term tree costs
+    one Py4J call, not ~4m."""
     m = 1 << p
     alpha = _alpha(m)
-    denom = None
-    zeros = None
-    for i in range(m):
-        term = F.pow(F.lit(2.0), -F.col(f"r{i}"))
-        z = F.when(F.col(f"r{i}") == 0, 1).otherwise(0)
-        denom = term if denom is None else denom + term
-        zeros = z if zeros is None else zeros + z
-    raw = F.lit(alpha * m * m) / denom
-    return F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    denom = " + ".join(
+        f"(1.0D / cast(shiftleft(1L, r{i}) as double))" for i in range(m)
+    )
+    zeros = " + ".join(
+        f"(CASE WHEN r{i} = 0 THEN 1 ELSE 0 END)" for i in range(m)
+    )
+    raw = f"({alpha * m * m!r}D / ({denom}))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * m!r}D AND ({zeros}) > 0 "
+        f"THEN {float(m)!r}D * ln({float(m)!r}D / ({zeros})) "
+        f"ELSE {raw} END"
+    )
 
 
 def densify(counters: DataFrame, p: int = 6) -> DataFrame:
@@ -177,21 +192,7 @@ def estimate_total_dense(counters: DataFrame, p: int = 6) -> float:
     """Sum over nodes of HLL estimates on the dense layout — identical
     math to `estimate_total` (a zero register contributes 2^0 = 1 to the
     denominator, exactly the `zeros` term of the sparse path)."""
-    m = 1 << p
-    alpha = _alpha(m)
-    denom = None
-    zeros = None
-    for i in range(m):
-        term = F.pow(F.lit(2.0), -F.col(f"r{i}"))
-        z = F.when(F.col(f"r{i}") == 0, 1).otherwise(0)
-        denom = term if denom is None else denom + term
-        zeros = z if zeros is None else zeros + z
-    raw = F.lit(alpha * m * m) / denom
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
-    row = counters.agg(F.sum(est).alias("total")).first()
+    row = counters.agg(F.expr(f"sum({_estimate_sql(p)}) AS total")).first()
     return float(row["total"] or 0.0)
 
 
@@ -298,19 +299,29 @@ def hyperball_hopplot(
 
         out: list[tuple[int, float]] = []
         prev_total = float(n)  # N(0): every node reaches itself
+        max_aggs = [F.expr(f"max({c}) AS {c}") for c in cols]
+        est_sum = F.expr(f"sum({_estimate_sql(p)})").alias("total")
         for d in range(1, max_d + 1):
             build = (
                 F.broadcast(counters)
                 if use_broadcast
                 else counters.hint("shuffle_hash")
             )
+            # the round estimate rides the checkpoint materialization as
+            # an `observe` metric (r13 optimization, guide §1.2): the
+            # estimate previously ran as a separate per-round job over
+            # the checkpointed counters — same sum, one job instead of
+            # two per round, and the observed aggregate is computed on
+            # the absorb output rows as they materialize
+            obs = Observation(f"hyperball_d{d}")
             nxt = (
                 edges_aug.join(build, edges_aug["dst"] == build["node"], "inner")
                 .select(edges_aug["src"].alias("node"), *cols)
                 .groupBy("node")
-                .agg(*[F.max(c).alias(c) for c in cols])
+                .agg(*max_aggs)
+                .observe(obs, est_sum)
             ).transform(cut_lineage)
-            total = estimate_total_dense(nxt, p=p)
+            total = float(obs.get["total"] or 0.0)
             counters = nxt
             # release superseded round state promptly: Python's lazy
             # collection of Py4J refs otherwise pins old checkpoint
