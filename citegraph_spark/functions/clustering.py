@@ -180,6 +180,21 @@ def kmeans_summary(
     )
 
 
+def _kcenter_dist_expr(center):
+    """Euclidean distance from `_v` to the literal `center`, built as ONE
+    SQL string (r13 optimization, guide §4): the Column-API form
+    (F.array of d lits + a zip_with closure + a fold closure) cost ~d+6
+    Py4J round-trips per selected center. repr() + D-suffix literals
+    round-trip float64 exactly, so the Catalyst expression is identical."""
+    from pyspark.sql import functions as F
+
+    lits = ", ".join(f"{float(x)!r}D" for x in center)
+    return F.expr(
+        f"sqrt(aggregate(zip_with(_v, array({lits}), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def kcenter_greedy(
     df,
     k: int,
@@ -218,14 +233,7 @@ def kcenter_greedy(
 
     cur = base.withColumn("_mind", F.lit(float("inf")))
     for rank in range(2, k + 1):
-        c = F.array(*[F.lit(float(x)) for x in center])
-        d = F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
+        d = _kcenter_dist_expr(center)
         cur = cur.withColumn("_mind", F.least(F.col("_mind"), d))
         if rank % checkpoint_every == 0:
             cur = cur.transform(cut_lineage)
@@ -240,6 +248,37 @@ def kcenter_greedy(
         center = best["_v"]
     base.unpersist()
     return out
+
+
+def _pca_step_plan(base, vec: list[float], d: int):
+    """One power-iteration step over the cached `_v` projection: the
+    fold-dot is projected ONCE per row (higher-order functions are not
+    CSE'd across aggregates — measured 1.5x on the whole step), then the
+    d+1 sums are ONE struct-wrapped aggregate.
+
+    Everything is built as two SQL strings (r13 optimization, guide §4 —
+    the Python boundary): the previous per-element Column-API
+    construction (F.array of d lits, two lambda closures, d+1 aggregate
+    calls) cost ~1 s of driver Py4J round-trips PER ITERATION at d=64,
+    dominating the ~0.2 s of actual execution. repr() literals with a D
+    suffix round-trip float64 exactly (shortest-repr parse is
+    correctly-rounded), so the Catalyst plan is identical to the old
+    expression tree."""
+    from pyspark.sql import functions as F
+
+    lits = ", ".join(f"{x!r}D" for x in vec)
+    dot_sql = (
+        f"aggregate(zip_with(_v, array({lits}), (a, b) -> a * b), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    agg_sql = (
+        "struct(sum(_dot) as t, "
+        + ", ".join(f"sum(_dot * _v[{j}]) as s{j}" for j in range(d))
+        + ")"
+    )
+    return base.select("_v", F.expr(dot_sql).alias("_dot")).agg(
+        F.expr(agg_sql).alias("_s")
+    )
 
 
 def pca_power_top1(
@@ -267,11 +306,16 @@ def pca_power_top1(
     base = df.select(v.alias("_v")).persist()
     d = len(base.first()["_v"])
 
-    stats = base.agg(
-        F.count("*").alias("n"),
-        *[F.avg(F.col("_v")[j]).alias(f"m{j}") for j in range(d)],
-        *[F.var_pop(F.col("_v")[j]).alias(f"s{j}") for j in range(d)],
-    ).collect()[0]
+    # 2d+1 aggregates built as ONE struct-wrapped SQL string (r13
+    # optimization, guide §4 — the Python boundary): per-column
+    # pyspark.sql.functions calls cost one Py4J round-trip each (~130
+    # driver round-trips here, ~1 s at d=64); the string parses JVM-side
+    # into the identical Catalyst aggregates in one call.
+    stats_sql = "struct(count(*) as n, " + ", ".join(
+        [f"avg(_v[{j}]) as m{j}" for j in range(d)]
+        + [f"var_pop(_v[{j}]) as s{j}" for j in range(d)]
+    ) + ")"
+    stats = base.agg(F.expr(stats_sql).alias("_s")).collect()[0]["_s"]
     n = stats["n"]
     mu = [stats[f"m{j}"] for j in range(d)]
     var = [stats[f"s{j}"] for j in range(d)]
@@ -281,24 +325,7 @@ def pca_power_top1(
     lams = []
     resid = float("inf")
     for _ in range(n_iters):
-        lit_v = F.array(*[F.lit(x) for x in vec])
-        dot = F.aggregate(
-            F.zip_with(F.col("_v"), lit_v, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # project the fold ONCE per row before aggregating: the d+1 sum
-        # expressions would otherwise each re-evaluate the O(d) fold
-        # (higher-order functions are not CSE'd across aggregates —
-        # measured 1.5x on the whole step)
-        proj = base.select("_v", dot.alias("_dot"))
-        row = proj.agg(
-            F.sum("_dot").alias("t"),
-            *[
-                F.sum(F.col("_dot") * F.col("_v")[j]).alias(f"s{j}")
-                for j in range(d)
-            ],
-        ).collect()[0]
+        row = _pca_step_plan(base, vec, d).collect()[0]["_s"]
         t = row["t"]
         cv = [(row[f"s{j}"] - t * mu[j]) / n for j in range(d)]
         lam = sum(cv[j] * vec[j] for j in range(d))  # Rayleigh quotient
