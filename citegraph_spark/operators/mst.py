@@ -28,7 +28,7 @@ set — the property the gate query and the unit tests assert.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -162,6 +162,17 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
         )
         jumps = 0
         while True:
+            # convergence rides the checkpoint materialization as an
+            # observed metric (r13 optimization, guide §1.2 — same idiom
+            # as the hyperball round estimate): a pointer moved this jump
+            # iff grand != parent on the joined row, so summing that flag
+            # under `observe` makes the doubling jump its OWN convergence
+            # check — the separate jumped-vs-parent join+count job that
+            # previously ran every 2nd jump is gone, and convergence is
+            # now seen every jump (one fewer idempotent doubling when the
+            # depth was even). The final parent table is unchanged: a
+            # jump at convergence is the identity.
+            obs = Observation(f"msf_jump_{jumps}")
             jumped = (
                 parent.alias("x")
                 .join(
@@ -171,23 +182,21 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
                     ),
                     "parent",
                 )
-                .select("comp", F.col("grand").alias("parent"))
+                .select(
+                    "comp",
+                    F.col("grand").alias("parent"),
+                    (F.col("parent") != F.col("grand")).alias("_moved"),
+                )
+                .observe(
+                    obs, F.sum(F.col("_moved").cast("bigint")).alias("moved")
+                )
                 .transform(cut_lineage)
             )
             jumps += 1
-            # depth halves per doubling — checking convergence every
-            # other jump halves the count-job overhead
-            if jumps % 2 == 0 or jumps >= 30:
-                changed = (
-                    jumped.alias("n")
-                    .join(parent.alias("o"), "comp")
-                    .filter(F.col("n.parent") != F.col("o.parent"))
-                    .count()
-                )
-                if changed == 0:
-                    parent = jumped
-                    break
-            parent = jumped
+            moved = obs.get["moved"] or 0
+            parent = jumped.drop("_moved")
+            if moved == 0:
+                break
         comp = (
             comp.join(parent.withColumnRenamed("comp", "_c"),
                       F.col("comp") == F.col("_c"), "left")
