@@ -1779,7 +1779,9 @@ def betweenness_sampled(
     )
 
 
-def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+def maximal_independent_set(
+    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 50_000
+) -> DataFrame:
     """Luby's maximal-independent-set algorithm (Luby 1986) as pure
     DataFrame rounds: each round every still-active node draws a
     deterministic priority md5(node|round); a node enters the MIS iff
@@ -1795,7 +1797,29 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
     certifies. edges: (src, dst), treated undirected, self-loops
     dropped. Returns (node,) — the MIS members among edge endpoints
     (callers with isolated vertices add them directly: they are always
-    in the MIS)."""
+    in the MIS).
+
+    Tail cutover (r13 optimization, guide §1.2): the surviving edge set
+    shrinks geometrically, so after the first couple of rounds the loop
+    degenerates into dozens of 1-3-task rounds whose cost is pure
+    per-round fixed overhead (4 jobs + driver planning each — measured
+    ~4 s of an 8.5 s gate). Once the surviving directed edge set fits
+    `local_threshold` rows, the REMAINING rounds run driver-side over
+    the collected tail — the identical md5-priority recurrence
+    (deterministic by construction, so the result is bit-equal; the
+    gate's independent replay and the oracle certify it), with the same
+    round indices and the same max_rounds bound. The collect is bounded
+    by `local_threshold` rows — driver-sized at any data scale, the
+    same argument as connected_pairs_by_distance's local BFS cutover.
+    Per-round counts ride the round's own checkpoint materialization as
+    observed metrics instead of separate count jobs."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Observation
+
+    from ..errors import ConvergenceError
+
     base = edges.filter(F.col("src") != F.col("dst"))
     adj = (
         base.select("src", "dst")
@@ -1805,12 +1829,56 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active = adj.select(F.col("src").alias("node")).distinct().transform(cut_lineage)
+    n_edges = adj.count()  # materializes the persist
+    obs0 = Observation("mis_active_0")
+    active = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .transform(cut_lineage)
+    )
+    n_active = obs0.get["n"]
     cur = adj
     mis: DataFrame | None = None
+    node_schema = active.schema
 
-    for r in range(max_rounds):
-        if active.limit(1).count() == 0:
+    r = 0
+    while r < max_rounds:
+        if n_active == 0:
+            break
+        if n_edges <= local_threshold:
+            # driver-local finish of the tail rounds (exact same
+            # recurrence, continuing round index)
+            amap: defaultdict[object, set] = defaultdict(set)
+            for row in cur.select("src", "dst").collect():
+                amap[row[0]].add(row[1])
+            act = {row[0] for row in active.collect()}
+            out: set = set()
+            while act and r < max_rounds:
+                p = {
+                    v: hashlib.md5(f"{v}|{r}".encode()).hexdigest()
+                    for v in act
+                }
+                sel_l = {
+                    v
+                    for v in act
+                    if all(p[v] < p[u] for u in amap[v] if u in act)
+                }
+                out |= sel_l
+                rem = set(sel_l)
+                for v in sel_l:
+                    rem |= amap[v] & act
+                act -= rem
+                r += 1
+            if act:
+                adj.unpersist()
+                raise ConvergenceError("maximal_independent_set", max_rounds)
+            n_active = 0
+            if out:
+                tail_df = edges.sparkSession.createDataFrame(
+                    [(v,) for v in sorted(out)], node_schema
+                )
+                mis = tail_df if mis is None else mis.unionByName(tail_df)
             break
         pri = active.withColumn(
             "p", F.md5(F.concat_ws("|", F.col("node").cast("string"), F.lit(str(r))))
@@ -1838,26 +1906,36 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 40) -> DataFrame
             )
             .distinct()
         )
-        active = active.join(removed, "node", "left_anti").transform(cut_lineage)
+        obs_a = Observation(f"mis_active_{r + 1}")
+        active = (
+            active.join(removed, "node", "left_anti")
+            .observe(obs_a, F.count(F.lit(1)).alias("n"))
+            .transform(cut_lineage)
+        )
+        n_active = obs_a.get["n"]
+        obs_e = Observation(f"mis_edges_{r + 1}")
         cur = (
             cur.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .observe(obs_e, F.count(F.lit(1)).alias("n"))
             .transform(cut_lineage)
         )
+        n_edges = obs_e.get["n"]
+        r += 1
 
     adj.unpersist()
-    if active.limit(1).count() != 0:
+    if n_active != 0:
         # active nodes remain: the set is independent but NOT maximal,
         # which downstream consumers cannot distinguish — fail loudly.
-        from ..errors import ConvergenceError
-
         raise ConvergenceError("maximal_independent_set", max_rounds)
     if mis is None:
         return edges.sparkSession.createDataFrame([], "node long")
     return mis
 
 
-def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+def maximal_matching(
+    edges: DataFrame, max_rounds: int = 40, local_threshold: int = 50_000
+) -> DataFrame:
     """Deterministic maximal matching in parallel rounds (the
     Israeli-Itai shape with md5 edge priorities): each round every
     surviving edge draws priority md5(a|b|round); an edge is matched
@@ -1875,7 +1953,23 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     semi/anti joins; the surviving edge set shrinks geometrically and
     the original input is never re-scanned. edges: (src, dst),
     undirected, self-loops dropped. Returns (a, b) canonical matched
-    pairs."""
+    pairs.
+
+    Tail cutover (r13 optimization, guide §1.2 — same shape and
+    rationale as maximal_independent_set): once the surviving canonical
+    edge set fits `local_threshold` rows, the remaining rounds run the
+    identical md5-priority recurrence driver-side over the collected
+    tail (continuing round indices, same max_rounds bound; the result
+    is bit-equal by determinism and the gate's independent replay
+    certifies it). The per-round emptiness/size check rides the round's
+    checkpoint as an observed metric instead of a separate count job."""
+    import hashlib
+
+    from pyspark.sql import Observation
+
+    from ..errors import ConvergenceError
+
+    obs0 = Observation("mm_edges_0")
     cur = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -1883,12 +1977,54 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .transform(cut_lineage)
     )
+    n_edges = obs0.get["n"]
     matched: DataFrame | None = None
+    pair_schema = cur.schema
 
-    for r in range(max_rounds):
-        if cur.limit(1).count() == 0:
+    r = 0
+    while r < max_rounds:
+        if n_edges == 0:
+            break
+        if n_edges <= local_threshold:
+            # driver-local finish of the tail rounds (exact same
+            # recurrence, continuing round index)
+            cur_e = {(row[0], row[1]) for row in cur.collect()}
+            out: set = set()
+            while cur_e and r < max_rounds:
+                p = {
+                    e: hashlib.md5(f"{e[0]}|{e[1]}|{r}".encode()).hexdigest()
+                    for e in cur_e
+                }
+                vmin: dict = {}
+                for (a, b), pe_h in p.items():
+                    if a not in vmin or pe_h < vmin[a]:
+                        vmin[a] = pe_h
+                    if b not in vmin or pe_h < vmin[b]:
+                        vmin[b] = pe_h
+                sel_l = {
+                    e
+                    for e in cur_e
+                    if p[e] == vmin[e[0]] and p[e] == vmin[e[1]]
+                }
+                out |= sel_l
+                mv = {v for e in sel_l for v in e}
+                cur_e = {
+                    e for e in cur_e if e[0] not in mv and e[1] not in mv
+                }
+                r += 1
+            if cur_e:
+                raise ConvergenceError("maximal_matching", max_rounds)
+            n_edges = 0
+            if out:
+                tail_df = edges.sparkSession.createDataFrame(
+                    sorted(out), pair_schema
+                )
+                matched = (
+                    tail_df if matched is None else matched.unionByName(tail_df)
+                )
             break
         pe = cur.withColumn(
             "p",
@@ -1924,20 +2060,22 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             .unionByName(sel.select(F.col("b").alias("v")))
             .distinct()
         )
+        obs_e = Observation(f"mm_edges_{r + 1}")
         cur = (
             pe.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
             .select("a", "b")
+            .observe(obs_e, F.count(F.lit(1)).alias("n"))
             .transform(cut_lineage)
         )
+        n_edges = obs_e.get["n"]
         pe.unpersist()
+        r += 1
 
-    if cur.limit(1).count() != 0:
+    if n_edges != 0:
         # surviving edges remain: the matching is valid but NOT maximal
         # — indistinguishable from a complete result downstream, so
         # refuse rather than return it.
-        from ..errors import ConvergenceError
-
         raise ConvergenceError("maximal_matching", max_rounds)
     if matched is None:
         return edges.sparkSession.createDataFrame([], "a long, b long")
@@ -1945,7 +2083,7 @@ def maximal_matching(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, local_threshold: int = 50_000
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -2000,6 +2138,48 @@ def connected_components_star(
     converged = False
     n_cur = cur.count()
     for _ in range(max_rounds):
+        if 0 <= local_threshold and n_cur <= local_threshold:
+            # Tail cutover (r13 optimization, guide §1.2 — same shape as
+            # the MIS/matching/MST local finishes): star rounds preserve
+            # each component's node set, so the components of the
+            # CURRENT edge set equal the original components and the
+            # final (node, min-id) labelling can be computed directly by
+            # a driver union-find over the collected tail — skipping the
+            # remaining near-empty rounds' fixed costs. Bounded by
+            # local_threshold rows; the gate's driver replay and the
+            # oracle certify equality.
+            rows = cur.collect()
+            uf: dict = {}
+
+            def _find(x):
+                root = x
+                while uf.setdefault(root, root) != root:
+                    root = uf[root]
+                while uf[x] != root:
+                    uf[x], x = root, uf[x]
+                return root
+
+            for a, b in rows:
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    uf[ra] = rb
+            groups: dict = {}
+            for v in uf:
+                groups.setdefault(_find(v), []).append(v)
+            out_rows = []
+            for members in groups.values():
+                lbl = min(members)
+                out_rows.extend((v, lbl) for v in members)
+            from pyspark.sql import types as T
+
+            id_t = cur.schema["a"].dataType
+            sch = T.StructType(
+                [
+                    T.StructField("node", id_t),
+                    T.StructField("component", id_t),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(sorted(out_rows), sch)
         # large-star
         adj = _adj(cur)
         m = _minmap(adj)
@@ -2157,7 +2337,12 @@ def edge_support(
     return tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
 
 
-def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    local_threshold: int = 50_000,
+) -> DataFrame:
     """k-truss decomposition by iterative support peeling (Cohen 2008):
     repeatedly delete every edge lying in fewer than k-2 triangles of
     the CURRENT subgraph until none remains — the standard cohesive-
@@ -2196,6 +2381,36 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         if n_before == 0:
             converged = True
             break
+        if 0 <= local_threshold and n_before <= local_threshold:
+            # Tail cutover (r13 optimization, guide §1.2 — same shape as
+            # the MIS/matching/MST local finishes): the k-truss is the
+            # unique maximal subgraph with every edge in >= k-2
+            # triangles, and simultaneous peeling converges to it from
+            # any intermediate state, so finishing the peel driver-side
+            # over the collected tail emits the identical edge set
+            # without the remaining rounds' fixed costs (a full
+            # distributed peel round is a triangle enumeration + semi
+            # join + checkpoint even when it deletes nothing). Bounded
+            # by local_threshold rows; the gate's driver replay and the
+            # oracle certify equality.
+            from collections import defaultdict
+
+            es = {(row[0], row[1]) for row in cur.collect()}
+            while True:
+                nbrs: defaultdict = defaultdict(set)
+                for a, b in es:
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+                drop = {
+                    e for e in es if len(nbrs[e[0]] & nbrs[e[1]]) < need
+                }
+                if not drop:
+                    break
+                es -= drop
+            converged = True
+            return edges.sparkSession.createDataFrame(
+                sorted(es), cur.schema
+            )
         # pin the oriented table's partitioning only once the surviving
         # edge set is past plausible broadcast size (same idea as
         # pagerank's broadcast budget): below it, AQE broadcasts the

@@ -35,7 +35,9 @@ from pyspark.storagelevel import StorageLevel
 from ..lineage import cut_lineage
 
 
-def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def minimum_spanning_forest(
+    edges: DataFrame, max_rounds: int = 20, local_threshold: int = 50_000
+) -> DataFrame:
     """Borůvka MSF over an undirected weighted graph.
 
     edges: (src, dst, weight) — interpreted undirected; parallel edges
@@ -100,8 +102,51 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 20) -> DataFrame
             .filter(F.col("ca") != F.col("cb"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        if ec.limit(1).count() == 0:
+        # bounded emptiness/size probe: limit(threshold+1) keeps the
+        # probe O(threshold) instead of materializing the full ec when
+        # the round will stay distributed anyway
+        probe = local_threshold + 1 if local_threshold >= 0 else 1
+        n_ec = ec.limit(probe).count()
+        if n_ec == 0:
             ec.unpersist()
+            converged = True
+            break
+        if 0 <= local_threshold and n_ec <= local_threshold:
+            # Tail cutover (r13 optimization, guide §1.2 — same shape as
+            # the MIS/matching local finishes): the edges Borůvka would
+            # still add from this state are exactly the MSF of the
+            # CONTRACTED multigraph (components as vertices, surviving
+            # cross edges as candidates) under the same strict
+            # (weight, a, b) total order — which is unique, so a driver
+            # Kruskal over the collected component-labelled tail emits
+            # the identical edge set without paying the remaining
+            # rounds' fixed costs (each late round is ~6 near-empty
+            # jobs). Bounded by local_threshold rows — driver-sized at
+            # any data scale; the gate's full-graph Kruskal replay and
+            # the oracle certify the equality.
+            rows = ec.select("ca", "cb", "a", "b", "weight").collect()
+            ec.unpersist()
+            uf: dict = {}
+
+            def _find(x):
+                root = x
+                while uf.setdefault(root, root) != root:
+                    root = uf[root]
+                while uf[x] != root:
+                    uf[x], x = root, uf[x]
+                return root
+
+            tail_rows = []
+            for r in sorted(rows, key=lambda t: (t[4], t[2], t[3])):
+                ra, rb = _find(r[0]), _find(r[1])
+                if ra != rb:
+                    uf[ra] = rb
+                    tail_rows.append((r[2], r[3], r[4]))
+            if tail_rows:
+                tail_df = spark.createDataFrame(tail_rows, e.schema)
+                forest = (
+                    tail_df if forest is None else forest.unionByName(tail_df)
+                )
             converged = True
             break
 

@@ -133,6 +133,108 @@ def _check_matching(pairs, m):
     assert all(a in mv or b in mv for a, b in canon)
 
 
+def test_mis_matching_local_cutover_matches_distributed(spark):
+    """The r13 driver-local tail finish must agree bit-for-bit with the
+    pure-distributed rounds (local_threshold=-1 disables the cutover;
+    the default takes it immediately on graphs this small). Random
+    graphs + a long path (many rounds) + isolated-active shapes."""
+    import random
+
+    from citegraph_spark.operators.graph import (
+        maximal_independent_set,
+        maximal_matching,
+    )
+
+    cases = [[(i, i + 1) for i in range(24)]]  # long path: deep tail
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(40), rng.randrange(40)) for _ in range(90)]
+        )
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        mis_local = {
+            r["node"] for r in maximal_independent_set(df).collect()
+        }
+        mis_dist = {
+            r["node"]
+            for r in maximal_independent_set(
+                df, local_threshold=-1
+            ).collect()
+        }
+        assert mis_local == mis_dist
+        m_local = {
+            (r["a"], r["b"]) for r in maximal_matching(df).collect()
+        }
+        m_dist = {
+            (r["a"], r["b"])
+            for r in maximal_matching(df, local_threshold=-1).collect()
+        }
+        assert m_local == m_dist
+
+
+def test_ccstar_ktruss_local_cutover_matches_distributed(spark):
+    """The r13 union-find / local-peel tail finishes must agree with the
+    pure-distributed rounds."""
+    import random
+
+    from citegraph_spark.operators.graph import (
+        connected_components_star,
+        k_truss,
+    )
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(80)]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        cc_local = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        cc_dist = {
+            (r["node"], r["component"])
+            for r in connected_components_star(
+                df, local_threshold=-1
+            ).collect()
+        }
+        assert cc_local == cc_dist
+        for k in (3, 4):
+            kt_local = {
+                (r["a"], r["b"]) for r in k_truss(df, k).collect()
+            }
+            kt_dist = {
+                (r["a"], r["b"])
+                for r in k_truss(df, k, local_threshold=-1).collect()
+            }
+            assert kt_local == kt_dist
+
+
+def test_mst_local_cutover_matches_distributed(spark):
+    """The r13 local-Kruskal tail finish must emit the identical forest
+    as pure-distributed Borůvka rounds (unique MSF under the strict
+    (weight, a, b) order)."""
+    import random
+
+    from citegraph_spark.operators.mst import minimum_spanning_forest
+
+    for seed in (11, 29):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(30), rng.randrange(30), float(rng.randrange(50)))
+            for _ in range(80)
+        ]
+        df = spark.createDataFrame(pairs, "src long, dst long, weight double")
+        got_local = {
+            (r["a"], r["b"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        }
+        got_dist = {
+            (r["a"], r["b"], r["weight"])
+            for r in minimum_spanning_forest(df, local_threshold=-1).collect()
+        }
+        assert got_local == got_dist
+
+
 def test_matching_path_star_random(spark):
     path = [(1, 2), (2, 3), (3, 4), (4, 5)]
     m = _matching(spark, path)
@@ -393,8 +495,13 @@ def test_iterative_ops_raise_on_round_exhaustion(spark):
     # long path: cc_star needs >1 round, MIS/matching need several
     pairs = [(i, i + 1) for i in range(1, 40)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
+    # cc_star's raise is likewise a distributed-rounds property: the r13
+    # union-find cutover always completes (never a partial labelling)
     with pytest.raises(ConvergenceError):
-        connected_components_star(edges, max_rounds=1)
+        connected_components_star(edges, max_rounds=1, local_threshold=-1)
+    assert (
+        connected_components_star(edges, max_rounds=1).count() == 40
+    )
     with pytest.raises(ConvergenceError):
         maximal_independent_set(edges, max_rounds=1)
     with pytest.raises(ConvergenceError):
@@ -407,8 +514,15 @@ def test_iterative_ops_raise_on_round_exhaustion(spark):
     wedges = spark.createDataFrame(
         light + heavy, "src long, dst long, weight double"
     )
+    # the raise is a property of the DISTRIBUTED rounds: the r13 local
+    # Kruskal cutover finishes the whole remaining forest in one step
+    # (never a partial result), so with the default threshold the same
+    # call now completes instead of raising
     with pytest.raises(ConvergenceError):
-        minimum_spanning_forest(wedges, max_rounds=1)
+        minimum_spanning_forest(wedges, max_rounds=1, local_threshold=-1)
+    assert minimum_spanning_forest(wedges, max_rounds=1).count() == len(
+        light
+    ) + len(heavy)
 
     # and the same calls converge fine with the default cap
     assert connected_components_star(edges).count() == 40
