@@ -1253,6 +1253,9 @@ def link_prediction(
     deg = nbrs.groupBy("z").agg(F.count("*").alias("deg"))
     # deg >= 2: a degree-1 middle forms no wedge, and excluding it keeps
     # 1/ln(deg) finite everywhere the expression is evaluated
+    n_shuffle = int(
+        und_edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     mid = (
         nbrs.join(
             F.broadcast(
@@ -1262,7 +1265,16 @@ def link_prediction(
         )
         .select("z", "x", "deg")
         # both sides of the wedge self-join read this: compute the
-        # degree-join once, not twice
+        # degree-join once, not twice. Round-robin repartition first
+        # (r13, guide §2.6/§1.2): the checkpointed table otherwise
+        # inherits the SCAN's partition count, and the quadratic wedge
+        # stage below — the query's dominant stage — ran on 10 tasks on
+        # a 32-core session (measured 3.6 s of an 11 s query).
+        # Round-robin (not hash-on-z) keeps the stage skew-proof: the
+        # self-join broadcasts one side, so each task's wedge work is
+        # sum(deg(z)) over ITS rows — spread evenly even for hot
+        # middles.
+        .repartition(n_shuffle)
         .transform(cut_lineage)
     )
     left = mid.select("z", F.col("x").alias("u"), "deg")
@@ -1364,29 +1376,12 @@ def sssp_bounded(
     return dist
 
 
-def multi_source_bfs(
-    und_edges: DataFrame,
-    sources: list[int],
-    rounds: int = 6,
-    checkpoint_every: int = 3,
-) -> DataFrame:
-    """Exact shortest hop-distances from a small set of landmark sources
-    within `rounds` hops — the building block for sampled (landmark)
-    closeness/eccentricity centrality at scale, where all-pairs BFS is
-    infeasible (reference computes pair counts only, Analytics.scala:
-    152-229; per-landmark distances are the natural extension).
-
-    `und_edges`: (src, dst) ALREADY undirected (both orientations
-    present). State is (src_id, node, dist) — |sources| x reached-ball
-    rows, a small multiple of the node count for small landmark sets, so
-    the distance table is broadcast into each relaxation round: a round
-    is ONE broadcast-hash join + min-aggregate, zero shuffle on the edge
-    side. Self-loops carry settled distances forward (same mechanics as
-    `sssp_bounded` with w=1 on real edges, w=0 on loops); lineage is cut
-    with localCheckpoint. Output: (src_id, node, dist INT).
-    """
-    import gc
-
+def prepare_bfs_edges(und_edges: DataFrame) -> DataFrame:
+    """Build, partition and persist the self-loop-augmented edge table
+    `multi_source_bfs` relaxes against (r13: factored out so callers
+    that sweep the SAME graph repeatedly — graph_diameter_double_sweep's
+    two sweeps — pay the distinct + repartition + materialize cost
+    once). Caller owns the returned persist (unpersist when done)."""
     spark = und_edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     nodes = (
@@ -1415,6 +1410,38 @@ def multi_source_bfs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e_aug.count()  # materialize once
+    return e_aug
+
+
+def multi_source_bfs(
+    und_edges: DataFrame,
+    sources: list[int],
+    rounds: int = 6,
+    checkpoint_every: int = 3,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shortest hop-distances from a small set of landmark sources
+    within `rounds` hops — the building block for sampled (landmark)
+    closeness/eccentricity centrality at scale, where all-pairs BFS is
+    infeasible (reference computes pair counts only, Analytics.scala:
+    152-229; per-landmark distances are the natural extension).
+
+    `und_edges`: (src, dst) ALREADY undirected (both orientations
+    present). State is (src_id, node, dist) — |sources| x reached-ball
+    rows, a small multiple of the node count for small landmark sets, so
+    the distance table is broadcast into each relaxation round: a round
+    is ONE broadcast-hash join + min-aggregate, zero shuffle on the edge
+    side. Self-loops carry settled distances forward (same mechanics as
+    `sssp_bounded` with w=1 on real edges, w=0 on loops); lineage is cut
+    with localCheckpoint. Output: (src_id, node, dist INT).
+
+    `prepared`: a prepare_bfs_edges() result for the same graph — the
+    augmented table is then reused as-is (and NOT unpersisted here).
+    """
+    import gc
+
+    spark = und_edges.sparkSession
+    e_aug = prepared if prepared is not None else prepare_bfs_edges(und_edges)
 
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "src_id long, node long, dist int"
@@ -1434,7 +1461,8 @@ def multi_source_bfs(
             nxt = nxt.transform(cut_lineage)
         dist = nxt
         gc.collect()
-    e_aug.unpersist()
+    if prepared is None:
+        e_aug.unpersist()
     return dist
 
 

@@ -980,7 +980,7 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the oracle replays both sweeps as chained recursive CTEs.
     This is the cheap diameter estimate run before committing to the
     full hop-plot / HyperBall machinery."""
-    from ..operators.graph import multi_source_bfs
+    from ..operators.graph import multi_source_bfs, prepare_bfs_edges
 
     cit = (
         _citations(spark, sf_dir)
@@ -999,11 +999,14 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     start = und.agg(F.min("src").alias("s")).collect()[0]["s"]
-    d1 = multi_source_bfs(und, [start], rounds=8)
+    # both sweeps relax the SAME graph: build the augmented edge table
+    # once (r13 — it was distinct+repartitioned+materialized per sweep)
+    aug = prepare_bfs_edges(und)
+    d1 = multi_source_bfs(und, [start], rounds=8, prepared=aug)
     far = (
         d1.orderBy(F.desc("dist"), "node").limit(1).collect()[0]["node"]
     )
-    d2 = multi_source_bfs(und, [far], rounds=8).persist()
+    d2 = multi_source_bfs(und, [far], rounds=8, prepared=aug).persist()
     out = d2.agg(
         F.lit(start).cast("int").alias("start_node"),
         F.lit(far).cast("int").alias("far_node"),
@@ -1011,6 +1014,7 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("reached_from_far"),
     )
     rows = out.collect()
+    aug.unpersist()
     und.unpersist()
     d2.unpersist()
     return spark.createDataFrame(
