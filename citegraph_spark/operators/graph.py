@@ -35,6 +35,30 @@ from pyspark.storagelevel import StorageLevel
 from ..lineage import cut_lineage
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _aqe_off_for_rounds(spark, active: bool):
+    """Turn AQE off around a zero-shuffle broadcast-round loop (r13,
+    guide §1.2): with the static side pre-partitioned and the per-round
+    state broadcast, a round's plan has NO exchange for AQE to adapt —
+    its stage-by-stage materialization and replanning is pure per-job
+    latency (~0.1 s/round measured on the pagerank/hits/sssp loops).
+    `active=False` (the shuffled fallback) is a no-op: those rounds DO
+    shuffle the per-round state and AQE's coalescing is load-bearing
+    there. Restores the caller's setting on exit."""
+    if not active:
+        yield
+        return
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
+
+
 # ---------------------------------------------------------------- density
 
 
@@ -686,24 +710,36 @@ def pagerank(
             F.lit(0.0)
         )
     ranks = nodes.select("node", init_rank.alias("rank")).transform(cut_lineage)
-    for it in range(1, iterations + 1):
-        # fallback build side: SHUFFLE_HASH, not sort-merge — the rank
-        # table is the per-round hash build (its shuffle is O(nodes)),
-        # while the src-partitioned edge table streams with neither a
-        # re-shuffle nor the per-round SORT a merge join would force on
-        # the O(edges) side
-        build = F.broadcast(ranks) if use_broadcast else ranks.hint("shuffle_hash")
-        nxt = (
-            e_aug.join(build, e_aug["src"] == build["node"], "inner")
-            .select(e_aug["dst"].alias("node"), (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("_s"))
-            .select("node", (teleport + F.lit(damping) * F.col("_s")).alias("rank"))
-        )
-        if it % checkpoint_every == 0 or it == iterations:
-            nxt = nxt.transform(cut_lineage)
-        ranks = nxt
-        gc.collect()
+    with _aqe_off_for_rounds(spark, use_broadcast):
+        for it in range(1, iterations + 1):
+            # fallback build side: SHUFFLE_HASH, not sort-merge — the rank
+            # table is the per-round hash build (its shuffle is O(nodes)),
+            # while the src-partitioned edge table streams with neither a
+            # re-shuffle nor the per-round SORT a merge join would force on
+            # the O(edges) side
+            build = (
+                F.broadcast(ranks) if use_broadcast else ranks.hint("shuffle_hash")
+            )
+            nxt = (
+                e_aug.join(build, e_aug["src"] == build["node"], "inner")
+                .select(
+                    e_aug["dst"].alias("node"),
+                    (F.col("rank") * F.col("w")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("_s"))
+                .select(
+                    "node", (teleport + F.lit(damping) * F.col("_s")).alias("rank")
+                )
+            )
+            if it % checkpoint_every == 0 or it == iterations:
+                nxt = nxt.transform(cut_lineage)
+                # release superseded checkpoint blocks promptly — but only
+                # at checkpoint rounds: a Python full GC costs ~50 ms, and
+                # the intermediate rounds hold no materialized state to
+                # release (r13, guide §1.2 — fixed per-round driver costs)
+                gc.collect()
+            ranks = nxt
     # the final ranks are checkpointed (it == iterations), so they no
     # longer depend on the cached edge table — release it eagerly
     e_aug.unpersist()
@@ -1197,22 +1233,30 @@ def hits(
     msgs.count()  # materialize once
 
     state = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
-    for it in range(1, iterations + 1):
-        build = F.broadcast(state) if use_broadcast else state.hint("shuffle_hash")
-        nxt = (
-            msgs.join(build, msgs["frm"] == build["node"], "inner")
-            .select(
-                F.col("to").alias("node"),
-                F.when(F.col("kind") == 2, F.col("auth")).otherwise(0.0).alias("h_c"),
-                F.when(F.col("kind") == 1, F.col("hub")).otherwise(0.0).alias("a_c"),
+    with _aqe_off_for_rounds(spark, use_broadcast):
+        for it in range(1, iterations + 1):
+            build = (
+                F.broadcast(state) if use_broadcast else state.hint("shuffle_hash")
             )
-            .groupBy("node")
-            .agg(F.sum("h_c").alias("hub"), F.sum("a_c").alias("auth"))
-        )
-        if it % checkpoint_every == 0 or it == iterations:
-            nxt = nxt.transform(cut_lineage)
-        state = nxt
-        gc.collect()
+            nxt = (
+                msgs.join(build, msgs["frm"] == build["node"], "inner")
+                .select(
+                    F.col("to").alias("node"),
+                    F.when(F.col("kind") == 2, F.col("auth"))
+                    .otherwise(0.0)
+                    .alias("h_c"),
+                    F.when(F.col("kind") == 1, F.col("hub"))
+                    .otherwise(0.0)
+                    .alias("a_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("h_c").alias("hub"), F.sum("a_c").alias("auth"))
+            )
+            if it % checkpoint_every == 0 or it == iterations:
+                nxt = nxt.transform(cut_lineage)
+                # GC only at checkpoint rounds (see pagerank)
+                gc.collect()
+            state = nxt
     # final state is checkpointed — the cached message table can go
     msgs.unpersist()
     return state
@@ -1357,21 +1401,25 @@ def sssp_bounded(
     dist = e_aug.sparkSession.createDataFrame(
         [(int(source), 0.0)], "node long, dist double"
     )
-    for it in range(1, rounds + 1):
-        build = F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
-        nxt = (
-            e_aug.join(build, e_aug["src"] == build["node"], "inner")
-            .select(
-                e_aug["dst"].alias("node"),
-                (F.col("dist") + F.col("w")).alias("d"),
+    with _aqe_off_for_rounds(spark, use_broadcast):
+        for it in range(1, rounds + 1):
+            build = (
+                F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
             )
-            .groupBy("node")
-            .agg(F.min("d").alias("dist"))
-        )
-        if it % checkpoint_every == 0 or it == rounds:
-            nxt = nxt.transform(cut_lineage)
-        dist = nxt
-        gc.collect()
+            nxt = (
+                e_aug.join(build, e_aug["src"] == build["node"], "inner")
+                .select(
+                    e_aug["dst"].alias("node"),
+                    (F.col("dist") + F.col("w")).alias("d"),
+                )
+                .groupBy("node")
+                .agg(F.min("d").alias("dist"))
+            )
+            if it % checkpoint_every == 0 or it == rounds:
+                nxt = nxt.transform(cut_lineage)
+                # GC only at checkpoint rounds (see pagerank)
+                gc.collect()
+            dist = nxt
     e_aug.unpersist()
     return dist
 
@@ -1446,21 +1494,23 @@ def multi_source_bfs(
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], "src_id long, node long, dist int"
     )
-    for it in range(1, rounds + 1):
-        nxt = (
-            e_aug.join(F.broadcast(dist), e_aug["src"] == dist["node"], "inner")
-            .select(
-                "src_id",
-                e_aug["dst"].alias("node"),
-                (F.col("dist") + F.col("w")).cast("int").alias("d"),
+    with _aqe_off_for_rounds(spark, True):
+        for it in range(1, rounds + 1):
+            nxt = (
+                e_aug.join(F.broadcast(dist), e_aug["src"] == dist["node"], "inner")
+                .select(
+                    "src_id",
+                    e_aug["dst"].alias("node"),
+                    (F.col("dist") + F.col("w")).cast("int").alias("d"),
+                )
+                .groupBy("src_id", "node")
+                .agg(F.min("d").alias("dist"))
             )
-            .groupBy("src_id", "node")
-            .agg(F.min("d").alias("dist"))
-        )
-        if it % checkpoint_every == 0 or it == rounds:
-            nxt = nxt.transform(cut_lineage)
-        dist = nxt
-        gc.collect()
+            if it % checkpoint_every == 0 or it == rounds:
+                nxt = nxt.transform(cut_lineage)
+                # GC only at checkpoint rounds (see pagerank)
+                gc.collect()
+            dist = nxt
     if prepared is None:
         e_aug.unpersist()
     return dist
