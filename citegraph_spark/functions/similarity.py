@@ -50,6 +50,20 @@ class CorpusTooLargeError(ValueError):
     cells), or `pq_topk` (32× compressed ADC shortlist)."""
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism
+    (r13, guide §2.6 — idle capacity): the embeddings tables arrive as
+    ONE parquet file, so every mapInPandas scorer and HOF probe below
+    otherwise runs its whole corpus pass as a single task on a
+    many-core session (measured: the similarity_pq query spent 6.7 s in
+    three 1-task jobs). Scale-adaptive (session shuffle partitions, not
+    a core-count constant); the shuffled bytes are the narrow
+    (id, vector) projection. Row order within partitions changes, but
+    every consumer ranks/sorts deterministically downstream."""
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n_shuffle)
+
+
 def _corpus_matrix(
     emb: DataFrame,
     id_col: str,
@@ -97,28 +111,40 @@ def cosine_topk_bruteforce(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat = b_ids.value, b_mat.value
         pos = {v: i for i, v in enumerate(c_ids)}
+        # vectorized equivalent of the per-row lexsort((c_ids, -row))
+        # (r13, guide §4.2): pre-order columns by ascending neighbor id
+        # once, then a STABLE argsort on -sims keeps id order for tied
+        # cosines — element-for-element the same selection, computed as
+        # one C-level sort per matrix instead of a Python loop of
+        # per-row lexsorts.
+        by_id = np.argsort(c_ids, kind="stable")
+        ids_sorted = c_ids[by_id]
+        mat_sorted_t = c_mat[by_id].T
         for pdf in it:
             q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
-            sims = np.round((q / qn) @ c_mat.T, 6)
-            out_rows = []
-            for r, vid in enumerate(pdf[id_col].to_numpy()):
-                row = sims[r]
+            sims = np.round((q / qn) @ mat_sorted_t, 6)
+            vids = pdf[id_col].to_numpy()
+            for r, vid in enumerate(vids):
                 self_i = pos.get(vid)
                 if self_i is not None:
-                    row = row.copy()
-                    row[self_i] = -np.inf
-                # top-k by (-cosine, neighbor_id): stable cross-engine
-                order = np.lexsort((c_ids, -row))[:k]
-                for rank, j in enumerate(order, start=1):
-                    out_rows.append((int(vid), int(c_ids[j]), float(row[j]), rank))
+                    # self exclusion: position within the id-sorted order
+                    sims[r, np.searchsorted(ids_sorted, vid)] = -np.inf
+            kk = min(k, sims.shape[1])  # tiny-corpus edge: fewer than k
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            n_rows = order.shape[0]
             yield pd.DataFrame(
-                out_rows, columns=["vec_id", "neighbor_id", "cosine", "rank"]
+                {
+                    "vec_id": np.repeat(vids, kk),
+                    "neighbor_id": ids_sorted[order].ravel(),
+                    "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), n_rows),
+                }
             )
 
     return (
-        emb.select(id_col, vec_col)
+        _fanout(emb.select(id_col, vec_col))
         .mapInPandas(batches, schema=TOPK_SCHEMA)
         .orderBy("vec_id", "rank")
     )
@@ -152,13 +178,14 @@ def embedding_near_pairs(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
             sims = np.round((q / qn) @ c_mat.T, 6)
-            out_rows = []
-            for r, vid in enumerate(pdf[id_col].to_numpy()):
-                # a < b keeps each unordered pair exactly once
-                mask = (c_ids > vid) & (sims[r] >= threshold)
-                for j in np.nonzero(mask)[0]:
-                    out_rows.append((int(vid), int(c_ids[j]), float(sims[r][j])))
-            yield pd.DataFrame(out_rows, columns=["a", "b", "cosine"])
+            vids = pdf[id_col].to_numpy()
+            # a < b keeps each unordered pair exactly once; one 2-D
+            # nonzero instead of a per-row Python loop (r13, guide §4.2)
+            mask = (c_ids[None, :] > vids[:, None]) & (sims >= threshold)
+            rr, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"a": vids[rr], "b": c_ids[jj], "cosine": sims[rr, jj]}
+            )
 
     return (
         emb.select(id_col, vec_col)
@@ -243,12 +270,21 @@ def ivf_assignments(
             sims = np.round((v / vn) @ c.T, 6)
             cells = np.broadcast_to(np.arange(c.shape[0]), sims.shape)
             order = np.lexsort((cells, -sims), axis=-1)[:, :n_probe]
-            out = []
-            for r, vid in enumerate(pdf[id_col].to_numpy()):
-                for p in range(order.shape[1]):
-                    out.append((int(vid), int(order[r, p]), p == 0))
-            yield pd.DataFrame(out, columns=["vec_id", "cell", "is_primary"])
+            vids = pdf[id_col].to_numpy()
+            n_p = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, n_p),
+                    "cell": order.ravel(),
+                    "is_primary": np.tile(
+                        np.arange(n_p) == 0, len(vids)
+                    ),
+                }
+            )
 
+    # no fanout here: the assignment pass is one cheap numpy matmul per
+    # batch and its consumers re-shuffle by cell anyway — the extra
+    # exchange measured as a net loss (r13 A/B: 1.94 -> 2.39 s)
     return emb.select(id_col, vec_col).mapInPandas(
         batches, schema="vec_id bigint, cell int, is_primary boolean"
     )
@@ -358,6 +394,8 @@ def lsh_buckets(
                 )
             yield pd.concat(out, ignore_index=True)
 
+    # no fanout (see ivf_assignments): bucket assignment is cheap and
+    # the bucket join below shuffles regardless
     return emb.select(id_col, vec_col).mapInPandas(
         batches, schema="vec_id bigint, table_idx int, bucket bigint"
     )
@@ -506,29 +544,40 @@ def pq_topk(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bk, cd, cids = b_books.value, b_codes.value, b_ids.value
+        m_sub = bk.shape[0]
+        m_idx = np.arange(m_sub)[None, :]  # (1, n_sub) for the gather
         for pdf in it:
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             vn = np.linalg.norm(v, axis=1, keepdims=True)
             vn[vn == 0] = 1.0
             v = v / vn
+            qids = pdf[id_col].to_numpy()
+            # batched ADC (r13, guide §4.2): one einsum builds every
+            # query's LUT[m, c] = q_sub[m] . centroid[m, c]; the gather
+            # + sum over the last axis reproduces the former per-row
+            # lut[arange(m), cd].sum(axis=1) element-for-element (same
+            # contiguous-axis pairwise reduction → bit-identical
+            # doubles), chunked so the (chunk, N, n_sub) gather stays
+            # ~64 MB whatever the corpus size.
+            luts = np.einsum("qmd,mcd->qmc", v.reshape(len(v), m_sub, d_sub), bk)
+            n_short = min(shortlist + 1, cd.shape[0])
+            chunk = max(1, int(8_000_000 / max(1, cd.shape[0] * m_sub)))
             out_a, out_b = [], []
-            for r, qid in enumerate(pdf[id_col].to_numpy()):
-                # LUT[m, c] = q_sub[m] . centroid[m, c]
-                lut = np.einsum(
-                    "md,mcd->mc",
-                    v[r].reshape(bk.shape[0], d_sub),
-                    bk,
-                )
-                scores = lut[np.arange(bk.shape[0])[None, :], cd].sum(axis=1)
-                n_short = min(shortlist + 1, len(scores))
-                top = np.argpartition(-scores, n_short - 1)[:n_short]
-                for j in top:
-                    if cids[j] != qid:
-                        out_a.append(int(qid))
-                        out_b.append(int(cids[j]))
-            yield pd.DataFrame({"a": out_a, "b": out_b})
+            for s in range(0, len(v), chunk):
+                lut_c = luts[s : s + chunk]
+                # (chunk, N, n_sub): T[q, j, m] = LUT[q, m, cd[j, m]]
+                scores = lut_c[:, m_idx, cd].sum(axis=2)
+                top = np.argpartition(-scores, n_short - 1, axis=1)[:, :n_short]
+                q_rep = np.repeat(qids[s : s + chunk], n_short)
+                nbr = cids[top.ravel()]
+                keep = nbr != q_rep
+                out_a.append(q_rep[keep])
+                out_b.append(nbr[keep])
+            yield pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            )
 
-    cand = emb.select(id_col, vec_col).mapInPandas(
+    cand = _fanout(emb.select(id_col, vec_col)).mapInPandas(
         batches, schema="a bigint, b bigint"
     )
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))

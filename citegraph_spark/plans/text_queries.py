@@ -986,6 +986,12 @@ def _ann_certificate(
     n = emb.count()
     if n == 0:
         return spark.createDataFrame([(0, True, True, True, True)], _CERT_SCHEMA)
+    # the ANN pipeline (codebook/bucket pass + rerank + window) feeds
+    # BOTH the structural aggregate below and the recall join — persist
+    # it so the pipeline executes once, not twice (r13, guide §5;
+    # computed fresh from the inputs inside this query, released before
+    # returning)
+    ann = ann.persist()
     per_q = ann.groupBy("vec_id").agg(
         F.count("*").alias("n_rows"),
         F.max((F.col("neighbor_id") == F.col("vec_id")).cast("int")).alias("self_hit"),
@@ -1010,6 +1016,7 @@ def _ann_certificate(
         .distinct()
         .count()
     )
+    ann.unpersist()
     # n_sample == 1 means the lone vector has no possible neighbor;
     # recall is vacuous there too (ann is empty, hits == 0).
     return spark.createDataFrame(
@@ -1055,8 +1062,14 @@ def _sample_top1_exact(emb: DataFrame) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_vec"))
         .withColumn("q_nm", _norm("q_vec"))
     )
+    from ..functions.similarity import _fanout
+
+    # the corpus arrives as one parquet file — fan the probe side out so
+    # the O(sample x N) HOF evaluation runs wide, not as one task (r13,
+    # guide §2.6; measured 2.4 s single-task at sf0.1)
     corpus = (
-        emb.select(F.col("vec_id").alias("c_id"), _dvec("embedding").alias("c_vec"))
+        _fanout(emb.select(F.col("vec_id").alias("c_id"), "embedding"))
+        .select("c_id", _dvec("embedding").alias("c_vec"))
         .withColumn("c_nm", _norm("c_vec"))
     )
     dot = F.aggregate(
