@@ -624,31 +624,54 @@ def graph_mis_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         active -= rem
         rnd += 1
 
-    # distributed structural certificates
+    # distributed structural certificates, fused into ONE pass (r13,
+    # guide §1.2): the former shape ran 3 actions (both_in count,
+    # covered/uncovered anti-join count, nodes count), each re-scanning
+    # the bidirectional edge set. One edge-level join marks dst
+    # membership, one per-src aggregate derives (in_mis, has_mis
+    # neighbor, # edges with both endpoints in the MIS), and one final
+    # aggregate emits all three certificate numbers. Same booleans by
+    # construction: every src appears in bidir for each of its edges,
+    # so per-src max(dst_in) is exactly "has a MIS neighbor" and
+    # sum(src_in * dst_in) counts MIS-MIS edges.
     bidir = raw.unionByName(
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    both_in = (
-        bidir.join(mis_df.withColumnRenamed("node", "src"), "src", "left_semi")
-        .join(mis_df.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        .count()
+    mis_flag = mis_df.withColumn("_in", F.lit(1))
+    marked = bidir.join(
+        mis_flag.withColumnRenamed("node", "dst").withColumnRenamed("_in", "_din"),
+        "dst",
+        "left",
+    ).join(
+        mis_flag.withColumnRenamed("node", "src").withColumnRenamed("_in", "_sin"),
+        "src",
+        "left",
     )
-    nodes = bidir.select(F.col("src").alias("node")).distinct()
-    covered = (
-        bidir.join(mis_df.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        .select(F.col("src").alias("node"))
-        .distinct()
+    per_node = marked.groupBy("src").agg(
+        F.max(F.coalesce(F.col("_sin"), F.lit(0))).alias("in_mis"),
+        F.max(F.coalesce(F.col("_din"), F.lit(0))).alias("has_mis_nbr"),
+        F.sum(
+            F.coalesce(F.col("_sin"), F.lit(0)) * F.coalesce(F.col("_din"), F.lit(0))
+        ).alias("mis_mis_edges"),
     )
-    uncovered = (
-        nodes.join(mis_df, "node", "left_anti")
-        .join(covered, "node", "left_anti")
-        .count()
-    )
-    n_nodes = nodes.count()
+    cert = per_node.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("mis_mis_edges").alias("both_in"),
+        F.sum(
+            ((F.col("in_mis") == 0) & (F.col("has_mis_nbr") == 0)).cast("long")
+        ).alias("uncovered"),
+    ).collect()[0]
     raw.unpersist()
     mis_df.unpersist()
     return spark.createDataFrame(
-        [(n_nodes, got == ref, both_in == 0, uncovered == 0)],
+        [
+            (
+                cert["n_nodes"],
+                got == ref,
+                cert["both_in"] == 0,
+                cert["uncovered"] == 0,
+            )
+        ],
         "n_nodes long, mis_matches_replay boolean, "
         "is_independent boolean, is_maximal boolean",
     )
@@ -730,16 +753,22 @@ def graph_matching_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         active = {e for e in active if e[0] not in mv and e[1] not in mv}
         rnd += 1
 
-    # distributed certificates
-    mv_df = (
+    # distributed certificates. The distinct matched-vertex set feeds
+    # three consumers (validity count, both anti-join sides) — compute
+    # it once (r13, guide §1.2: it was derived three times before; the
+    # matching is already driver-sized here, so got's length replaces
+    # the separate m_df.count() action too).
+    mv = (
         m_df.select(F.col("a").alias("v"))
         .unionByName(m_df.select(F.col("b").alias("v")))
+        .distinct()
+        .persist()
     )
-    n_matched_nodes = mv_df.distinct().count()
-    valid = n_matched_nodes == 2 * m_df.count()  # no shared endpoints
+    n_matched_nodes = mv.count()
+    valid = n_matched_nodes == 2 * len(got)  # no shared endpoints
     uncovered = (
-        raw.join(mv_df.distinct().withColumnRenamed("v", "a"), "a", "left_anti")
-        .join(mv_df.distinct().withColumnRenamed("v", "b"), "b", "left_anti")
+        raw.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+        .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
         .count()
     )
     nodes = (
@@ -748,6 +777,7 @@ def graph_matching_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    mv.unpersist()
     raw.unpersist()
     m_df.unpersist()
     return spark.createDataFrame(
@@ -895,19 +925,22 @@ def graph_ktruss_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     truss = k_truss(proj, K).persist()
     got = {(r["a"], r["b"]) for r in truss.collect()}
 
-    # distributed certificate: min support of the final subgraph
+    # distributed certificate: min support of the final subgraph. ONE
+    # edge_support pass feeding one aggregate (r13, guide §1.2): the
+    # former two passes — min(support), then a filtered count — each
+    # re-ran the full triangle enumeration, the gate's dominant stage.
     if got:
-        min_sup = (
+        row = (
             edge_support(truss.select(F.col("a"), F.col("b")))
-            .agg(F.min("support").alias("m"))
-            .collect()[0]["m"]
+            .agg(
+                F.min("support").alias("m"),
+                F.sum((F.col("support") >= K - 2).cast("long")).alias("n_ok"),
+            )
+            .collect()[0]
         )
         # every surviving edge must appear in the support table at all
-        n_supported = (
-            edge_support(truss).filter(F.col("support") >= K - 2).count()
-        )
-        min_ok = min_sup is not None and min_sup >= K - 2 and (
-            n_supported == len(got)
+        min_ok = row["m"] is not None and row["m"] >= K - 2 and (
+            row["n_ok"] == len(got)
         )
     else:
         min_ok = True
