@@ -251,11 +251,20 @@ def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.percentile for percentile_approx at a documented error bound when
     the column no longer fits the sort budget (same contract as
     approx_percentile_prices)."""
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     xdf = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_extendedprice").alias("x"))
         # persist barrier: the median, MAD, and flagging passes each
-        # need the column — cache it once instead of re-scanning
+        # need the column — cache it once instead of re-scanning.
+        # Fan the cache out to the session's shuffle parallelism first
+        # (r13, guide §2.6): the split-size formula pins this 11 MB scan
+        # to ~3 partitions, so both EXACT percentile aggregates — the
+        # query's dominant, sort-heavy work — ran 3-task-bound on a
+        # 32-core session. Exact percentile and the flag sums are
+        # partition-layout-independent (scramble boards), so results
+        # are unchanged.
+        .repartition(n_shuffle)
         .persist()
     )
     med = xdf.agg(F.percentile("x", F.lit(0.5)).alias("med"))
@@ -370,30 +379,40 @@ def logreg_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_tax") * 10.0).alias("f3"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    from ..operators.graph import _aqe_off_for_rounds
+
     d = 4
     w = [0.0] * d
     lr = 1.5
     n_iters = 20
     first = last = None
     n_rows = 0
-    for _ in range(n_iters):
-        z = sum(F.lit(w[j]) * F.col(f"f{j}") for j in range(d))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        # numerically stable softplus: log(1+e^z) = max(z,0)+log1p(e^-|z|)
-        loss = F.greatest(z, F.lit(0.0)) - F.col("y") * z + F.log1p(
-            F.exp(-F.abs(z))
-        )
-        aggs = [F.sum((p - F.col("y")) * F.col(f"f{j}")).alias(f"g{j}")
-                for j in range(d)]
-        row = feats.agg(
-            *aggs, F.sum(loss).alias("loss"), F.count("*").alias("n")
-        ).collect()[0]
-        n_rows = row["n"]
-        grad = [row[f"g{j}"] / n_rows for j in range(d)]
-        last = (row["loss"] / n_rows, max(abs(g) for g in grad))
-        if first is None:
-            first = last
-        w = [w[j] - lr * grad[j] for j in range(d)]
+    # AQE off for the iteration loop (r13, guide §1.2): each step is one
+    # aggregate over the cached projection — there is no exchange for
+    # AQE to adapt, and its per-job stage materialization added ~0.03 s
+    # to every one of the 20 steps (A/B: 4.6 -> 3.9 s warm; the
+    # broadcast-weights and codegen-off alternatives both measured
+    # slower). Restores the session setting on exit.
+    with _aqe_off_for_rounds(spark, True):
+        for _ in range(n_iters):
+            z = sum(F.lit(w[j]) * F.col(f"f{j}") for j in range(d))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            # numerically stable softplus:
+            # log(1+e^z) = max(z,0)+log1p(e^-|z|)
+            loss = F.greatest(z, F.lit(0.0)) - F.col("y") * z + F.log1p(
+                F.exp(-F.abs(z))
+            )
+            aggs = [F.sum((p - F.col("y")) * F.col(f"f{j}")).alias(f"g{j}")
+                    for j in range(d)]
+            row = feats.agg(
+                *aggs, F.sum(loss).alias("loss"), F.count("*").alias("n")
+            ).collect()[0]
+            n_rows = row["n"]
+            grad = [row[f"g{j}"] / n_rows for j in range(d)]
+            last = (row["loss"] / n_rows, max(abs(g) for g in grad))
+            if first is None:
+                first = last
+            w = [w[j] - lr * grad[j] for j in range(d)]
     feats.unpersist()
     return spark.createDataFrame(
         [(
