@@ -59,9 +59,11 @@ def _fanout(df: DataFrame) -> DataFrame:
     three 1-task jobs). Scale-adaptive (session shuffle partitions, not
     a core-count constant); the shuffled bytes are the narrow
     (id, vector) projection. Row order within partitions changes, but
-    every consumer ranks/sorts deterministically downstream."""
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return df.repartition(n_shuffle)
+    every consumer ranks/sorts deterministically downstream. Shared
+    rationale and scale argument: sources/tables.py fanout_scan."""
+    from ..sources.tables import fanout_scan
+
+    return fanout_scan(df)
 
 
 def _corpus_matrix(
