@@ -131,18 +131,33 @@ def _estimate_sql(p: int) -> str:
     1.0 / shiftleft(1L, r) — exact for every register value (r <=
     64-p+1 < 63, and both pow(2.0,-r) and the shifted divide return the
     identical IEEE double), but an integer shift instead of a
-    transcendental pow call per (row x register): measured 3-8 s ->
-    ~1 s per estimate pass at sf0.1 under the loop's interpreted
-    (codegen-off) regime. Built as one string so the 2m-term tree costs
-    one Py4J call, not ~4m."""
+    transcendental pow call per (row x register).
+
+    r13 optimization round 2 (guide §1/§7 — JIT-profiled): the previous
+    2m-term UNROLLED tree (64 divides + 63 adds for the denominator plus
+    64 CASEs + 63 adds for the zero count) Janino-compiles into ~130
+    tiny generated methods (SpecificMutableProjection::Add_N$/Divide_N$)
+    per fresh plan; in a one-shot-per-query JVM (the bench, any batch
+    job) those methods flood the C2 compile queue — measured 40-140 s
+    of HotSpot compiler CPU per hyperball invocation with every task
+    meanwhile executing at the 10x-slower profiling tier. The same math
+    as ONE array fold (`aggregate` HOF over array(r0..r{m-1})) generates
+    a constant-size expression tree instead. Bit-identical by
+    construction: the fold's running double sum evaluates
+    ((0.0+t0)+t1)+...+t{m-1} and 0.0+t0 == t0 exactly for t0 > 0, so
+    the summation order matches the old left-associated `t0 + t1 + ...`
+    term for term; the zero count is integer arithmetic."""
     m = 1 << p
     alpha = _alpha(m)
-    denom = " + ".join(
-        f"(1.0D / cast(shiftleft(1L, r{i}) as double))" for i in range(m)
-    )
-    zeros = " + ".join(
-        f"(CASE WHEN r{i} = 0 THEN 1 ELSE 0 END)" for i in range(m)
-    )
+    arr = "array(" + ",".join(f"r{i}" for i in range(m)) + ")"
+    # denominator: primitive-double left fold (no per-element struct —
+    # the named_struct accumulator variant A/B'd ~1.5x slower from
+    # InternalRow/boxing churn in the interpreted HOF eval); zero count:
+    # array_remove is a single builtin scan, no lambda at all. Both
+    # sub-expressions are duplicated across the CASE branches exactly as
+    # the unrolled original duplicated its `raw`/`zeros` terms.
+    denom = f"aggregate({arr}, 0.0D, (acc, x) -> acc + (1.0D / cast(shiftleft(1L, x) as double)))"
+    zeros = f"({m} - size(array_remove({arr}, 0Y)))"
     raw = f"({alpha * m * m!r}D / ({denom}))"
     return (
         f"CASE WHEN {raw} <= {2.5 * m!r}D AND ({zeros}) > 0 "
