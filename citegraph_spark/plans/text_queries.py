@@ -1037,49 +1037,71 @@ def _sample_top1_exact(emb: DataFrame) -> DataFrame:
     """Exact cosine top-1 neighbor for the `_CERT_SAMPLE_QUERIES` lowest
     vec_ids, as (vec_id, bf_neighbor).
 
-    Physical shape: the sample (<= 128 rows, norms precomputed) is
-    broadcast against the corpus scan with a non-equi self-exclusion —
-    a BroadcastNestedLoopJoin whose broadcast side is bounded by a
-    constant, the same sanctioned class as events_dau_wau in
-    tools/plan_lint.BNLJ_ALLOWED: O(sample x N) probe work, no pair
-    blowup, corpus side never shuffles before the per-query top-1
-    window. Dot products and norms run JVM-side via zip_with/aggregate
-    (float64), so no Python touches the hot path."""
+    Physical shape: the bounded sample (<= 128 rows) is collected and
+    shipped in the task closure; each corpus Arrow batch computes every
+    (corpus row x query) cosine in ONE numpy kernel (r13 optimization
+    round 2, guide §4.2: the previous JVM zip_with/aggregate HOF pair
+    probe evaluated ~N x 128 interpreted 64-step folds with per-element
+    boxing — a steady 6.5 s/32-task job at sf0.1; the vectorized kernel
+    runs the identical arithmetic in <0.5 s). Bit-identical to the old
+    interpreted fold by construction: products are IEEE-exact, cumsum
+    reproduces the fold's strict left-to-right summation order
+    (fold seeds 0.0 and 0.0+p0 == p0 up to a value-equal signed zero),
+    and mul/div/sqrt are correctly rounded in both engines — so the
+    6-dp round and the top-1 window (both still JVM-side) see the same
+    doubles. O(sample x N) probe work, no pair blowup, corpus side
+    never shuffles before the per-query top-1 window."""
     from pyspark.sql import Window
 
-    def _dvec(col: str):
-        return F.transform(col, lambda x: x.cast("double"))
-
-    def _norm(col: str):
-        nm = F.sqrt(
-            F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return F.when(nm == 0.0, F.lit(1.0)).otherwise(nm)
-
-    qs = (
+    q_rows = (
         emb.orderBy("vec_id")
         .limit(_CERT_SAMPLE_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), _dvec("embedding").alias("q_vec"))
-        .withColumn("q_nm", _norm("q_vec"))
+        .select("vec_id", "embedding")
+        .collect()
     )
+    q_ids = [int(r[0]) for r in q_rows]
+    q_vecs = [[float(x) for x in r[1]] for r in q_rows]
+
     from ..functions.similarity import _fanout
 
     # the corpus arrives as one parquet file — fan the probe side out so
-    # the O(sample x N) HOF evaluation runs wide, not as one task (r13,
-    # guide §2.6; measured 2.4 s single-task at sf0.1)
-    corpus = (
-        _fanout(emb.select(F.col("vec_id").alias("c_id"), "embedding"))
-        .select("c_id", _dvec("embedding").alias("c_vec"))
-        .withColumn("c_nm", _norm("c_vec"))
-    )
-    dot = F.aggregate(
-        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = corpus.join(
-        F.broadcast(qs), F.col("c_id") != F.col("q_id")
-    ).withColumn("cos_r", F.round(dot / (F.col("q_nm") * F.col("c_nm")), 6))
+    # the O(sample x N) kernel runs wide, not as one task (r13, guide
+    # §2.6; measured 2.4 s single-task at sf0.1)
+    corpus = _fanout(emb.select(F.col("vec_id").alias("c_id"), "embedding"))
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        q = np.asarray(q_vecs, dtype=np.float64)  # (Q, d)
+        qi = np.asarray(q_ids, dtype=np.int64)
+        # norm via cumsum = the fold's sequential order; 0-norm -> 1.0
+        q_nm = np.sqrt(np.cumsum(q * q, axis=1)[:, -1])
+        q_nm[q_nm == 0.0] = 1.0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )  # (B, d)
+            cid = pdf["c_id"].to_numpy(dtype=np.int64)
+            c_nm = np.sqrt(np.cumsum(c * c, axis=1)[:, -1])
+            c_nm[c_nm == 0.0] = 1.0
+            dot = np.cumsum(c[:, None, :] * q[None, :, :], axis=2)[:, :, -1]
+            cos = dot / (q_nm[None, :] * c_nm[:, None])
+            keep = (cid[:, None] != qi[None, :]).ravel()
+            b, nq = len(cid), len(qi)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(qi, b)[keep],
+                    "c_id": np.repeat(cid, nq)[keep],
+                    "_cos": cos.ravel()[keep],
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        batches, schema="q_id bigint, c_id bigint, _cos double"
+    ).withColumn("cos_r", F.round(F.col("_cos"), 6))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), F.asc("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
