@@ -252,21 +252,26 @@ def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     the column no longer fits the sort budget (same contract as
     approx_percentile_prices)."""
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    xdf = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_extendedprice").alias("x"))
-        # persist barrier: the median, MAD, and flagging passes each
-        # need the column — cache it once instead of re-scanning.
-        # Fan the cache out to the session's shuffle parallelism first
-        # (r13, guide §2.6): the split-size formula pins this 11 MB scan
-        # to ~3 partitions, so both EXACT percentile aggregates — the
-        # query's dominant, sort-heavy work — ran 3-task-bound on a
-        # 32-core session. Exact percentile and the flag sums are
-        # partition-layout-independent (scramble boards), so results
-        # are unchanged.
-        .repartition(n_shuffle)
-        .persist()
+    xdf = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
     )
+    # Fan the cache out to the session's shuffle parallelism (r13, guide
+    # §2.6): the split-size formula pins this 11 MB scan to ~3
+    # partitions, so both EXACT percentile aggregates — the query's
+    # dominant, sort-heavy work — ran 3-task-bound on a 32-core session.
+    # r14 revisions after the driver measured the r13 round-robin
+    # repartition -10%: (a) hash-partition on the value instead of
+    # round-robin — a keyless repartition(n) pays a full local
+    # sort-before-repartition pass (SPARK-23207) that the hash exchange
+    # skips, and the near-unique price column spreads evenly; (b) guard
+    # on the scan's actual partition count so the exchange only happens
+    # when the scan really is narrower than the session parallelism
+    # (scale-adaptive: wider inputs skip it entirely). Exact percentile
+    # and the flag sums are partition-layout-independent (scramble
+    # boards), so results are unchanged.
+    if xdf.rdd.getNumPartitions() < n_shuffle:
+        xdf = xdf.repartition(n_shuffle, F.col("x"))
+    xdf = xdf.persist()
     med = xdf.agg(F.percentile("x", F.lit(0.5)).alias("med"))
     dev = xdf.crossJoin(F.broadcast(med))
     stats = dev.groupBy("med").agg(

@@ -556,3 +556,67 @@ def test_pq_batched_adc_matches_perrow_reference(spark, emb):
     for qid, nbrs in got_sets.items():
         assert nbrs <= expected_sets[qid], (qid, nbrs, expected_sets[qid])
         assert len(nbrs) == min(3, len(expected_sets[qid]))
+
+
+def test_sample_top1_probe_matches_perrow_reference_and_null_exclusion(spark):
+    """r14 pin: the certificate's exact-top1 Arrow kernel — after the
+    feature-axis accumulation rewrite (O(B*Q) peak memory instead of two
+    (B, Q, d) temporaries) — must reproduce the old JVM fold semantics
+    row for row on one large Arrow batch, INCLUDING the null cases the
+    old plan excluded implicitly: null vec_id / null embedding rows are
+    dropped, and a null *element* poisons that row's cosines so it can
+    never win top-1 (the old fold's NULL cosine under DESC NULLS LAST)."""
+    import math
+
+    import numpy as np
+
+    from citegraph_spark.plans.text_queries import _sample_top1_exact
+
+    rng = np.random.RandomState(7)
+    n, d = 2000, 8
+    mat = rng.randn(n, d)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    rows[50] = (50, None)  # null embedding: excluded outright
+    rows.append((None, [1.0] * d))  # null id: excluded outright
+    elem = [float(x) for x in mat[60]]
+    elem[3] = None  # null element: row kept, cosines never win
+    rows[60] = (60, elem)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["vec_id"]: r["bf_neighbor"] for r in _sample_top1_exact(df).collect()
+    }
+
+    # reference: the old fold, driver-side, sequential summation order
+    valid = [(i, v) for i, v in rows if i is not None and v is not None]
+    ids = np.array([i for i, _ in valid], dtype=np.int64)
+    m = np.array(
+        [[math.nan if x is None else x for x in v] for _, v in valid],
+        dtype=np.float64,
+    )
+    norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+    norms[norms == 0.0] = 1.0
+    q_idx = np.argsort(ids)[:128]
+    expected = {}
+    for qi in q_idx:
+        best = None  # (cos_r, c_id); None cosine never beats a value
+        for cj in range(len(ids)):
+            if ids[cj] == ids[qi]:
+                continue
+            dot = 0.0
+            for kk in range(d):
+                dot += m[cj, kk] * m[qi, kk]
+            cos = dot / (norms[qi] * norms[cj])
+            key = (
+                (-math.inf, int(ids[cj]))
+                if math.isnan(cos)
+                else (round(cos, 6), int(ids[cj]))
+            )
+            if best is None or key[0] > best[0] or (
+                key[0] == best[0] and key[1] < best[1]
+            ):
+                best = key
+        expected[int(ids[qi])] = best[1]
+    assert got == expected
+    assert 50 not in got and None not in got  # dropped rows never query
+    assert 60 in got  # null-element row still queries (all-NULL tie rule)
